@@ -1,0 +1,121 @@
+package graft.query
+
+import graft.codec.PostingsCodec
+import graft.index.{CorpusStats, InvertedIndex, PostingBlock}
+import graft.io.Tables
+import graft.tokenize.CodeTokenizer
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** Query entry points over a built index (SURVEY.md §2.3 B8–B10, §3.3).
+  *
+  * The `match`-query compile path mirrors ES's two-phase query exactly:
+  * tokenize the query with the same analyzer; broadcast the tiny per-term
+  * stats (df, idf, maxImpact — the FST lookup); scan ONLY the query terms'
+  * postings (predicate pushed to the parquet scan: the postings table is
+  * range-partitioned and sorted by term, so file/row-group min-max stats
+  * prune everything else); per-bucket scoring (= per-shard); one global
+  * TakeOrderedAndProject merge (= coordinator merge).
+  */
+final class IndexReader(spark: SparkSession, indexDir: String,
+    p: Bm25Params = Bm25.Default) extends Serializable {
+  import spark.implicits._
+
+  lazy val stats: CorpusStats = InvertedIndex.readStats(spark, indexDir)
+
+  // registered once per reader for BMW skip-evidence (BASELINE.md rule 4)
+  val decodedBlocksAcc: LongAccumulator = spark.sparkContext.longAccumulator("graft.bmw.decodedBlocks")
+  val skippedBlocksAcc: LongAccumulator = spark.sparkContext.longAccumulator("graft.bmw.skippedBlocks")
+  val scoredDocsAcc: LongAccumulator = spark.sparkContext.longAccumulator("graft.bmw.scoredDocs")
+
+  def analyze(query: String): Array[String] =
+    CodeTokenizer.tokenize(query).distinct.sorted
+
+  /** Dictionary lookup for the query terms: tiny collect, broadcast by the
+    * caller. Terms absent from the corpus drop out here (df = 0 contributes
+    * nothing — Lucene BooleanQuery SHOULD semantics).
+    */
+  def termMeta(qterms: Array[String]): Map[String, BlockMaxWand.TermMeta] = {
+    if (qterms.isEmpty) return Map.empty
+    Tables.read(spark, indexDir, InvertedIndex.DictTable)
+      .where(col("term").isin(qterms.toSeq: _*))
+      .select("term", "df", "maxImpact")
+      .collect()
+      .map { r =>
+        val t = r.getString(0)
+        t -> BlockMaxWand.TermMeta(t, Bm25.idf(stats.numDocs, r.getLong(1)), r.getDouble(2))
+      }.toMap
+  }
+
+  private def postingsFor(terms: Seq[String]): Dataset[PostingBlock] =
+    Tables.read(spark, indexDir, InvertedIndex.PostingsTable)
+      .where(col("term").isin(terms: _*))
+      .as[PostingBlock]
+
+  /** Naive document-at-a-time baseline: decode ALL blocks of the query
+    * terms, aggregate per doc (contributions sorted by term before summing —
+    * the pinned order), global top-k. The regression target BMW must equal.
+    */
+  def searchNaive(query: String, k: Int): Array[SearchHit] = {
+    val meta = termMeta(analyze(query))
+    if (meta.isEmpty) return Array.empty
+    val metaB = spark.sparkContext.broadcast(meta)
+    val avgDl = stats.avgDl
+    val pp = p
+    val contribs = postingsFor(meta.keys.toSeq.sorted).flatMap { b =>
+      val idf = metaB.value(b.term).idf
+      val ids = PostingsCodec.decodeDocIds(b.firstDocId, b.count, b.docDeltas)
+      val tfs = PostingsCodec.decodeTfs(b.count, b.tfs)
+      val dls = PostingsCodec.decodeDls(b.count, b.dls)
+      Iterator.tabulate(b.count)(i =>
+        (ids(i), b.term, idf * Bm25.tfNorm(tfs(i).toLong, dls(i).toLong, avgDl, pp)))
+    }.toDF("docId", "term", "contrib")
+    contribs.groupByKey(r => r.getLong(0))
+      .mapGroups { (d, it) =>
+        val s = it.toArray.sortBy(_.getString(1)).foldLeft(0.0)(_ + _.getDouble(2))
+        SearchHit(d, s)
+      }
+      .orderBy(desc("score"), asc("docId")).limit(k)
+      .collect()
+  }
+
+  /** Distributed Block-Max WAND (SURVEY.md §2.3 B9): query-term blocks are
+    * re-bucketed by docId range (a block spanning multiple buckets is
+    * replicated and masked — only query-term data moves, never the corpus);
+    * each bucket runs exact BMW with a local threshold (= one ES shard);
+    * the global merge is Catalyst's TakeOrderedAndProject.
+    */
+  def searchBmw(query: String, k: Int, nBuckets: Int = 0): Array[SearchHit] = {
+    val meta = termMeta(analyze(query))
+    if (meta.isEmpty) return Array.empty
+    val buckets = if (nBuckets > 0) nBuckets else spark.sessionState.conf.numShufflePartitions
+    val w = math.max(1L, (stats.numDocs + buckets - 1) / buckets)
+    val metaB = spark.sparkContext.broadcast(meta)
+    val avgDl = stats.avgDl
+    val pp = p
+    val kk = k
+    val (decAcc, skipAcc, scoredAcc) = (decodedBlocksAcc, skippedBlocksAcc, scoredDocsAcc)
+
+    postingsFor(meta.keys.toSeq.sorted)
+      .flatMap(b => ((b.firstDocId / w) to (b.lastDocId / w)).iterator.map(g => (g, b)))
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val lo = g * w
+        val hi = lo + w
+        val byTerm = it.map(_._2).toArray.groupBy(_.term)
+        val st = BlockMaxWand.BucketStats()
+        val hits = BlockMaxWand.scoreBucket(byTerm, metaB.value, lo, hi, kk, avgDl, pp, st)
+        decAcc.add(st.decoded); skipAcc.add(st.skipped); scoredAcc.add(st.scoredDocs)
+        hits.iterator
+      }
+      .orderBy(desc("score"), asc("docId")).limit(k)
+      .collect()
+  }
+
+  /** DataFrame form for the driver contract (SparkEntry.queries). */
+  def searchDf(query: String, k: Int, useBmw: Boolean = true): DataFrame = {
+    val hits = if (useBmw) searchBmw(query, k) else searchNaive(query, k)
+    spark.createDataFrame(hits.toSeq).toDF("docId", "score")
+  }
+}
