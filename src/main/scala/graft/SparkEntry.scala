@@ -1,13 +1,399 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.driver.DocumentsIndex
+import graft.ops.{DedupOps, MultimodalOps, TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import scala.collection.immutable.ListMap
+
+/** Driver contract (SURVEY.md §0.4). One `queries` entry per implemented
+  * operator from SURVEY.md §2 (keys prefixed by their inventory row), plus
+  * the training-data-pipeline operators (dedup / similarity / text analysis /
+  * multimodal). Every SQL-expressible entry has a DuckDB twin in
+  * [[oracleSql]] over the same parquet tables.
+  *
+  * Cross-engine float protocol: any column involving double arithmetic is
+  * rounded (4–6 dp) IN BOTH ENGINES, and rows are ordered by the rounded
+  * value with a unique-key tiebreak, so unspecified summation order in
+  * either engine cannot flip the comparison.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on /root/testdata/sf0.001: BM25 top-10 via the full
+    * engine (index build -> dictionary broadcast -> Block-Max WAND).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    DocumentsIndex.bm25(spark, "/root/testdata/sf0.001", "spark join", 10)
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    // -- Layer B: the engine (SURVEY.md §2.3) ------------------------------
+    // B2+B12: registry + stats through the resumable build (first engine
+    // entry triggers the cached index build for this sf dir).
+    "b02_corpus_stats" -> ((s, d) => DocumentsIndex.statsDf(s, d)),
+    "b02_doc_registry" -> ((s, d) => DocumentsIndex.registryDf(s, d)),
+    // B3–B6+B11: SPIMI postings -> exact df/cf dictionary.
+    "b03_dictionary" -> ((s, d) => DocumentsIndex.dictionaryDf(s, d)),
+    // B7–B10: match query -> BM25 -> Block-Max WAND top-k -> global merge.
+    "b08_bm25_topk" -> ((s, d) => DocumentsIndex.bm25(s, d, "spark join", 10)),
+    "b08_bm25_topk_multi" -> ((s, d) => DocumentsIndex.bm25(s, d, "window merge batch vector", 10)),
+    "b09_bm25_rank_all" -> ((s, d) => DocumentsIndex.bm25(s, d, "the a value", -1)),
+
+    // -- Layer A: toolchain operators (SURVEY.md §2.1/2.2) -----------------
+    "a01_scan_projection" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .where(col("l_quantity") >= 48)
+        .orderBy("l_orderkey", "l_linenumber")),
+    "a03_fetch_by_ids" -> ((s, d) =>
+      tbl(s, d, "orders")
+        .where(col("o_orderkey").isin(1L, 3L, 7L, 32L, 33L, 64L, 100L, 101L))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+    "a08_predicate" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .where(expr("l_shipdate >= timestamp'1995-06-01' AND l_shipdate < timestamp'1995-09-01'") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")),
+    "a11_multivalue_merge" -> ((s, d) =>
+      tbl(s, d, "documents")
+        .select(col("doc_id"),
+          array_join(array_sort(array_distinct(array(col("lang"), col("source"), lit("corpus")))), ",").as("merged"))
+        .orderBy("doc_id")),
+    "a12_entity_split" -> ((s, d) => {
+      import s.implicits._
+      // typed UDTF-shaped 1->n split (Dataset.flatMap), not SQL explode
+      tbl(s, d, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val (m, _) = graft.tokenize.CodeTokenizer.tfMap(text)
+          m.iterator.map { case (t, tf) => (id, t, tf.toLong) }
+        }
+        .toDF("doc_id", "term", "tf")
+        .orderBy("doc_id", "term")
+    }),
+    "a13_dedup_by_key" -> ((s, d) =>
+      tbl(s, d, "documents")
+        .groupBy("lang", "source")
+        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n"))
+        .orderBy("lang", "source")),
+    "a14_enrichment_join" -> ((s, d) =>
+      tbl(s, d, "orders").as("o")
+        .join(broadcast(tbl(s, d, "customer").as("c")), col("o.o_custkey") === col("c.c_custkey"), "left")
+        .where(col("o_totalprice") > 300000)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          coalesce(col("c_name"), lit("")).as("c_name"),
+          coalesce(col("c_nationkey").cast("long"), lit(-1L)).as("c_nationkey"))
+        .orderBy("o_orderkey")),
+    "a15_stats_agg" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(sum("l_discount"), 4).as("sum_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "a16_events_json" -> ((s, d) =>
+      tbl(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+        .orderBy("event_type")),
+    "a17_window_topn" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      tbl(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+    "a18_set_intersect" -> ((s, d) =>
+      tbl(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(tbl(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    // -- Training-data pipeline operators ----------------------------------
+    "td_exact_dedup" -> ((s, d) =>
+      DedupOps.exactDupGroups(tbl(s, d, "documents")).orderBy("fp")),
+    "td_fingerprint" -> ((s, d) =>
+      TextOps.fingerprint(tbl(s, d, "documents")).orderBy("doc_id")),
+    "td_token_counts" -> ((s, d) =>
+      TextOps.tokenCounts(tbl(s, d, "documents"))
+        .select(col("doc_id"), col("n_ws_tokens").cast("long").as("n_ws_tokens"),
+          col("n_bpe_tokens").cast("long").as("n_bpe_tokens"),
+          col("n_terms"), col("n_distinct_terms"))
+        .orderBy("doc_id")),
+    "td_quality" -> ((s, d) =>
+      TextOps.quality(tbl(s, d, "documents"))
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          col("n_alpha").cast("long").as("n_alpha"), col("n_digit").cast("long").as("n_digit"),
+          col("n_space").cast("long").as("n_space"), col("n_terms"), col("stop_cnt"),
+          col("alpha_ratio"), col("stop_ratio"))
+        .orderBy("doc_id")),
+    "td_langid" -> ((s, d) =>
+      TextOps.langId(tbl(s, d, "documents")).orderBy("doc_id")),
+    "td_minhash_bands" -> ((s, d) =>
+      DedupOps.minhashBands(tbl(s, d, "documents")).orderBy("doc_id", "band")),
+    "td_neardup_minhash" -> ((s, d) =>
+      DedupOps.nearDupPairs(tbl(s, d, "documents"), 0.6).orderBy("a", "b")),
+    "td_ngram_jaccard" -> ((s, d) =>
+      DedupOps.ngramJaccardPairs(tbl(s, d, "documents"), 0.5, 20).orderBy("a", "b")),
+    "td_simhash" -> ((s, d) =>
+      DedupOps.simhash(s, tbl(s, d, "documents")).orderBy("doc_id")),
+    "td_simhash_pairs" -> ((s, d) =>
+      DedupOps.simhashNearPairs(s, tbl(s, d, "documents"), 8).orderBy("a", "b")),
+    "td_cosine_topk" -> ((s, d) =>
+      VectorOps.cosineTopK(tbl(s, d, "embeddings"), probeId = 0L, k = 10)),
+    "td_ann_lsh" -> ((s, d) =>
+      VectorOps.lshAnnTopK(tbl(s, d, "embeddings"), probeId = 0L, k = 10)),
+    "td_cosine_neardup" -> ((s, d) =>
+      VectorOps.cosineNearDupPairs(tbl(s, d, "embeddings"), 0.2, bits = 6).orderBy("a", "b")),
+    "mm_features" -> ((s, d) =>
+      MultimodalOps.extractFeatures(s, MultimodalOps.asMediaTable(tbl(s, d, "documents")))
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("content_sha256"), col("fake_frames").cast("long").as("fake_frames"))
+        .orderBy("doc_id"))
+  )
+
+  // -------------------------------------------------------------- oracleSql
+
+  /** Shared tokenization CTE — the exact DuckDB twin of
+    * graft.tokenize.CodeTokenizer (lower -> split [^a-z0-9_]+ -> drop empty
+    * -> truncate 64).
+    */
+  private val TokCte =
+    """tok AS (
+      |  SELECT doc_id, substr(t.term, 1, 64) AS term
+      |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS t(term)
+      |  WHERE t.term <> ''
+      |)""".stripMargin
+
+  private def bm25Sql(terms: Seq[String], limit: Int): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    val limitClause = if (limit > 0) s" LIMIT $limit" else ""
+    s"""WITH $TokCte,
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |         sum(ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+       |             * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score
+       |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
+       |  WHERE tf.term IN ($inList)
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score, 6) AS score FROM sc
+       |ORDER BY round(score, 6) DESC, doc_id$limitClause""".stripMargin
+  }
+
+  /** Shared shingle + minhash-band CTEs (word 5-grams; 16 md5 hash slots;
+    * 4 bands of 4).
+    */
+  private val ShingleCtes =
+    """arrs AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr FROM documents
+      |),
+      |sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(arr) - 4, 1) + 1),
+      |                               i -> array_to_string(arr[i:i+4], ' '))) AS shingle
+      |  FROM arrs
+      |),
+      |mh AS (
+      |  SELECT doc_id, j, min(md5(shingle || '#' || cast(j AS varchar))) AS mh
+      |  FROM sh, range(0, 16) AS r(j) GROUP BY 1, 2
+      |),
+      |bands AS (
+      |  SELECT doc_id, cast(floor(j / 4) AS int) AS band,
+      |         md5(string_agg(mh, '' ORDER BY j)) AS bucket
+      |  FROM mh GROUP BY 1, 2
+      |)""".stripMargin
+
+  private val JaccardTail =
+    """sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |sz AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY 1),
+      |inter AS (
+      |  SELECT c.a, c.b, count(*) AS inter
+      |  FROM cand c
+      |  JOIN sets sa ON sa.doc_id = c.a
+      |  JOIN sets sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+      |  GROUP BY 1, 2)
+      |SELECT i.a, i.b,
+      |       round(cast(i.inter AS double) / (za.sz + zb.sz - i.inter), 4) AS jaccard
+      |FROM inter i JOIN sz za ON za.doc_id = i.a JOIN sz zb ON zb.doc_id = i.b""".stripMargin
+
+  def oracleSql: Map[String, String] = ListMap(
+    "b02_corpus_stats" ->
+      s"""WITH $TokCte, dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1)
+         |SELECT count(*) AS num_docs, cast(sum(dl) AS bigint) AS sum_dl,
+         |       round(avg(dl), 6) AS avg_dl FROM dl""".stripMargin,
+    "b02_doc_registry" ->
+      s"""WITH $TokCte, dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1)
+         |SELECT d.doc_id, coalesce(dl.dl, 0) AS dl, sha256(d.text) AS sha256
+         |FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "b03_dictionary" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+         |SELECT term, count(*) AS df, cast(sum(tf) AS bigint) AS cf
+         |FROM tf GROUP BY term ORDER BY term""".stripMargin,
+    "b08_bm25_topk" -> bm25Sql(Seq("join", "spark"), 10),
+    "b08_bm25_topk_multi" -> bm25Sql(Seq("batch", "merge", "vector", "window"), 10),
+    "b09_bm25_rank_all" -> bm25Sql(Seq("a", "the", "value"), -1),
+
+    "a01_scan_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+        |WHERE l_quantity >= 48 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "a03_fetch_by_ids" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey IN (1, 3, 7, 32, 33, 64, 100, 101) ORDER BY o_orderkey""".stripMargin,
+    "a08_predicate" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_shipdate < TIMESTAMP '1995-09-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "a11_multivalue_merge" ->
+      """SELECT doc_id,
+        |       array_to_string(list_sort(list_distinct([lang, source, 'corpus'])), ',') AS merged
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "a12_entity_split" ->
+      s"""WITH $TokCte
+         |SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2 ORDER BY doc_id, term""".stripMargin,
+    "a13_dedup_by_key" ->
+      """SELECT lang, source, min(doc_id) AS keeper, count(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a14_enrichment_join" ->
+      """SELECT o.o_orderkey, o.o_totalprice, coalesce(c.c_name, '') AS c_name,
+        |       coalesce(cast(c.c_nationkey AS bigint), -1) AS c_nationkey
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_totalprice > 300000 ORDER BY o.o_orderkey""".stripMargin,
+    "a15_stats_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       round(sum(l_discount), 4) AS sum_disc, count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a16_events_json" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+        |       cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a17_window_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+    "a18_set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+
+    "td_exact_dedup" ->
+      """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS group_size
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "td_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "td_token_counts" ->
+      s"""WITH $TokCte,
+         |per AS (SELECT doc_id, count(*) AS n_terms, count(DISTINCT term) AS n_distinct_terms
+         |        FROM tok GROUP BY 1)
+         |SELECT d.doc_id,
+         |       len(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS n_ws_tokens,
+         |       len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+         |       coalesce(per.n_terms, 0) AS n_terms,
+         |       coalesce(per.n_distinct_terms, 0) AS n_distinct_terms
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "td_quality" ->
+      s"""WITH $TokCte,
+         |per AS (SELECT doc_id, count(*) AS n_terms,
+         |               sum(CASE WHEN term IN ('the','a','and','is','to','of','in') THEN 1 ELSE 0 END) AS stop_cnt
+         |        FROM tok GROUP BY 1)
+         |SELECT d.doc_id, length(d.text) AS n_chars,
+         |       length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         |       length(regexp_replace(d.text, '[^0-9]', '', 'g')) AS n_digit,
+         |       length(regexp_replace(d.text, '[^ ]', '', 'g')) AS n_space,
+         |       coalesce(per.n_terms, 0) AS n_terms,
+         |       cast(coalesce(per.stop_cnt, 0) AS bigint) AS stop_cnt,
+         |       round(cast(length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g')) AS double) / length(d.text), 4) AS alpha_ratio,
+         |       round(cast(coalesce(per.stop_cnt, 0) AS double) / greatest(coalesce(per.n_terms, 0), 1), 4) AS stop_ratio
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "td_langid" ->
+      s"""WITH $TokCte,
+         |cnts AS (
+         |  SELECT doc_id, count(*) AS n_tok,
+         |         sum(CASE WHEN term IN ('the','a','and','is','of','to') THEN 1 ELSE 0 END) AS cnt_en,
+         |         sum(CASE WHEN term IN ('der','die','das','und','ist','ein') THEN 1 ELSE 0 END) AS cnt_de,
+         |         sum(CASE WHEN term IN ('el','los','una','y','que','por') THEN 1 ELSE 0 END) AS cnt_es,
+         |         sum(CASE WHEN term IN ('le','les','et','est','une','dans') THEN 1 ELSE 0 END) AS cnt_fr
+         |  FROM tok GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CASE WHEN (length(d.text) - length(regexp_replace(d.text, '[^ -~]', '', 'g'))) * 10 > length(d.text) * 3 THEN 'zh'
+         |            WHEN coalesce(cnt_en, 0) >= coalesce(cnt_de, 0) AND coalesce(cnt_en, 0) >= coalesce(cnt_es, 0) AND coalesce(cnt_en, 0) >= coalesce(cnt_fr, 0) THEN 'en'
+         |            WHEN coalesce(cnt_de, 0) >= coalesce(cnt_es, 0) AND coalesce(cnt_de, 0) >= coalesce(cnt_fr, 0) THEN 'de'
+         |            WHEN coalesce(cnt_es, 0) >= coalesce(cnt_fr, 0) THEN 'es'
+         |            ELSE 'fr' END AS lang_pred
+         |FROM documents d LEFT JOIN cnts ON d.doc_id = cnts.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "td_minhash_bands" ->
+      s"""WITH $ShingleCtes
+         |SELECT doc_id, band, bucket FROM bands ORDER BY doc_id, band""".stripMargin,
+    "td_neardup_minhash" ->
+      s"""WITH $ShingleCtes,
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         |$JaccardTail
+         |WHERE round(cast(i.inter AS double) / (za.sz + zb.sz - i.inter), 4) >= 0.6
+         |ORDER BY a, b""".stripMargin,
+    "td_ngram_jaccard" ->
+      s"""WITH $ShingleCtes,
+         |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |rare AS (SELECT shingle FROM dsh GROUP BY shingle HAVING count(*) > 1 AND count(*) <= 20),
+         |shr AS (SELECT dsh.doc_id, dsh.shingle FROM dsh JOIN rare USING (shingle)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM shr x JOIN shr y ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+         |$JaccardTail
+         |WHERE round(cast(i.inter AS double) / (za.sz + zb.sz - i.inter), 4) >= 0.5
+         |ORDER BY a, b""".stripMargin,
+    "td_cosine_topk" ->
+      """SELECT a.vec_id, round(list_cosine_similarity(cast(a.embedding AS double[]), cast(b.embedding AS double[])), 4) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE b.vec_id = 0 AND a.vec_id <> 0
+        |ORDER BY round(list_cosine_similarity(cast(a.embedding AS double[]), cast(b.embedding AS double[])), 4) DESC, a.vec_id
+        |LIMIT 10""".stripMargin,
+    "td_ann_lsh" ->
+      """WITH bk AS (
+        |  SELECT vec_id, embedding,
+        |         array_to_string(list_transform(embedding[1:8],
+        |           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM embeddings)
+        |SELECT a.vec_id, round(list_cosine_similarity(cast(a.embedding AS double[]), cast(b.embedding AS double[])), 4) AS cosine
+        |FROM bk a JOIN bk b ON a.bucket = b.bucket
+        |WHERE b.vec_id = 0 AND a.vec_id <> 0
+        |ORDER BY round(list_cosine_similarity(cast(a.embedding AS double[]), cast(b.embedding AS double[])), 4) DESC, a.vec_id
+        |LIMIT 10""".stripMargin,
+    "td_cosine_neardup" ->
+      """WITH bk AS (
+        |  SELECT vec_id, embedding,
+        |         array_to_string(list_transform(embedding[1:6],
+        |           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM embeddings)
+        |SELECT x.vec_id AS a, y.vec_id AS b,
+        |       round(list_cosine_similarity(cast(x.embedding AS double[]), cast(y.embedding AS double[])), 4) AS cosine
+        |FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |WHERE round(list_cosine_similarity(cast(x.embedding AS double[]), cast(y.embedding AS double[])), 4) >= 0.2
+        |ORDER BY a, b""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS content_sha256,
+        |       octet_length(encode(text)) % 16 + 1 AS fake_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

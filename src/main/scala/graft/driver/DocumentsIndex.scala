@@ -1,0 +1,104 @@
+package graft.driver
+
+import graft.fixtures.CodeFile
+import graft.index.{IndexConfig, InvertedIndex}
+import graft.io.Tables
+import graft.lineage.Manifests
+import graft.query.IndexReader
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Engine facade over the driver's `documents` parquet table: builds (once
+  * per sf dir, cached + resumable via the lineage manifests) a full inverted
+  * index with `doc_id` carried through the registry key, and exposes BM25
+  * search keyed back to `doc_id`.
+  *
+  * Output protocol for the DuckDB-oracle comparison: scores are rounded to 6
+  * decimals and rows ordered by (rounded score DESC, doc_id ASC) in BOTH
+  * engines — cross-engine double noise (summation order in SUM/group-by is
+  * unspecified in DuckDB) collapses under rounding, and ties order
+  * deterministically. Top-k entries over-fetch by exact score before the
+  * rounded re-sort so the rounded boundary is stable.
+  */
+object DocumentsIndex {
+  private val cache = scala.collection.mutable.Map[String, String]()
+  private val readers = scala.collection.mutable.Map[String, IndexReader]()
+
+  def dirFor(sfDir: String): String =
+    "/tmp/graft_docidx_" + graft.fixtures.CorpusGen.sha256Hex(sfDir).substring(0, 12)
+
+  /** Drop the cached index for this sf dir and rebuild it, returning build
+    * wall-seconds (Bench uses this so builds are never hidden in query
+    * timings).
+    */
+  def rebuild(spark: SparkSession, sfDir: String): Double = synchronized {
+    val idx = dirFor(sfDir)
+    val p = new org.apache.hadoop.fs.Path(idx)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    cache.remove(sfDir)
+    readers.remove(idx)
+    val t0 = System.nanoTime()
+    indexDir(spark, sfDir)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def indexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    cache.getOrElseUpdate(sfDir, {
+      val idx = dirFor(sfDir)
+      if (!Manifests.isComplete(spark, idx, "dictionary")) {
+        import spark.implicits._
+        val src = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(lit("corpus").as("repo"), col("doc_id").cast("string").as("path"),
+            col("doc_id").cast("string").as("commit"), col("lang"), col("text").as("content"))
+          .as[CodeFile]
+        val parts = spark.sessionState.conf.numShufflePartitions
+        InvertedIndex.build(spark, src, idx,
+          IndexConfig(partitions = parts, heavyDfThreshold = 1000L, saltRunDocs = 1000L),
+          runId = "driver")
+      }
+      idx
+    })
+  }
+
+  def reader(spark: SparkSession, sfDir: String): IndexReader = synchronized {
+    val idx = indexDir(spark, sfDir)
+    readers.getOrElseUpdate(idx, new IndexReader(spark, idx))
+  }
+
+  /** Engine stats table in oracle-comparable form. */
+  def statsDf(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, indexDir(spark, sfDir), InvertedIndex.StatsTable)
+      .select(col("numDocs").as("num_docs"), col("sumDl").as("sum_dl"),
+        round(col("avgDl"), 6).as("avg_dl"))
+
+  /** docId -> doc_id mapping (registry path column carries the doc_id). */
+  private def docIdMap(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, indexDir(spark, sfDir), InvertedIndex.DocsTable)
+      .select(col("docId"), col("path").cast("long").as("doc_id"))
+
+  /** BM25 search via the Block-Max WAND path, output keyed by doc_id.
+    * k <= 0 means "all matching docs".
+    */
+  def bm25(spark: SparkSession, sfDir: String, query: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val r = reader(spark, sfDir)
+    val fetch = if (k <= 0) Int.MaxValue else math.max(k * 20, 200)
+    val hits = r.searchBmw(query, fetch)
+    val hitsDf = spark.createDataset(hits.toSeq).toDF()
+    val out = broadcast(hitsDf).join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+    if (k <= 0) out else out.limit(k)
+  }
+
+  def dictionaryDf(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, indexDir(spark, sfDir), InvertedIndex.DictTable)
+      .select(col("term"), col("df"), col("cf"))
+      .orderBy("term")
+
+  def registryDf(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.read(spark, indexDir(spark, sfDir), InvertedIndex.DocsTable)
+      .select(col("path").cast("long").as("doc_id"), col("dl").cast("long").as("dl"), col("sha256"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash-groupBy),
+  * MinHash+LSH banding, n-gram Jaccard verification, SimHash.
+  *
+  * Portability rule: every hash a SQL oracle must reproduce is md5 (identical
+  * hex in Spark and DuckDB); Spark-only paths (simhash) may use faster
+  * hashes. Shingling is word 5-grams over whitespace-split lowercase text.
+  *
+  * Scale notes: candidate generation is always hash-bucketed (LSH band
+  * buckets / rare shingles) so the pairwise-verify join never goes quadratic
+  * in the corpus — only within buckets. All joins are equi-joins on bucket
+  * keys; AQE handles residual bucket skew.
+  */
+object DedupOps {
+  val NumHashes = 16
+  val BandSize = 4 // 4 bands x 4 rows
+
+  /** Exact duplicate groups: fingerprint -> keeper (min id) + group size. */
+  def exactDupGroups(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    df.select(col(id), md5(col(text)).as("fp"))
+      .groupBy("fp").agg(min(col(id)).as("keeper"), count(lit(1)).as("group_size"))
+
+  /** (id, shingle) pairs: word 5-gram shingles, duplicates preserved. */
+  def shingles(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    df.select(col(id), split(trim(lower(col(text))), "\\s+").as("arr"))
+      .select(col(id), explode(expr(
+        "transform(sequence(1, greatest(size(arr) - 4, 1)), i -> array_join(slice(arr, i, 5), ' '))"))
+        .as("shingle"))
+
+  /** MinHash signatures banded for LSH: (id, band, bucket). The j-th hash
+    * function is min(md5(shingle || '#' || j)); a band bucket is the md5 of
+    * its 4 minhashes concatenated in hash order.
+    */
+  def minhashBands(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    shingles(df, id, text)
+      .select(col(id), col("shingle"), explode(expr(s"sequence(0, ${NumHashes - 1})")).as("j"))
+      .groupBy(col(id), col("j"))
+      .agg(min(md5(concat(col("shingle"), lit("#"), col("j").cast("string")))).as("mh"))
+      .withColumn("band", (col("j") / BandSize).cast("int"))
+      .groupBy(col(id), col("band"))
+      .agg(md5(expr("array_join(transform(sort_array(collect_list(struct(j, mh))), x -> x.mh), '')")).as("bucket"))
+
+  /** LSH candidate pairs (a < b sharing any band bucket) verified with EXACT
+    * shingle-set Jaccard >= minJaccard.
+    */
+  def nearDupPairs(df: DataFrame, minJaccard: Double,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val bands = minhashBands(df, id, text)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("a"), col(s"y.$id").as("b")).distinct()
+    verifyJaccard(df, cand, minJaccard, id, text)
+  }
+
+  /** n-gram Jaccard near-dup: candidates share a RARE shingle (df <= maxShingleDf —
+    * the standard cap that keeps the self-join off stopword-scale shingles),
+    * then exact Jaccard. No minhash approximation anywhere.
+    */
+  def ngramJaccardPairs(df: DataFrame, minJaccard: Double, maxShingleDf: Long = 20,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val sh = shingles(df, id, text).distinct()
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+      .where(col("sdf") > 1 && col("sdf") <= maxShingleDf)
+    val shRare = sh.join(rare.select("shingle"), Seq("shingle"))
+    val cand = shRare.as("x").join(shRare.as("y"),
+        col("x.shingle") === col("y.shingle") && col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("a"), col(s"y.$id").as("b")).distinct()
+    verifyJaccard(df, cand, minJaccard, id, text)
+  }
+
+  /** Exact |A ∩ B| / |A ∪ B| over distinct shingle sets for candidate pairs. */
+  private def verifyJaccard(df: DataFrame, cand: DataFrame, minJaccard: Double,
+      id: String, text: String): DataFrame = {
+    val sets = shingles(df, id, text).distinct()
+    val sizes = sets.groupBy(col(id)).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sets.as("sa"), col("a") === col(s"sa.$id"))
+      .join(sets.as("sb"), col("b") === col(s"sb.$id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed(id, "a").withColumnRenamed("sz", "sza"), Seq("a"))
+      .join(sizes.withColumnRenamed(id, "b").withColumnRenamed("sz", "szb"), Seq("b"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")), 4))
+      .where(col("jaccard") >= minJaccard)
+      .select("a", "b", "jaccard")
+  }
+
+  /** 64-bit SimHash over the analyzer term stream, tf-weighted. Bits come
+    * from the first 16 hex chars of md5(term). Pure narrow map (no shuffle);
+    * Spark-only (bit-twiddling has no compact SQL twin — driver does the
+    * rows-only check).
+    */
+  def simhash(spark: SparkSession, df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    import spark.implicits._
+    df.select(col(id).cast("long"), col(text)).as[(Long, String)].map { case (docId, t) =>
+      val (m, _) = graft.tokenize.CodeTokenizer.tfMap(t)
+      val acc = new Array[Long](64)
+      m.foreach { case (term, tf) =>
+        val h = java.lang.Long.parseUnsignedLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(term).substring(0, 16), 16)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += tf else acc(b) -= tf
+          b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (acc(b) > 0) sig |= (1L << b); b += 1 }
+      (docId, f"$sig%016x")
+    }.toDF(id, "simhash")
+  }
+
+  /** Hamming-close SimHash pairs via 4x16-bit band blocking (exactly the
+    * LSH trick at the bit level): pairs sharing any 16-bit quarter get their
+    * full Hamming distance computed; keep those <= maxDist.
+    */
+  def simhashNearPairs(spark: SparkSession, df: DataFrame, maxDist: Int,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val sig = simhash(spark, df, id, text)
+    val banded = sig.select(col(id), col("simhash"),
+      explode(expr("transform(sequence(0, 3), q -> struct(q as q, substring(simhash, q*4 + 1, 4) as piece))")).as("bp"))
+      .select(col(id), col("simhash"), col("bp.q"), col("bp.piece"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.q") === col("y.q") && col("x.piece") === col("y.piece") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("a"), col(s"y.$id").as("b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb")).distinct()
+    // Hamming distance piecewise over 16-bit quarters: conv of a 4-hex-char
+    // piece always fits an int, so ANSI-mode casts never overflow (a full
+    // 64-bit conv of e.g. "ffff..." would).
+    cand.withColumn("dist",
+        expr("""aggregate(sequence(0, 3), 0, (acc, q) ->
+          acc + bit_count(cast(conv(substring(ha, q*4 + 1, 4), 16, 10) as int) ^
+                          cast(conv(substring(hb, q*4 + 1, 4), 16, 10) as int)))"""))
+      .where(col("dist") <= maxDist)
+      .select("a", "b", "dist")
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unit gates for the training-data pipeline operators on constructed
+  * fixtures where the expected dedup/similarity structure is known (the
+  * driver testdata has no guaranteed duplicates).
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs: DataFrame = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the old river bank tonight"), // near-dup of 0
+    (2L, "der schnelle braune fuchs und die katze und das haus und der hund ist hier"),
+    (3L, "el gato los perros una casa y que la cosa por aqui pasa y pasa"),
+    (4L, "completely different content about spark query engines and inverted index structures"),
+    (5L, "the quick brown fox jumps over the lazy dog near the old river bank today"), // exact dup of 0
+    (6L, "中文文本测试内容这里没有拉丁字母所以非常清晰")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup finds the duplicate group") {
+    val groups = DedupOps.exactDupGroups(docs).where(col("group_size") > 1).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("keeper") == 0L)
+    assert(groups(0).getAs[Long]("group_size") == 2L)
+  }
+
+  test("minhash LSH near-dup finds exact and near duplicates, not unrelated docs") {
+    val pairs = DedupOps.nearDupPairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 5L)), s"exact dup pair missing: $pairs")
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 5L)), s"near-dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc paired: $pairs")
+  }
+
+  test("exact jaccard values are right (n-gram path)") {
+    val j = DedupOps.ngramJaccardPairs(docs, 0.3, maxShingleDf = 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((0L, 5L)) == 1.0)
+    // docs 0/1: 15 words -> 11 shingles each; only the last differs -> 10/12
+    assert(j((0L, 1L)) == math.rint(10.0 / 12.0 * 10000) / 10000)
+  }
+
+  test("simhash: identical docs equal; near docs close; pairs op blocks correctly") {
+    val sh = DedupOps.simhash(spark, docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh(0L) == sh(5L))
+    def dist(a: String, b: String): Int =
+      java.lang.Long.bitCount(java.lang.Long.parseUnsignedLong(a, 16) ^ java.lang.Long.parseUnsignedLong(b, 16))
+    assert(dist(sh(0L), sh(1L)) < 16, s"near-dups should be hamming-close: ${dist(sh(0L), sh(1L))}")
+    val pairs = DedupOps.simhashNearPairs(spark, docs, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 5L && p._3 == 0))
+  }
+
+  test("langId heuristic: stopword + non-ascii rules") {
+    val got = TextOps.langId(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "en" && got(2L) == "de" && got(3L) == "es" && got(6L) == "zh")
+  }
+
+  test("token counts / fingerprint / quality on a known doc") {
+    val one = docs.where(col("doc_id") === 0L)
+    val tc = TextOps.tokenCounts(one).collect()(0)
+    assert(tc.getAs[Int]("n_ws_tokens") == 15)
+    assert(tc.getAs[Long]("n_terms") == 15)
+    assert(tc.getAs[Long]("n_distinct_terms") == 13) // 'the' x3, rest unique
+    val fp = TextOps.fingerprint(one).collect()(0).getString(1)
+    assert(fp == org.apache.commons.codec.digest.DigestUtils.md5Hex(
+      "the quick brown fox jumps over the lazy dog near the old river bank today"))
+    val q = TextOps.quality(one).collect()(0)
+    assert(q.getAs[Int]("n_space") == 14)
+    assert(q.getAs[Long]("stop_cnt") == 3)
+  }
+
+  test("cosine top-k: exact and LSH-bucketed agree on constructed vectors") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.2f, 0.0f, 0.1f, 0.0f, 0.3f, 0.0f)),
+      (1L, Array(1.0f, 0.01f, 0.2f, 0.0f, 0.1f, 0.0f, 0.3f, 0.0f)), // ~ probe
+      (2L, Array(-1.0f, 0.5f, -0.2f, 0.3f, -0.1f, 0.2f, -0.3f, 0.1f)), // far, diff bucket
+      (3L, Array(0.9f, 0.0f, 0.25f, 0.0f, 0.12f, 0.0f, 0.28f, 0.0f)) // close, same bucket
+    ).toDF("vec_id", "embedding")
+    val exact = VectorOps.cosineTopK(emb, 0L, 3).collect()
+    assert(exact.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L))
+    assert(exact(0).getDouble(1) > 0.999)
+    val ann = VectorOps.lshAnnTopK(emb, 0L, 3, bits = 8).collect()
+    assert(ann.map(_.getLong(0)).toSeq == Seq(1L, 3L)) // bucket excludes vec 2
+    val pairs = VectorOps.cosineNearDupPairs(emb, 0.99, bits = 8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("multimodal binary plumbing: stub features are exact") {
+    val media = MultimodalOps.asMediaTable(docs.where(col("doc_id") === 6L))
+    val f = MultimodalOps.extractFeatures(spark, media).collect()(0)
+    val bytes = "中文文本测试内容这里没有拉丁字母所以非常清晰".getBytes("UTF-8")
+    assert(f.getAs[Int]("n_bytes") == bytes.length)
+    assert(f.getAs[String]("content_sha256") ==
+      graft.fixtures.CorpusGen.sha256Hex("中文文本测试内容这里没有拉丁字母所以非常清晰"))
+    assert(f.getAs[Int]("fake_frames") == bytes.length % 16 + 1)
+  }
+
+  test("termStats matches tfMap ground truth") {
+    val st = TextOps.termStats(docs).collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(st("the") == (3L, 9L)) // docs 0,1,5 each have 'the' x3
+    assert(st("fox") == (3L, 3L))
+  }
+}
