@@ -40,9 +40,16 @@ object Bench {
     for (_ <- 1 to rounds; q <- bmQueries) DocumentsIndex.bm25(spark, sfDir, q, 10).count()
     val qps = (rounds * bmQueries.size) / ((System.nanoTime() - tq) / 1e9)
 
+    // batch mode: all queries in one job per round
+    val reader = DocumentsIndex.reader(spark, sfDir)
+    reader.searchBmwBatch(bmQueries, 10) // warm
+    val tb2 = System.nanoTime()
+    for (_ <- 1 to rounds) reader.searchBmwBatch(bmQueries, 10)
+    val qpsBatch = (rounds * bmQueries.size) / ((System.nanoTime() - tb2) / 1e9)
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","build_sec":$buildSec,"bm25_qps":$qps,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","build_sec":$buildSec,"bm25_qps":$qps,"bm25_qps_batch":$qpsBatch,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -46,7 +46,11 @@ object DocumentsIndex {
   def indexDir(spark: SparkSession, sfDir: String): String = synchronized {
     cache.getOrElseUpdate(sfDir, {
       val idx = dirFor(sfDir)
-      if (!Manifests.isComplete(spark, idx, "dictionary")) {
+      if (!Manifests.isComplete(spark, idx, "dictionary") ||
+          !InvertedIndex.formatVersionOk(spark, idx)) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
         import spark.implicits._
         val src = spark.read.parquet(s"$sfDir/documents.parquet")
           .select(lit("corpus").as("repo"), col("doc_id").cast("string").as("path"),

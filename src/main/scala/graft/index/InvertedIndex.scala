@@ -40,7 +40,12 @@ final case class IndexConfig(
     partitions: Int = 32,
     blockSize: Int = PostingsCodec.BlockSize,
     /** Terms with df above this are salted (split by docId range) so no
-      * single (term) run exceeds memory at any scale (BASELINE.json:6/14).
+      * single (term) run exceeds one partition's fair share at any scale
+      * (BASELINE.json:6/14). MUST be ~docs-per-partition, not a large
+      * constant: the postings stage's wall time is the LONGEST (term,salt)
+      * run's sort+encode, so an unsalted zipf-head term serializes the whole
+      * stage (measured: 'def' at df=190k/1M-threshold held postings scaling
+      * to 1.4x on 4x cores). Use [[IndexConfig.auto]].
       */
     heavyDfThreshold: Long = 1L << 20,
     /** Target docs per salted sub-run of a heavy term. */
@@ -51,6 +56,18 @@ final case class IndexConfig(
       */
     dfSampleFraction: Double = 1.0,
     bm25: Bm25Params = Bm25.Default)
+
+object IndexConfig {
+  /** Scale-relative defaults: salt any term whose posting list exceeds one
+    * partition's fair share of documents.
+    */
+  def auto(numDocsEstimate: Long, partitions: Int,
+      dfSampleFraction: Double = 1.0): IndexConfig = {
+    val share = math.max(1000L, numDocsEstimate / math.max(1, partitions))
+    IndexConfig(partitions = partitions, heavyDfThreshold = share,
+      saltRunDocs = share, dfSampleFraction = dfSampleFraction)
+  }
+}
 
 /** The from-scratch SPIMI-style inverted-index build (SURVEY.md §2.3 B2–B6,
   * north_star BASELINE.json:6). Four resumable stages, each committed with a
@@ -73,6 +90,39 @@ object InvertedIndex {
   val StatsTable = "corpus_stats"
   val PostingsTable = "postings"
   val DictTable = "dictionary"
+
+  /** On-disk format version; bump on any postings/codec layout change. A
+    * reader refuses indexes of another version instead of misdecoding
+    * (codec payloads are tagged binary — an old index read with a new
+    * decoder would be silent garbage).
+    */
+  val FormatVersion = 2
+
+  private def versionPath(indexDir: String) = new org.apache.hadoop.fs.Path(s"$indexDir/FORMAT_VERSION")
+
+  def writeFormatVersion(spark: SparkSession, indexDir: String): Unit = {
+    val p = versionPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(FormatVersion.toString.getBytes("UTF-8"))
+    out.close()
+  }
+
+  def formatVersionOk(spark: SparkSession, indexDir: String): Boolean = {
+    val p = versionPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val in = fs.open(p)
+      val b = new Array[Byte](16)
+      val n = in.read(b)
+      in.close()
+      n > 0 && new String(b, 0, n, "UTF-8").trim == FormatVersion.toString
+    }
+  }
+
+  def assertFormatVersion(spark: SparkSession, indexDir: String): Unit =
+    require(formatVersionOk(spark, indexDir),
+      s"index at $indexDir has a different FORMAT_VERSION than this build ($FormatVersion) — rebuild it")
 
   /** Deterministic, dense, partition-layout-independent docId assignment
     * (SURVEY.md §7.5): pid = pmod(murmur3(repo,path,commit), P) — the exact
@@ -266,6 +316,7 @@ object InvertedIndex {
       stats.numDocs
     }
 
+    writeFormatVersion(spark, indexDir)
     BuildReport(results.result(), stats.numDocs)
   }
 

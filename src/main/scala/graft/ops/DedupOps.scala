@@ -34,15 +34,22 @@ object DedupOps {
   /** MinHash signatures banded for LSH: (id, band, bucket). The j-th hash
     * function is min(md5(shingle || '#' || j)); a band bucket is the md5 of
     * its 4 minhashes concatenated in hash order.
+    *
+    * Shape: the 16 hash slots are 16 min-aggregates over ONE pass of the
+    * shingle stream (map-side partial agg), not a 16x row explode — at
+    * corpus scale the shuffle carries one row per doc, not 16 per shingle.
     */
-  def minhashBands(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
-    shingles(df, id, text)
-      .select(col(id), col("shingle"), explode(expr(s"sequence(0, ${NumHashes - 1})")).as("j"))
-      .groupBy(col(id), col("j"))
-      .agg(min(md5(concat(col("shingle"), lit("#"), col("j").cast("string")))).as("mh"))
-      .withColumn("band", (col("j") / BandSize).cast("int"))
-      .groupBy(col(id), col("band"))
-      .agg(md5(expr("array_join(transform(sort_array(collect_list(struct(j, mh))), x -> x.mh), '')")).as("bucket"))
+  def minhashBands(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val aggs = (0 until NumHashes).map(j =>
+      min(md5(concat(col("shingle"), lit("#"), lit(j.toString)))).as(s"mh$j"))
+    val sig = shingles(df, id, text).groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    val bandStructs = (0 until NumHashes / BandSize).map { b =>
+      val mhs = (b * BandSize until (b + 1) * BandSize).map(j => col(s"mh$j"))
+      struct(lit(b).as("band"), md5(concat(mhs: _*)).as("bucket"))
+    }
+    sig.select(col(id), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(id), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
 
   /** LSH candidate pairs (a < b sharing any band bucket) verified with EXACT
     * shingle-set Jaccard >= minJaccard.

@@ -22,7 +22,10 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     p: Bm25Params = Bm25.Default) extends Serializable {
   import spark.implicits._
 
-  lazy val stats: CorpusStats = InvertedIndex.readStats(spark, indexDir)
+  lazy val stats: CorpusStats = {
+    InvertedIndex.assertFormatVersion(spark, indexDir)
+    InvertedIndex.readStats(spark, indexDir)
+  }
 
   // registered once per reader for BMW skip-evidence (BASELINE.md rule 4)
   val decodedBlocksAcc: LongAccumulator = spark.sparkContext.longAccumulator("graft.bmw.decodedBlocks")
@@ -111,6 +114,60 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       }
       .orderBy(desc("score"), asc("docId")).limit(k)
       .collect()
+  }
+
+  /** Batch mode: N queries in ONE Spark job (SURVEY.md §2.3 B9/B10). All
+    * queries' terms are fetched in a single dictionary lookup and a single
+    * postings scan; every docId bucket runs BMW once per query against its
+    * local blocks; per-bucket top-k lists (tiny: buckets x queries x k) are
+    * merged on the driver. This amortizes job-scheduling and scan overhead
+    * across the whole query set — the shape a 100 TB deployment serves query
+    * batches with.
+    */
+  def searchBmwBatch(queriesIn: Seq[String], k: Int, nBuckets: Int = 0): Map[String, Array[SearchHit]] = {
+    val analyzed = queriesIn.map(q => q -> analyze(q))
+    val allTerms = analyzed.flatMap(_._2).distinct.sorted.toArray
+    val meta = termMeta(allTerms)
+    val perQuery: Array[(Int, Array[String])] = analyzed.zipWithIndex
+      .map { case ((_, ts), i) => (i, ts.filter(meta.contains)) }
+      .filter(_._2.nonEmpty).toArray
+    if (perQuery.isEmpty) return queriesIn.map(_ -> Array.empty[SearchHit]).toMap
+
+    val buckets = if (nBuckets > 0) nBuckets else spark.sessionState.conf.numShufflePartitions
+    val w = math.max(1L, (stats.numDocs + buckets - 1) / buckets)
+    val metaB = spark.sparkContext.broadcast(meta)
+    val perQueryB = spark.sparkContext.broadcast(perQuery)
+    val avgDl = stats.avgDl
+    val pp = p
+    val kk = k
+    val (decAcc, skipAcc, scoredAcc) = (decodedBlocksAcc, skippedBlocksAcc, scoredDocsAcc)
+
+    val presentTerms = perQuery.flatMap(_._2).distinct.sorted
+    val local = postingsFor(presentTerms.toSeq)
+      .flatMap(b => ((b.firstDocId / w) to (b.lastDocId / w)).iterator.map(g => (g, b)))
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val lo = g * w
+        val hi = lo + w
+        val byTerm = it.map(_._2).toArray.groupBy(_.term)
+        val st = BlockMaxWand.BucketStats()
+        val out = perQueryB.value.iterator.flatMap { case (qi, terms) =>
+          val tb = terms.iterator.flatMap(t => byTerm.get(t).map(t -> _)).toMap
+          if (tb.isEmpty) Iterator.empty
+          else BlockMaxWand.scoreBucket(tb, metaB.value, lo, hi, kk, avgDl, pp, st)
+            .iterator.map(h => (qi, h.docId, h.score))
+        }.toArray
+        decAcc.add(st.decoded); skipAcc.add(st.skipped); scoredAcc.add(st.scoredDocs)
+        out.iterator
+      }.collect()
+
+    val byQuery = local.groupBy(_._1)
+    queriesIn.zipWithIndex.map { case (q, i) =>
+      val hits = byQuery.getOrElse(i, Array.empty)
+        .map(t => SearchHit(t._2, t._3))
+        .sortBy(h => (-h.score, h.docId)).take(k)
+      q -> hits
+    }.toMap
   }
 
   /** DataFrame form for the driver contract (SparkEntry.queries). */

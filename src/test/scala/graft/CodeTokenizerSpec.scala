@@ -51,6 +51,27 @@ class CodeTokenizerSpec extends AnyFunSuite with GenCheck {
     }
   }
 
+  /** The original regex formulation — kept as the differential reference for
+    * the char-scan implementation.
+    */
+  private def tokenizeRegex(content: String): Seq[String] = {
+    if (content == null || content.isEmpty) return Seq.empty
+    content.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9_]+").toSeq
+      .filter(_.nonEmpty)
+      .map(t => if (t.length > CodeTokenizer.MaxTermLen) t.substring(0, CodeTokenizer.MaxTermLen) else t)
+  }
+
+  val anyString: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(' ', '_', '.', '(', '\n', '+', 'Ä', 'ß', '中', 'İ', 'ı', 'Σ', 'K'),
+    1 -> Gen.choose(Char.MinValue, Char.MaxValue))).map(_.mkString)
+
+  test("property: char-scan tokenizer == regex reference (incl. unicode)") {
+    forAllG(anyString, 400) { s =>
+      assert(CodeTokenizer.tokenize(s).toSeq == tokenizeRegex(s), s"input=${s.map(_.toInt)}")
+    }
+  }
+
   test("tfMap matches tokenize") {
     forAllG(printable) { s =>
       val toks = CodeTokenizer.tokenize(s)

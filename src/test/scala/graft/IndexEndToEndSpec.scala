@@ -114,6 +114,12 @@ class IndexEndToEndSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("batch BMW == per-query BMW on the whole query set") {
+    val batch = reader.searchBmwBatch(QuerySet.all, QuerySet.K)
+    for (q <- QuerySet.all)
+      assert(batch(q).toSeq == reader.searchBmw(q, QuerySet.K).toSeq, s"batch mismatch for '$q'")
+  }
+
   test("empty / absent-term queries return empty") {
     assert(reader.searchBmw("", QuerySet.K).isEmpty)
     assert(reader.searchBmw("qqqzzznotfound", QuerySet.K).isEmpty)

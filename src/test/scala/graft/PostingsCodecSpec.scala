@@ -41,9 +41,21 @@ class PostingsCodecSpec extends AnyFunSuite with GenCheck {
     assert(PostingsCodec.decodeDocIds(42L, 1, Array.empty).toSeq == Seq(42L))
   }
 
-  test("dense gaps are 1 byte each") {
+  test("dense gaps bit-pack: 128 consecutive docIds fit in 18 bytes") {
     val ids = Array.tabulate(128)(i => 1000L + i)
-    assert(PostingsCodec.encodeDocIds(ids).length == 127)
+    val bytes = PostingsCodec.encodeDocIds(ids)
+    assert(bytes.length <= 18, s"FOR should pack gap-1=0 at width 1: ${bytes.length}")
+    assert(PostingsCodec.decodeDocIds(1000L, 128, bytes).toSeq == ids.toSeq)
+  }
+
+  test("codec picks the smaller format and both round-trip") {
+    val dense = Array.tabulate(100)(_.toLong)          // FOR wins
+    val sparse = Array.tabulate(100)(i => if (i == 50) 1L << 40 else i.toLong) // one huge value
+    for (v <- Seq(dense, sparse)) {
+      val bytes = PostingsCodec.encodeValues(v)
+      assert(PostingsCodec.decodeValues(v.length, bytes).toSeq == v.toSeq)
+    }
+    assert(PostingsCodec.encodeValues(dense)(0) == 1.toByte)  // FOR tag
   }
 
   test("max-delta edge (full Long range)") {
