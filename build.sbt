@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput collector: G1 falls behind the allocation rate of 32
+  // concurrent tokenize/score tasks in local mode (measured: query phase 3x
+  // slower at local[32] than local[8] with <1% host steal)
+  "-XX:+UseParallelGC",
 )

@@ -4,6 +4,7 @@ import graft.fixtures.{CodeFile, CorpusGen, QuerySet}
 import graft.index.{IndexConfig, InvertedIndex}
 import graft.query.IndexReader
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 
 /** Scaling-efficiency evidence (BASELINE.json:2/14; BASELINE.md): the rule's
   * N -> 4N executor criterion cannot use a real cluster in this sandbox, so
@@ -13,125 +14,163 @@ import org.apache.spark.sql.SparkSession
   * and efficiency (thr_4N / thr_N) / 4. The box has 32 physical cores
   * (no SMT), so 8 -> 32 is genuine 4x hardware.
   *
-  * Methodology notes (what made the measurement honest):
-  *  - the corpus is STAGED TO PARQUET once, untimed — the build reads a table
-  *    like production would, instead of re-running the generator every pass;
-  *  - spark.sql.files.maxPartitionBytes is pinned to 4 MB at BOTH levels so
-  *    scan parallelism comes from the data, not the 128 MB default (which
-  *    would give a ~250 MB corpus only 2 input splits and serialize the
-  *    tokenize-heavy stages);
-  *  - queries run in BATCH mode (IndexReader.searchBmwBatch): one job per
-  *    round for the whole 20-query set, so fixed job-scheduling latency is
-  *    amortized and the measurement is scoring work, not scheduler overhead.
+  * Methodology (what made the measurement honest — each item fixed a real,
+  * measured distortion):
+  *  - corpus STAGED TO PARQUET once, untimed (build reads a table like
+  *    production; the generator must not be re-run per pass);
+  *  - spark.sql.files.maxPartitionBytes pinned to 4 MB at both levels (the
+  *    128 MB default gave the corpus 2 input splits and serialized scans);
+  *  - shuffle dirs AND index output on tmpfs (the one shared virtio disk
+  *    serializes 32 concurrent writers — registry@32 was 4.5x slower than
+  *    @8 when writing to /tmp);
+  *  - -XX:+UseParallelGC (G1 fell behind 32 mutator threads: the query
+  *    phase spent >50% of wall in GC at local[32]);
+  *  - EACH LEVEL RUNS IN A FRESH CHILD JVM — one shared JVM let the second
+  *    level inherit a warmed JIT but a fragmented heap, skewing both ways;
+  *  - queries run in BATCH mode over DISTINCT generated queries (no
+  *    duplicate a cache could shortcut), 64 buckets fixed at both levels;
+  *  - /proc/stat steal%% and GC seconds recorded per phase: this is a shared
+  *    host (steal bursts to ~15%), so every sample carries its own
+  *    pollution label.
   *
-  * Usage: runMain graft.Scaling [nDocs] [cpusA] [cpusB]
-  * Prints one JSON line.
+  * Usage: runMain graft.Scaling [nDocs] [cpusA] [cpusB]  — prints one JSON
+  * line. (Internal: `--level <n> <cpus> <partitions>` runs one level.)
   */
 object Scaling {
+
+  private def cpuStat(): (Long, Long) = {
+    val f = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val v = f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+      (v(0) + v(1) + v(2), v(7))
+    } finally f.close()
+  }
+
+  private def stealPct(before: (Long, Long), after: (Long, Long)): Double = {
+    val busy = after._1 - before._1
+    val steal = after._2 - before._2
+    if (busy + steal == 0) 0.0 else 100.0 * steal / (busy + steal)
+  }
+
+  private def gcMs(): Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+
+  private def session(cpus: Int, partitions: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-$cpus")
+      .config("spark.sql.shuffle.partitions", partitions.toString)
+      .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
+      .config("spark.local.dir", "/dev/shm/graft_spark_local")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def srcDirFor(n: Long) = s"/tmp/graft_scale_src_$n"
+
+  /** One level: fresh JVM, fresh session, fresh index dir. Prints one JSON
+    * object for the parent to collect.
+    */
+  def runLevel(n: Long, cpus: Int, partitions: Int): Unit = {
+    val spark = session(cpus, partitions)
+    import spark.implicits._
+    val dir = s"/dev/shm/graft_scale_$cpus"
+    graft.io.Tables.delete(spark, "/dev/shm", s"graft_scale_$cpus")
+
+    val cfg = IndexConfig.auto(n, partitions, dfSampleFraction = 0.1)
+    val src = spark.read.parquet(s"${srcDirFor(n)}/code_files").as[CodeFile]
+    val cs0 = cpuStat()
+    val gc0 = gcMs()
+    val t0 = System.nanoTime()
+    val report = InvertedIndex.build(spark, src, dir, cfg, s"scale$cpus")
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val buildSteal = stealPct(cs0, cpuStat())
+    val buildGc = (gcMs() - gc0) / 1e3
+    val stages = report.results.map(r => f"${r.stage}:${r.wallSec}%.1f").mkString("|")
+
+    val reader = new IndexReader(spark, dir)
+    val copies = math.max(2, (100000000L / math.max(1L, n)).toInt)
+    val buckets = 64
+    val generated = (0 until (copies - 1) * QuerySet.all.size).map { i =>
+      CorpusGen.Keywords(i % CorpusGen.Keywords.length) + " " +
+        CorpusGen.MidIds((i * 131) % CorpusGen.MidIds.length)
+    }
+    val workload = QuerySet.all ++ generated
+    reader.searchBmwBatch(QuerySet.all, QuerySet.K, buckets) // warm
+    val rounds = 2
+    var fp = 0L
+    val cs1 = cpuStat()
+    val gc1 = gcMs()
+    val tq = System.nanoTime()
+    for (_ <- 1 to rounds) {
+      val res = reader.searchBmwBatch(workload, QuerySet.K, buckets)
+      QuerySet.all.foreach(q => res(q).foreach(h => fp = fp * 31 + h.docId))
+    }
+    val qSec = (System.nanoTime() - tq) / 1e9
+    val querySteal = stealPct(cs1, cpuStat())
+    val queryGc = (gcMs() - gc1) / 1e3
+    val nQueries = rounds * workload.size
+    spark.stop()
+    // the parent greps this exact prefix
+    println(s"""LEVELJSON{"cpus":$cpus,"build_sec":$buildSec,"build_docs_per_sec":${n / buildSec},""" +
+      s""""stages":"$stages","query_sec":$qSec,"qps":${nQueries / qSec},"fp":"${fp.toHexString}",""" +
+      s""""build_steal_pct":$buildSteal,"query_steal_pct":$querySteal,""" +
+      s""""build_gc_sec":$buildGc,"query_gc_sec":$queryGc}""")
+  }
+
+  /** Spawn a fresh JVM (same classpath + JVM flags as this one) for a level
+    * and return its LEVELJSON line and the fp field.
+    */
+  private def spawnLevel(n: Long, cpus: Int, partitions: Int): (String, String) = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filterNot(_.startsWith("-agentlib")).toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), "graft.Scaling",
+        "--level", n.toString, cpus.toString, partitions.toString)
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toVector
+    val exit = proc.waitFor()
+    val line = out.find(_.startsWith("LEVELJSON")).map(_.stripPrefix("LEVELJSON"))
+      .getOrElse(sys.error(s"level $cpus failed (exit $exit):\n${out.takeRight(30).mkString("\n")}"))
+    val fp = "\"fp\":\"([0-9a-f-]+)\"".r.findFirstMatchIn(line).map(_.group(1)).getOrElse("?")
+    (line, fp)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--level")) {
+      runLevel(args(1).toLong, args(2).toInt, args(3).toInt)
+      return
+    }
     val n = args.lift(0).map(_.toLong).getOrElse(200000L)
     val cpusA = args.lift(1).map(_.toInt).getOrElse(8)
     val cpusB = args.lift(2).map(_.toInt).getOrElse(32)
     val partitions = 4 * math.max(cpusA, cpusB) // fixed => same task graph at both levels
-    val srcDir = s"/tmp/graft_scale_src_$n"
 
-    def session(cpus: Int): SparkSession = {
-      val s = SparkSession.builder()
-        .master(s"local[$cpus]")
-        .appName(s"graft-scaling-$cpus")
-        .config("spark.sql.shuffle.partitions", partitions.toString)
-        .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
-        // the sandbox's single virtio disk serializes concurrent shuffle
-        // spill streams (32 writers regress vs 8); a real cluster has
-        // node-local NVMe — tmpfs is the honest local stand-in
-        .config("spark.local.dir", "/dev/shm/graft_spark_local")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))
-        .getOrCreate()
-      s.sparkContext.setLogLevel("WARN")
-      s
-    }
-
-    // ---- untimed: stage the corpus table once (shared by both levels)
+    // untimed: stage the corpus table once (shared by both levels)
     locally {
-      val s = session(cpusB)
-      if (!graft.io.Tables.exists(s, srcDir, "code_files"))
-        CorpusGen.writeTable(s, srcDir, n, partitions)
+      val s = session(cpusB, partitions)
+      if (!graft.io.Tables.exists(s, srcDirFor(n), "code_files"))
+        CorpusGen.writeTable(s, srcDirFor(n), n, partitions)
       s.stop()
     }
 
-    final case class Level(cpus: Int, buildSec: Double, stages: String,
-        qSec: Double, rounds: Int, fp: String,
-        buildSteal: Double, querySteal: Double)
-
-    /** (user+nice+sys, steal) jiffies from /proc/stat — this is a shared
-      * host; steal% during a phase quantifies how much the hypervisor
-      * throttled it (observed up to ~30% under load), which is the main
-      * noise source in single-box scaling numbers.
-      */
-    def cpuStat(): (Long, Long) = {
-      val f = scala.io.Source.fromFile("/proc/stat")
-      try {
-        val v = f.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-        (v(0) + v(1) + v(2), v(7))
-      } finally f.close()
-    }
-    def stealPct(before: (Long, Long), after: (Long, Long)): Double = {
-      val busy = after._1 - before._1
-      val steal = after._2 - before._2
-      if (busy + steal == 0) 0.0 else 100.0 * steal / (busy + steal)
-    }
-
-    val cfg = IndexConfig.auto(n, partitions, dfSampleFraction = 0.1)
-    val levels = Seq(cpusA, cpusB).map { cpus =>
-      val spark = session(cpus)
-      import spark.implicits._
-      val dir = s"/tmp/graft_scale_$cpus"
-      graft.io.Tables.delete(spark, "/tmp", s"graft_scale_$cpus")
-
-      val src = spark.read.parquet(s"$srcDir/code_files").as[CodeFile]
-      val cs0 = cpuStat()
-      val t0 = System.nanoTime()
-      val report = InvertedIndex.build(spark, src, dir, cfg, s"scale$cpus")
-      val buildSec = (System.nanoTime() - t0) / 1e9
-      val buildSteal = stealPct(cs0, cpuStat())
-      val stages = report.results.map(r => f"${r.stage}:${r.wallSec}%.1f").mkString("|")
-
-      val reader = new IndexReader(spark, dir)
-      // 100 copies of the 20-query set per batch job: enough scoring work
-      // per task that the measurement is WAND throughput, not scheduling.
-      // 64 buckets fixed at both levels (same task graph, same results).
-      val copies = math.max(2, (20000000L / math.max(1L, n)).toInt)
-      val buckets = 64
-      val workload = Vector.fill(copies)(QuerySet.all).flatten
-      reader.searchBmwBatch(QuerySet.all, QuerySet.K, buckets) // warm
-      val rounds = 2
-      var fp = 0L
-      val cs1 = cpuStat()
-      val tq = System.nanoTime()
-      for (_ <- 1 to rounds) {
-        val res = reader.searchBmwBatch(workload, QuerySet.K, buckets)
-        QuerySet.all.foreach(q => res(q).foreach(h => fp = fp * 31 + h.docId))
-      }
-      val qSec = (System.nanoTime() - tq) / 1e9
-      val querySteal = stealPct(cs1, cpuStat())
-      spark.stop()
-      Level(cpus, buildSec, stages, qSec, rounds * copies, fp.toHexString, buildSteal, querySteal)
-    }
-
-    val a = levels.head
-    val b = levels.last
-    val ratio = b.cpus.toDouble / a.cpus
-    val buildEff = (a.buildSec / b.buildSec) / ratio
-    val queryEff = (a.qSec / b.qSec) / ratio
-    def lvlJson(l: Level) =
-      s"""{"cpus":${l.cpus},"build_sec":${l.buildSec},"build_docs_per_sec":${n / l.buildSec},""" +
-        s""""stages":"${l.stages}","query_sec":${l.qSec},"qps":${l.rounds * QuerySet.all.size / l.qSec},""" +
-        s""""build_steal_pct":${l.buildSteal},"query_steal_pct":${l.querySteal}}"""
+    val (jsonA, fpA) = spawnLevel(n, cpusA, partitions)
+    val (jsonB, fpB) = spawnLevel(n, cpusB, partitions)
+    def field(j: String, name: String): Double =
+      s""""$name":([0-9.E-]+)""".r.findFirstMatchIn(j).map(_.group(1).toDouble).getOrElse(Double.NaN)
+    val ratio = cpusB.toDouble / cpusA
+    val buildEff = (field(jsonA, "build_sec") / field(jsonB, "build_sec")) / ratio
+    val queryEff = (field(jsonA, "query_sec") / field(jsonB, "query_sec")) / ratio
     println(s"""{"metric":"scaling","n_docs":$n,"partitions":$partitions,""" +
-      s""""levels":[${levels.map(lvlJson).mkString(",")}],""" +
+      s""""levels":[$jsonA,$jsonB],""" +
       s""""build_efficiency":$buildEff,"query_efficiency":$queryEff,""" +
-      s""""topk_identical_across_levels":${a.fp == b.fp}}""")
+      s""""topk_identical_across_levels":${fpA == fpB}}""")
   }
 }

@@ -8,6 +8,7 @@ import graft.query.{Bm25, Bm25Params}
 import graft.tokenize.CodeTokenizer
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One row of the `docs` table: doc registry + exact norms + the sha256
@@ -32,7 +33,7 @@ final case class PostingBlock(term: String, blockId: Long, firstDocId: Long, las
     count: Int, tfSum: Long, blockMaxTfn: Double,
     docDeltas: Array[Byte], tfs: Array[Byte], dls: Array[Byte])
 
-final case class TermPosting(term: String, salt: Int, docId: Long, tf: Int, dl: Int)
+final case class TermPosting(term: String, salt: Int, docId: Long, tf: Int, dl: Int, bucket: Int = 0)
 
 final case class CorpusStats(numDocs: Long, sumDl: Long, avgDl: Double)
 
@@ -164,7 +165,7 @@ object InvertedIndex {
           }
           def next(): DocRow = {
             val f = it.next()
-            val dl = CodeTokenizer.tokenize(f.content).length
+            val dl = CodeTokenizer.countTokens(f.content)
             val id = nextId
             nextId += 1
             DocRow(id, f.repo, f.path, f.commit, f.lang, dl,
@@ -186,24 +187,46 @@ object InvertedIndex {
 
     def tokens(sampled: Dataset[DocRow]): Dataset[TermPosting] =
       sampled.flatMap { d =>
-        val (m, dl) = CodeTokenizer.tfMap(d.content)
+        val m = CodeTokenizer.tfCount(d.content)
+        val dl = m.dl
         m.iterator.map { case (t, tf) => TermPosting(t, 0, d.docId, tf, dl) }
       }
 
-    // Heavy-term detection (approximate df is enough for salting decisions;
-    // exact df comes from the dictionary stage).
+    // ONE sampled token pass feeds both salting decisions and partition
+    // boundaries. (repartitionByRange would re-run the full tokenize flatMap
+    // just to sample boundaries — a whole extra corpus pass — and its
+    // reservoir sampling is partition-layout-sensitive; explicit quantile
+    // boundaries from the deterministic sample are cheaper and byte-stable.)
     val dfSource = if (cfg.dfSampleFraction >= 1.0) docs else docs.sample(withReplacement = false, cfg.dfSampleFraction, 42L)
     val scale = 1.0 / math.min(1.0, cfg.dfSampleFraction)
-    val heavy: Map[String, Int] = tokens(dfSource)
-      .groupBy("term").agg(count(lit(1)).as("df"))
-      .where(col("df") * scale > cfg.heavyDfThreshold)
+    val termStats = tokens(dfSource)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+
+    val heavy: Map[String, Int] = termStats
+      .where(col("cnt") * scale > cfg.heavyDfThreshold)
       .collect()
       .map { r =>
         val df = (r.getLong(1) * scale).toLong
         val saltCount = math.max(2L, (df + cfg.saltRunDocs - 1) / cfg.saltRunDocs)
         r.getString(0) -> math.min(saltCount, Int.MaxValue.toLong).toInt
       }.toMap
+
+    // Quantile boundaries by token mass over term order. The cumulative-sum
+    // window runs over the VOCABULARY (term, cnt) rows, not the token stream
+    // — fine up to ~1e8 distinct sampled terms; beyond that, sample harder
+    // (dfSampleFraction) or pre-bucket by term prefix.
+    val nBuckets = 4 * cfg.partitions
+    val totalMass = math.max(1L, termStats.agg(sum("cnt")).collect()(0).getLong(0))
+    val step = math.max(1L, totalMass / nBuckets)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("term").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaries: Array[String] = termStats
+      .withColumn("cum", sum("cnt").over(w))
+      .where(((col("cum") - col("cnt")) / step).cast("long") < (col("cum") / step).cast("long"))
+      .select("term").collect().map(_.getString(0)).sorted
+
     val heavyB = spark.sparkContext.broadcast(heavy)
+    val boundsB = spark.sparkContext.broadcast(boundaries)
     val numDocs = math.max(1L, stats.numDocs)
     val avgDl = stats.avgDl
     val p = cfg.bm25
@@ -214,11 +237,21 @@ object InvertedIndex {
         case Some(n) => math.min(n - 1L, t.docId * n / numDocs).toInt // docId-range bucket, monotone
         case None => 0
       }
-      t.copy(salt = s)
+      // bucket = #boundaries <= term (binary search), salted terms spread
+      // across distinct buckets; hash-scattered over partitions (~4 quantile
+      // buckets per partition keeps balance without a custom Partitioner)
+      val bounds = boundsB.value
+      var lo = 0
+      var hi = bounds.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (bounds(mid) <= t.term) lo = mid + 1 else hi = mid
+      }
+      t.copy(salt = s, bucket = lo * 1031 + s)
     }
 
     salted
-      .repartitionByRange(cfg.partitions, $"term", $"salt")
+      .repartition(cfg.partitions, $"bucket")
       .sortWithinPartitions($"term", $"salt", $"docId")
       .mapPartitions { it =>
         new Iterator[PostingBlock] {
@@ -303,7 +336,19 @@ object InvertedIndex {
     results += Manifests.runStage(spark, indexDir, "postings", runId, Seq(PostingsTable)) {
       val docs = Tables.read(spark, indexDir, DocsTable).as[DocRow]
       val blocks = buildPostings(spark, docs, stats, cfg)
-      Tables.write(blocks.toDF(), indexDir, PostingsTable)
+      // Global (term, blockId) sort of the COMPACT block rows (~2 orders of
+      // magnitude smaller than the token stream) — the "merge into globally
+      // sorted postings" step (BASELINE.json:6). Persist so the range
+      // partitioner's sampling pass reads encoded blocks, not a recompute of
+      // the whole tokenize+shuffle pipeline.
+      blocks.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      try {
+        Tables.write(
+          blocks.repartitionByRange(cfg.partitions, col("term"), col("blockId"))
+            .sortWithinPartitions("term", "blockId")
+            .toDF(),
+          indexDir, PostingsTable)
+      } finally blocks.unpersist()
       stats.numDocs
     }
 

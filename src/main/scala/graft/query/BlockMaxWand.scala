@@ -30,6 +30,29 @@ final class TopKHeap(k: Int) {
     pq.toArray.sortBy(h => (-h.score, h.docId))
 }
 
+/** Decoded-block cache shared by all queries scored in one bucket task: a
+  * batch's queries overlap heavily on hot (stopword-scale) blocks, so each
+  * block is decoded at most once per bucket regardless of how many queries
+  * touch it.
+  */
+final class BlockCache {
+  private val m = mutable.HashMap.empty[(String, Long), (Array[Long], Array[Int], Array[Int])]
+  var decodes = 0L
+  var hits = 0L
+  def decoded(b: PostingBlock): (Array[Long], Array[Int], Array[Int]) = {
+    val key = (b.term, b.blockId)
+    m.get(key) match {
+      case Some(v) => hits += 1; v
+      case None =>
+        decodes += 1
+        val v = (PostingsCodec.decodeDocIds(b.firstDocId, b.count, b.docDeltas),
+          PostingsCodec.decodeTfs(b.count, b.tfs), PostingsCodec.decodeDls(b.count, b.dls))
+        m.update(key, v)
+        v
+    }
+  }
+}
+
 /** Per-term cursor over this bucket's compressed block list: block-level
   * skipping without decode; a block is decoded only when a document inside
   * it must actually be visited (SURVEY.md §2.3 B9).
@@ -40,7 +63,8 @@ final class TopKHeap(k: Int) {
   * bucket's docId range.
   */
 final class TermCursor(val term: String, val idf: Double, val ubGlobal: Double,
-    blocks: Array[PostingBlock], lo: Long, hi: Long, avgDl: Double, p: Bm25Params) {
+    blocks: Array[PostingBlock], lo: Long, hi: Long, avgDl: Double, p: Bm25Params,
+    cache: BlockCache = null) {
   private var bi = 0
   private var ids: Array[Long] = null
   private var tfs: Array[Int] = null
@@ -57,9 +81,14 @@ final class TermCursor(val term: String, val idf: Double, val ubGlobal: Double,
 
   private def decodeBlock(): Unit = {
     val b = blocks(bi)
-    ids = PostingsCodec.decodeDocIds(b.firstDocId, b.count, b.docDeltas)
-    tfs = PostingsCodec.decodeTfs(b.count, b.tfs)
-    dls = PostingsCodec.decodeDls(b.count, b.dls)
+    if (cache != null) {
+      val (i, t, d) = cache.decoded(b)
+      ids = i; tfs = t; dls = d
+    } else {
+      ids = PostingsCodec.decodeDocIds(b.firstDocId, b.count, b.docDeltas)
+      tfs = PostingsCodec.decodeTfs(b.count, b.tfs)
+      dls = PostingsCodec.decodeDls(b.count, b.dls)
+    }
     pos = 0
     decodedBlocks += 1
   }
@@ -136,10 +165,10 @@ object BlockMaxWand {
     */
   def scoreBucket(termBlocks: Map[String, Array[PostingBlock]], meta: Map[String, TermMeta],
       lo: Long, hi: Long, k: Int, avgDl: Double, p: Bm25Params,
-      stats: BucketStats = BucketStats()): Array[SearchHit] = {
+      stats: BucketStats = BucketStats(), cache: BlockCache = null): Array[SearchHit] = {
     val cursors: Array[TermCursor] = termBlocks.toArray.sortBy(_._1).map { case (t, bs) =>
       val m = meta(t)
-      new TermCursor(t, m.idf, m.maxImpact, bs.sortBy(_.firstDocId), lo, hi, avgDl, p)
+      new TermCursor(t, m.idf, m.maxImpact, bs.sortBy(_.firstDocId), lo, hi, avgDl, p, cache)
     }
     val heap = new TopKHeap(k)
     var active = cursors.filter(!_.exhausted)

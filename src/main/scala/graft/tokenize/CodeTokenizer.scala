@@ -56,6 +56,98 @@ object CodeTokenizer extends Serializable {
     out.result()
   }
 
+  /** Token COUNT without materializing any token string — the registry only
+    * needs dl, and allocating ~200 substrings per document just to count
+    * them was a measurable share of build GC time.
+    */
+  def countTokens(content: String): Int = {
+    if (content == null || content.isEmpty) return 0
+    val s = content.toLowerCase(java.util.Locale.ROOT)
+    val n = s.length
+    var dl = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && !isWordChar(s.charAt(i))) i += 1
+      if (i < n) {
+        dl += 1
+        while (i < n && isWordChar(s.charAt(i))) i += 1
+      }
+    }
+    dl
+  }
+
+  /** Open-addressing String->count map: no per-entry boxing/objects (the
+    * scala HashMap[String,Int] version allocated a boxed Int + entry per
+    * token on the build hot path — ~hundreds of millions per build).
+    */
+  final class TfCounter(initialCapacity: Int = 256) {
+    private var cap = Integer.highestOneBit(math.max(16, initialCapacity) * 2 - 1) << 1
+    private var keys = new Array[String](cap)
+    private var counts = new Array[Int](cap)
+    private var used = 0
+    var dl = 0
+
+    def size: Int = used
+
+    private def grow(): Unit = {
+      val ok = keys; val oc = counts
+      cap <<= 1
+      keys = new Array[String](cap)
+      counts = new Array[Int](cap)
+      used = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != null) addN(ok(i), oc(i))
+        i += 1
+      }
+    }
+
+    def addN(t: String, n: Int): Unit = {
+      if (used * 4 >= cap * 3) grow()
+      var i = t.hashCode & (cap - 1)
+      while (keys(i) != null && !keys(i).equals(t)) i = (i + 1) & (cap - 1)
+      if (keys(i) == null) { keys(i) = t; counts(i) = n; used += 1 }
+      else counts(i) += n
+    }
+
+    def foreachEntry(f: (String, Int) => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) {
+        if (keys(i) != null) f(keys(i), counts(i))
+        i += 1
+      }
+    }
+
+    /** Iterator over entries (allocation: one tuple per DISTINCT term). */
+    def iterator: Iterator[(String, Int)] = new Iterator[(String, Int)] {
+      private var i = 0
+      private def skip(): Unit = { while (i < keys.length && keys(i) == null) i += 1 }
+      skip()
+      def hasNext: Boolean = i < keys.length
+      def next(): (String, Int) = { val r = (keys(i), counts(i)); i += 1; skip(); r }
+    }
+  }
+
+  /** Hot-path per-document invert: tf counts + dl with minimal garbage. */
+  def tfCount(content: String): TfCounter = {
+    val m = new TfCounter()
+    if (content == null || content.isEmpty) return m
+    val s = content.toLowerCase(java.util.Locale.ROOT)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      while (i < n && !isWordChar(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && isWordChar(s.charAt(i))) i += 1
+        val len = math.min(i - start, MaxTermLen)
+        m.addN(s.substring(start, start + len), 1)
+        m.dl += 1
+      }
+    }
+    m
+  }
+
   /** One-pass (term -> tf) map plus document length (total token count).
     * This IS the SPIMI in-memory invert step at per-document granularity:
     * a document is wholly contained in one row, so tf needs no shuffle

@@ -80,4 +80,17 @@ class CodeTokenizerSpec extends AnyFunSuite with GenCheck {
       assert(m.toMap == toks.groupBy(identity).view.mapValues(_.length).toMap)
     }
   }
+
+  test("tfCount / countTokens match tfMap / tokenize (hot-path variants)") {
+    forAllG(anyString, 300) { s =>
+      val toks = CodeTokenizer.tokenize(s)
+      assert(CodeTokenizer.countTokens(s) == toks.length)
+      val tc = CodeTokenizer.tfCount(s)
+      assert(tc.dl == toks.length)
+      assert(tc.iterator.toMap == toks.groupBy(identity).view.mapValues(_.length).toMap)
+      val viaForeach = scala.collection.mutable.Map[String, Int]()
+      tc.foreachEntry((t, n) => viaForeach(t) = n)
+      assert(viaForeach.toMap == tc.iterator.toMap)
+    }
+  }
 }

@@ -98,6 +98,23 @@ class IndexEndToEndSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("postings table is globally sorted by (term, blockId) across files") {
+    val perFile = Tables.read(spark, dir, InvertedIndex.PostingsTable)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(struct(col("term"), col("blockId"))).as("lo"),
+        max(struct(col("term"), col("blockId"))).as("hi"))
+      .collect()
+      .map(r => (r.getStruct(1).getString(0), r.getStruct(1).getLong(1),
+        r.getStruct(2).getString(0), r.getStruct(2).getLong(1)))
+      .sortBy(t => (t._1, t._2))
+    perFile.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 < b._1 || (a._3 == b._1 && a._4 <= b._2),
+          s"file ranges overlap: $a vs $b")
+      case _ =>
+    }
+  }
+
   test("rank identity: naive DAAT == BMW == exhaustive oracle, all 20 queries") {
     for (q <- QuerySet.all) {
       val oracle = ExhaustiveScorer.topK(spark, docs, q, QuerySet.K)
