@@ -26,10 +26,18 @@ object Bench {
     // fresh, timed engine build (docs -> registry/stats/postings/dictionary)
     val buildSec = DocumentsIndex.rebuild(spark, sfDir)
 
+    // A failing entry must be loudly visible: its timing is the sentinel
+    // -1.0 (never a plausible wall-clock) and it lands in `failed`.
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          failed += name
+          false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
     // warm-index BM25 throughput: the fixed driver-table query trio, 5 rounds
@@ -48,8 +56,9 @@ object Bench {
     val qpsBatch = (rounds * bmQueries.size) / ((System.nanoTime() - tb2) / 1e9)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","build_sec":$buildSec,"bm25_qps":$qps,"bm25_qps_batch":$qpsBatch,"cpus":$cpus}""")
+    val total = results.values.filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","build_sec":$buildSec,"bm25_qps":$qps,"bm25_qps_batch":$qpsBatch,"cpus":$cpus}""")
     spark.stop()
   }
 }

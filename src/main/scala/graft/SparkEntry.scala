@@ -152,7 +152,10 @@ object SparkEntry {
     "td_ann_lsh" -> ((s, d) =>
       VectorOps.lshAnnTopK(tbl(s, d, "embeddings"), probeId = 0L, k = 10)),
     "td_cosine_neardup" -> ((s, d) =>
-      VectorOps.cosineNearDupPairs(tbl(s, d, "embeddings"), 0.2, bits = 6).orderBy("a", "b")),
+      // explicit bits so the DuckDB twin reproduces the bucketing; the
+      // operator's default is corpus-adaptive bits (see VectorOps)
+      VectorOps.cosineNearDupPairs(tbl(s, d, "embeddings"), 0.2, bitsPerBand = 6, bands = 4)
+        .orderBy("a", "b")),
     "mm_features" -> ((s, d) =>
       MultimodalOps.extractFeatures(s, MultimodalOps.asMediaTable(tbl(s, d, "documents")))
         .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
@@ -363,6 +366,58 @@ object SparkEntry {
          |$JaccardTail
          |WHERE round(cast(i.inter AS double) / (za.sz + zb.sz - i.inter), 4) >= 0.5
          |ORDER BY a, b""".stripMargin,
+    // SimHash twin: bit b of the 64-bit signature comes from hex digit
+    // 16 - b/4 of md5(term) (big-endian parse of the first 16 hex chars —
+    // exactly Long.parseUnsignedLong(md5Hex(term).take(16), 16) on the Spark
+    // side), extracted with integer nibble math so nothing overflows; the
+    // tf-weighted vote and the acc > 0 threshold mirror DedupOps.simhash.
+    "td_simhash" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT doc_id, r.b,
+         |         CASE WHEN sum(CASE WHEN
+         |           (cast(floor((strpos('0123456789abcdef', substr(md5(term), cast(16 - floor(r.b / 4) AS int), 1)) - 1)
+         |                 / power(2, r.b % 4)) AS int) % 2) = 1
+         |           THEN tf ELSE -tf END) > 0 THEN 1 ELSE 0 END AS bit
+         |  FROM tf, range(0, 64) AS r(b) GROUP BY 1, 2),
+         |nibs AS (
+         |  SELECT doc_id, cast(floor(b / 4) AS int) AS nib,
+         |         cast(sum(bit * power(2, b % 4)) AS int) AS v
+         |  FROM bits GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT doc_id, string_agg(substr('0123456789abcdef', v + 1, 1), '' ORDER BY nib DESC) AS simhash
+         |  FROM nibs GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(s.simhash, '0000000000000000') AS simhash
+         |FROM documents d LEFT JOIN sig s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    // Pairs twin: the binary signature string ordered bit63..bit0 makes a
+    // 16-char substring at q*16+1 cover exactly the same bit set as the
+    // Spark side's 4-hex-char piece at q*4+1, so banding candidates are
+    // identical, and hamming() over the binary strings IS the bit Hamming
+    // distance.
+    "td_simhash_pairs" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT doc_id, r.b,
+         |         CASE WHEN sum(CASE WHEN
+         |           (cast(floor((strpos('0123456789abcdef', substr(md5(term), cast(16 - floor(r.b / 4) AS int), 1)) - 1)
+         |                 / power(2, r.b % 4)) AS int) % 2) = 1
+         |           THEN tf ELSE -tf END) > 0 THEN '1' ELSE '0' END AS bit
+         |  FROM tf, range(0, 64) AS r(b) GROUP BY 1, 2),
+         |bin AS (
+         |  SELECT doc_id, string_agg(bit, '' ORDER BY b DESC) AS bbits FROM bits GROUP BY doc_id),
+         |pieces AS (
+         |  SELECT doc_id, cast(r.q AS int) AS q, substr(bbits, cast(r.q*16 + 1 AS int), 16) AS piece
+         |  FROM bin, range(0, 4) AS r(q)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM pieces x JOIN pieces y ON x.q = y.q AND x.piece = y.piece AND x.doc_id < y.doc_id)
+         |SELECT c.a, c.b, cast(hamming(ba.bbits, bb.bbits) AS int) AS dist
+         |FROM cand c JOIN bin ba ON ba.doc_id = c.a JOIN bin bb ON bb.doc_id = c.b
+         |WHERE hamming(ba.bbits, bb.bbits) <= 8
+         |ORDER BY a, b""".stripMargin,
     "td_cosine_topk" ->
       """SELECT a.vec_id, round(list_cosine_similarity(cast(a.embedding AS double[]), cast(b.embedding AS double[])), 4) AS cosine
         |FROM embeddings a, embeddings b
@@ -382,14 +437,17 @@ object SparkEntry {
         |LIMIT 10""".stripMargin,
     "td_cosine_neardup" ->
       """WITH bk AS (
-        |  SELECT vec_id, embedding,
-        |         array_to_string(list_transform(embedding[1:6],
-        |           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS bucket
-        |  FROM embeddings)
-        |SELECT x.vec_id AS a, y.vec_id AS b,
-        |       round(list_cosine_similarity(cast(x.embedding AS double[]), cast(y.embedding AS double[])), 4) AS cosine
-        |FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-        |WHERE round(list_cosine_similarity(cast(x.embedding AS double[]), cast(y.embedding AS double[])), 4) >= 0.2
+        |  SELECT vec_id, cast(r.q AS int) AS q,
+        |         array_to_string(list_transform(embedding[(r.q*6 + 1):(r.q*6 + 6)],
+        |           x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS piece
+        |  FROM embeddings, range(0, 4) AS r(q)),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM bk x JOIN bk y ON x.q = y.q AND x.piece = y.piece AND x.vec_id < y.vec_id)
+        |SELECT c.a, c.b,
+        |       round(list_cosine_similarity(cast(ea.embedding AS double[]), cast(eb.embedding AS double[])), 4) AS cosine
+        |FROM cand c JOIN embeddings ea ON ea.vec_id = c.a JOIN embeddings eb ON eb.vec_id = c.b
+        |WHERE round(list_cosine_similarity(cast(ea.embedding AS double[]), cast(eb.embedding AS double[])), 4) >= 0.2
         |ORDER BY a, b""".stripMargin,
     "mm_features" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS content_sha256,

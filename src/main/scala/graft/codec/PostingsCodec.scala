@@ -12,7 +12,7 @@ import scala.collection.mutable.ArrayBuilder
   * (frame-of-reference) fixed-width bit packing `[width][packed]` — the
   * PForDelta family member without exception patching, which keeps decode
   * branch-free and the choice deterministic: the encoder picks whichever
-  * body is smaller (ties -> FOR). Empty/singleton payloads encode to zero
+  * body is smaller (ties -> VByte). Empty/singleton payloads encode to zero
   * bytes.
   *
   * Layout per block row (columns of the `postings` table, FIXTURES.md §4):

@@ -87,13 +87,23 @@ object DocumentsIndex {
   def bm25(spark: SparkSession, sfDir: String, query: String, k: Int): DataFrame = {
     import spark.implicits._
     val r = reader(spark, sfDir)
-    val fetch = if (k <= 0) Int.MaxValue else math.max(k * 20, 200)
-    val hits = r.searchBmw(query, fetch)
-    val hitsDf = spark.createDataset(hits.toSeq).toDF()
-    val out = broadcast(hitsDf).join(docIdMap(spark, sfDir), Seq("docId"))
-      .select(col("doc_id"), round(col("score"), 6).as("score"))
-      .orderBy(desc("score"), asc("doc_id"))
-    if (k <= 0) out else out.limit(k)
+    if (k <= 0) {
+      // rank-all: fully distributed — the hit set is corpus-sized for
+      // stopword queries, so it must never land on the driver.
+      r.scoreAllDf(query).join(docIdMap(spark, sfDir), Seq("docId"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+    } else {
+      // top-k: BMW with over-fetch by exact score (the rounded re-sort for
+      // the cross-engine protocol needs a stable boundary); k*20 hits are
+      // trivially driver-sized.
+      val hits = r.searchBmw(query, math.max(k * 20, 200))
+      val hitsDf = spark.createDataset(hits.toSeq).toDF()
+      broadcast(hitsDf).join(docIdMap(spark, sfDir), Seq("docId"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(k)
+    }
   }
 
   def dictionaryDf(spark: SparkSession, sfDir: String): DataFrame =

@@ -8,7 +8,6 @@ import graft.query.{Bm25, Bm25Params}
 import graft.tokenize.CodeTokenizer
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One row of the `docs` table: doc registry + exact norms + the sha256
@@ -33,7 +32,7 @@ final case class PostingBlock(term: String, blockId: Long, firstDocId: Long, las
     count: Int, tfSum: Long, blockMaxTfn: Double,
     docDeltas: Array[Byte], tfs: Array[Byte], dls: Array[Byte])
 
-final case class TermPosting(term: String, salt: Int, docId: Long, tf: Int, dl: Int, bucket: Int = 0)
+final case class TermPosting(term: String, salt: Int, docId: Long, tf: Int, dl: Int)
 
 final case class CorpusStats(numDocs: Long, sumDl: Long, avgDl: Double)
 
@@ -192,17 +191,20 @@ object InvertedIndex {
         m.iterator.map { case (t, tf) => TermPosting(t, 0, d.docId, tf, dl) }
       }
 
-    // ONE sampled token pass feeds both salting decisions and partition
-    // boundaries. (repartitionByRange would re-run the full tokenize flatMap
-    // just to sample boundaries — a whole extra corpus pass — and its
-    // reservoir sampling is partition-layout-sensitive; explicit quantile
-    // boundaries from the deterministic sample are cheaper and byte-stable.)
+    // ONE sampled token pass feeds the salting decisions. (An earlier design
+    // also derived token-mass quantile boundaries here and exchanged on an
+    // explicit bucket column; the cumulative sum over the vocabulary ran as a
+    // single-partition Window — a serial stage that dies at code-corpus
+    // vocabulary sizes. It was never needed: the exchange below hash-
+    // partitions on (term, salt), and salting already bounds every
+    // (term, salt) group to ~saltRunDocs rows, so uniform hashing balances
+    // partitions at any scale with zero extra passes and no driver-side
+    // boundary state.)
     val dfSource = if (cfg.dfSampleFraction >= 1.0) docs else docs.sample(withReplacement = false, cfg.dfSampleFraction, 42L)
     val scale = 1.0 / math.min(1.0, cfg.dfSampleFraction)
-    val termStats = tokens(dfSource)
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
 
-    val heavy: Map[String, Int] = termStats
+    val heavy: Map[String, Int] = tokens(dfSource)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * scale > cfg.heavyDfThreshold)
       .collect()
       .map { r =>
@@ -211,22 +213,7 @@ object InvertedIndex {
         r.getString(0) -> math.min(saltCount, Int.MaxValue.toLong).toInt
       }.toMap
 
-    // Quantile boundaries by token mass over term order. The cumulative-sum
-    // window runs over the VOCABULARY (term, cnt) rows, not the token stream
-    // — fine up to ~1e8 distinct sampled terms; beyond that, sample harder
-    // (dfSampleFraction) or pre-bucket by term prefix.
-    val nBuckets = 4 * cfg.partitions
-    val totalMass = math.max(1L, termStats.agg(sum("cnt")).collect()(0).getLong(0))
-    val step = math.max(1L, totalMass / nBuckets)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("term").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val boundaries: Array[String] = termStats
-      .withColumn("cum", sum("cnt").over(w))
-      .where(((col("cum") - col("cnt")) / step).cast("long") < (col("cum") / step).cast("long"))
-      .select("term").collect().map(_.getString(0)).sorted
-
     val heavyB = spark.sparkContext.broadcast(heavy)
-    val boundsB = spark.sparkContext.broadcast(boundaries)
     val numDocs = math.max(1L, stats.numDocs)
     val avgDl = stats.avgDl
     val p = cfg.bm25
@@ -237,21 +224,17 @@ object InvertedIndex {
         case Some(n) => math.min(n - 1L, t.docId * n / numDocs).toInt // docId-range bucket, monotone
         case None => 0
       }
-      // bucket = #boundaries <= term (binary search), salted terms spread
-      // across distinct buckets; hash-scattered over partitions (~4 quantile
-      // buckets per partition keeps balance without a custom Partitioner)
-      val bounds = boundsB.value
-      var lo = 0
-      var hi = bounds.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (bounds(mid) <= t.term) lo = mid + 1 else hi = mid
-      }
-      t.copy(salt = s, bucket = lo * 1031 + s)
+      t.copy(salt = s)
     }
 
+    // The single token exchange: hash on (term, salt). Every (term, salt)
+    // group lands whole in one partition (so the in-partition sort yields
+    // complete, contiguous runs for the block encoder) and no group exceeds
+    // ~saltRunDocs rows, so expected partition load is uniform. Block
+    // contents depend only on the (term, salt) run contents — identical
+    // under any partition count (byte-identical-rebuild gate).
     salted
-      .repartition(cfg.partitions, $"bucket")
+      .repartition(cfg.partitions, $"term", $"salt")
       .sortWithinPartitions($"term", $"salt", $"docId")
       .mapPartitions { it =>
         new Iterator[PostingBlock] {

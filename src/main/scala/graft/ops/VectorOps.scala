@@ -57,18 +57,60 @@ object VectorOps {
       .limit(k)
   }
 
-  /** All-pairs near-duplicate by embedding cosine >= minCos, LSH-blocked:
-    * pairs must share a sign-pattern bucket (the embedding-space analog of
-    * DedupOps.nearDupPairs).
+  /** All-pairs near-duplicate by embedding cosine >= minCos, blocked by
+    * BANDED multi-table sign-pattern LSH (the embedding-space analog of
+    * DedupOps.nearDupPairs): `bands` independent sketches, band q taking the
+    * sign bits of dims [q*bits+1, q*bits+bits]; a pair is a candidate iff it
+    * agrees on ALL bits of ANY band (AND within a band for precision, OR
+    * across bands for recall — the classic LSH amplification), then verified
+    * with exact cosine.
+    *
+    * Scale shape: per-band work is Σ_bucket |bucket|², so the bucket count
+    * 2^bits must GROW with the corpus — a fixed `bits` is quadratic at 100 TB
+    * (the round-1 single-table 2^6 design's flaw). `bitsPerBand = 0` (the
+    * default) sizes bits so the expected bucket holds ~targetBucketDocs
+    * vectors, making expected candidates O(bands · N · targetBucketDocs) —
+    * linear in N (sub-quadratic growth is gate-tested on a 10x corpus in
+    * OpsSpec). Pass explicit bits when an external oracle must reproduce the
+    * bucketing. Requires bands * bits <= vector dim.
     */
-  def cosineNearDupPairs(emb: DataFrame, minCos: Double, bits: Int = 6,
+  /** Bucket-count sizing for the banded LSH: bits such that the expected
+    * band bucket holds ~targetBucketDocs vectors — per-band verify work is
+    * then O(N · targetBucketDocs), linear in the corpus.
+    */
+  def adaptiveBits(n: Long, targetBucketDocs: Long = 64): Int = {
+    val need = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketDocs)) / math.log(2.0)).toInt
+    math.min(16, math.max(4, need))
+  }
+
+  /** Candidate pairs (a < b) agreeing on all `bits` sign bits of any of the
+    * `bands` dim-slices. The self-join carries only (id, band, piece) —
+    * vectors join in AFTER the distinct, so the bucket blow-up never
+    * replicates embeddings.
+    */
+  def bandCandidates(emb: DataFrame, bits: Int, bands: Int,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val b = withDouble(lshBucket(emb, bits, id, vec), "ev", vec)
-      .select(col(id), col("bucket"), col("ev"))
-    b.as("x").join(b.as("y"),
-        col("x.bucket") === col("y.bucket") && col(s"x.$id") < col(s"y.$id"))
-      .select(col(s"x.$id").as("a"), col(s"y.$id").as("b"),
-        col("x.ev").as("ea"), col("y.ev").as("eb"))
+    val pieceExpr = expr(
+      s"""transform(sequence(0, ${bands - 1}), q -> struct(q AS q,
+         |  concat_ws('', transform(slice($vec, q * $bits + 1, $bits),
+         |    x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END)) AS piece))""".stripMargin)
+    val slim = emb.select(col(id), explode(pieceExpr).as("bp"))
+      .select(col(id), col("bp.q").as("q"), col("bp.piece").as("piece"))
+    slim.as("x").join(slim.as("y"),
+        col("x.q") === col("y.q") && col("x.piece") === col("y.piece") &&
+          col(s"x.$id") < col(s"y.$id"))
+      .select(col(s"x.$id").as("a"), col(s"y.$id").as("b")).distinct()
+  }
+
+  def cosineNearDupPairs(emb: DataFrame, minCos: Double, bitsPerBand: Int = 0,
+      bands: Int = 4, targetBucketDocs: Long = 64,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val bits = if (bitsPerBand > 0) bitsPerBand else adaptiveBits(emb.count(), targetBucketDocs)
+    val cand = bandCandidates(emb, bits, bands, id, vec)
+    val ev = withDouble(emb, "ev", vec).select(col(id), col("ev"))
+    cand
+      .join(ev.select(col(id).as("a"), col("ev").as("ea")), Seq("a"))
+      .join(ev.select(col(id).as("b"), col("ev").as("eb")), Seq("b"))
       .withColumn("cosine", round(expr(cosExpr), 4))
       .where(col("cosine") >= minCos)
       .select("a", "b", "cosine")

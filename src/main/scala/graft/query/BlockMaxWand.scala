@@ -8,6 +8,7 @@ final case class SearchHit(docId: Long, score: Double)
 
 /** Bounded top-k heap with the pinned tie-break (score desc, docId asc). */
 final class TopKHeap(k: Int) {
+  require(k >= 1, s"top-k heap needs k >= 1, got $k (callers map 'all results' to a large k or a dedicated rank-all path)")
   // priority = "worst first": smallest score, then largest docId
   private val pq = mutable.PriorityQueue.empty[SearchHit](
     Ordering.by((h: SearchHit) => (-h.score, h.docId)))

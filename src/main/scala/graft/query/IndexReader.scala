@@ -172,6 +172,41 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     }.toMap
   }
 
+  /** Distributed rank-all: score EVERY matching document with the result
+    * kept distributed end-to-end — a stopword query at corpus scale matches
+    * a corpus-sized doc set, so collecting hits to the driver (what a
+    * top-k path with k = MaxValue would do) is a scale-killer. Per-block
+    * decode is a narrow flatMap; the one shuffle groups contributions by
+    * docId; the per-doc sum runs in ascending term order via a sorted in-row
+    * fold (the pinned summation order), deterministic with no driver pass.
+    * Block-max pruning cannot help when every match must be returned, so
+    * this path skips WAND entirely.
+    */
+  def scoreAllDf(query: String): DataFrame = {
+    val meta = termMeta(analyze(query))
+    if (meta.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+    val metaB = spark.sparkContext.broadcast(meta)
+    val avgDl = stats.avgDl
+    val pp = p
+    postingsFor(meta.keys.toSeq.sorted).flatMap { b =>
+      val idf = metaB.value(b.term).idf
+      val ids = PostingsCodec.decodeDocIds(b.firstDocId, b.count, b.docDeltas)
+      val tfs = PostingsCodec.decodeTfs(b.count, b.tfs)
+      val dls = PostingsCodec.decodeDls(b.count, b.dls)
+      Iterator.tabulate(b.count)(i =>
+        (ids(i), b.term, idf * Bm25.tfNorm(tfs(i).toLong, dls(i).toLong, avgDl, pp)))
+    }.toDF("docId", "term", "contrib")
+      .groupBy("docId")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("contrib")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("contrib")).as("score"))
+  }
+
   /** DataFrame form for the driver contract (SparkEntry.queries). */
   def searchDf(query: String, k: Int, useBmw: Boolean = true): DataFrame = {
     val hits = if (useBmw) searchBmw(query, k) else searchNaive(query, k)

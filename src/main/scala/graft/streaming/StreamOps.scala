@@ -38,7 +38,15 @@ object StreamOps {
       watermark: String = "2 minutes"): DataFrame =
     docs
       .withWatermark("ts", watermark)
-      .select(col("ts"), col("doc_id"), explode(split(lower(col("text")), "[^a-z0-9_]+")).as("term"))
+      // exact twin of the pinned batch analyzer (CodeTokenizer): lowercase,
+      // split on [^a-z0-9_]+, drop empties, truncate to MaxTermLen — so
+      // streaming-staged tf rows compact into the same postings the batch
+      // SPIMI build would produce. (explode must be top-level in a select;
+      // the truncation is a second projection.)
+      .select(col("ts"), col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z0-9_]+")).as("rawTerm"))
+      .select(col("ts"), col("doc_id"),
+        substring(col("rawTerm"), 1, graft.tokenize.CodeTokenizer.MaxTermLen).as("term"))
       .where(col("term") =!= "")
       .groupBy(window(col("ts"), windowLen), col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))

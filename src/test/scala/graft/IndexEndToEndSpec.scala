@@ -131,6 +131,23 @@ class IndexEndToEndSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("rank-all distributed path == naive full ranking, scores bit-identical") {
+    // scoreAllDf keeps the corpus-sized hit set distributed (no driver
+    // collect); it must reproduce the naive DAAT full ranking exactly —
+    // both sum per-doc contributions in ascending term order.
+    for (q <- Seq("def val", "the", "z100_id def")) {
+      val naive = reader.searchNaive(q, Int.MaxValue)
+      val all = reader.scoreAllDf(q)
+        .orderBy(desc("score"), asc("docId")).collect()
+        .map(r => graft.query.SearchHit(r.getLong(0), r.getDouble(1)))
+      assert(all.map(_.docId).toSeq == naive.map(_.docId).toSeq, s"rank-all ranks for '$q'")
+      all.zip(naive).foreach { case (a, n) =>
+        assert(a.score == n.score, s"rank-all score must be bit-identical to naive for '$q'")
+      }
+    }
+    assert(reader.scoreAllDf("qqqzzznotfound").count() == 0)
+  }
+
   test("batch BMW == per-query BMW on the whole query set") {
     val batch = reader.searchBmwBatch(QuerySet.all, QuerySet.K)
     for (q <- QuerySet.all)

@@ -86,8 +86,31 @@ class OpsSpec extends SparkSpec {
     assert(exact(0).getDouble(1) > 0.999)
     val ann = VectorOps.lshAnnTopK(emb, 0L, 3, bits = 8).collect()
     assert(ann.map(_.getLong(0)).toSeq == Seq(1L, 3L)) // bucket excludes vec 2
-    val pairs = VectorOps.cosineNearDupPairs(emb, 0.99, bits = 8).collect()
+    // banded: 4 bands x 2 bits over the 8 dims; 0/1/3 agree on every sign,
+    // 2 agrees with none of them on any full band
+    val pairs = VectorOps.cosineNearDupPairs(emb, 0.99, bitsPerBand = 2, bands = 4).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("banded LSH candidates grow sub-quadratically with adaptive bits (10x corpus)") {
+    // deterministic pseudo-gaussian 64-dim vectors; signs ~uniform so band
+    // buckets are ~uniform — the adversarial shape for candidate growth.
+    def mkEmb(n: Int): DataFrame =
+      spark.range(n.toLong).select(col("id").as("vec_id")).as[Long].map { i =>
+        val rng = new scala.util.Random(i * 2654435761L + 12345L)
+        (i, Array.fill(64)(rng.nextGaussian().toFloat))
+      }.toDF("vec_id", "embedding")
+    def candidates(n: Int): Long = {
+      val emb = mkEmb(n)
+      val bits = VectorOps.adaptiveBits(n.toLong)
+      VectorOps.bandCandidates(emb, bits, 4).count()
+    }
+    val small = candidates(300)  // adaptive bits = 4
+    val big = candidates(3000)   // adaptive bits = 6: buckets grow with N
+    assert(small > 0 && big > 0)
+    val ratio = big.toDouble / small
+    // quadratic growth (fixed bucket count) would be ~100x for 10x N
+    assert(ratio < 40.0, s"candidate growth not sub-quadratic: $small -> $big (${ratio}x)")
   }
 
   test("multimodal binary plumbing: stub features are exact") {

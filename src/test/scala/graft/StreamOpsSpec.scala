@@ -40,7 +40,8 @@ class StreamOpsSpec extends SparkSpec {
     val out = StreamOps.docTermIngest(mem.toDF.toDF("ts", "doc_id", "text"), "1 minute", "2 minutes")
     val q = out.writeStream.format("memory").queryName("ingest").outputMode(OutputMode.Append).start()
     try {
-      mem.addData((ts(0, 5), 1L, "spark join spark"), (ts(0, 6), 2L, "spark filter"))
+      mem.addData((ts(0, 5), 1L, "spark join spark"), (ts(0, 6), 2L, "spark filter"),
+        (ts(0, 7), 5L, "y" * 70)) // >MaxTermLen token: must truncate like the batch analyzer
       q.processAllAvailable()
       mem.addData((ts(10, 0), 3L, "flush"))
       q.processAllAvailable()
@@ -48,7 +49,8 @@ class StreamOpsSpec extends SparkSpec {
       q.processAllAvailable()
       val rows = spark.sql("SELECT doc_id, term, tf FROM ingest WHERE window_start = timestamp'2024-01-01 10:00:00' ORDER BY doc_id, term")
         .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-      assert(rows.toSeq == Seq((1L, "join", 1L), (1L, "spark", 2L), (2L, "filter", 1L), (2L, "spark", 1L)),
+      assert(rows.toSeq == Seq((1L, "join", 1L), (1L, "spark", 2L), (2L, "filter", 1L), (2L, "spark", 1L),
+        (5L, "y" * graft.tokenize.CodeTokenizer.MaxTermLen, 1L)),
         s"got ${rows.toSeq}")
     } finally q.stop()
   }
