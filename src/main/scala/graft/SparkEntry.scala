@@ -116,6 +116,42 @@ object SparkEntry {
       tbl(s, d, "customer").select(col("c_nationkey").as("nationkey"))
         .intersect(tbl(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
         .orderBy("nationkey")),
+    // A2: page-batched scan — deterministic (group, page) batching of a
+    // keyed export (the esfatgenerator shape), stats per page.
+    "a02_page_scan" -> ((s, d) =>
+      graft.ops.PageScan.pageStats(
+        tbl(s, d, "lineitem")
+          .select((col("l_orderkey") % 8).as("grp"), col("l_orderkey"), col("l_linenumber")),
+        groupCol = "grp", orderCols = Seq("l_orderkey", "l_linenumber"),
+        pageSize = 500, keyCol = "l_orderkey")
+        .orderBy("grp", "page")),
+    // A5/A14 write-back: keyed upsert (MERGE) into an existing table —
+    // enrichment updates replace matching keys, new keys append; the query
+    // returns the post-merge table so the oracle can rebuild it relationally.
+    "a05_upsert" -> ((s, d) => {
+      import graft.io.Tables
+      val base = tbl(s, d, "customer").select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val updates = tbl(s, d, "customer").where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), concat(col("c_name"), lit(" (enriched)")).as("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"))
+        .unionByName(tbl(s, d, "customer").where(col("c_custkey") <= 3)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_name"),
+            lit(0.0).as("c_acctbal")))
+      val dir = s"/tmp/graft_upsert_${graft.fixtures.CorpusGen.sha256Hex(d).substring(0, 12)}"
+      Tables.write(base, dir, "enriched") // fresh target each run => idempotent entry
+      Tables.upsert(s, dir, "enriched", updates, Seq("c_custkey"))
+      Tables.read(s, dir, "enriched")
+        .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+    // A6: index lifecycle — create a table generation over the parquet dir,
+    // swap the serving alias to it, query THROUGH the alias.
+    "a06_lifecycle" -> ((s, d) => {
+      graft.io.Lifecycle.createOrReplaceTable(s, "graft_documents_v2", s"$d/documents.parquet")
+      graft.io.Lifecycle.aliasSwap(s, "graft_documents", "graft_documents_v2")
+      s.sql("""SELECT lang, count(*) AS n, cast(sum(n_chars) AS bigint) AS sum_chars
+              |FROM graft_documents GROUP BY lang ORDER BY lang""".stripMargin)
+    }),
 
     // -- Training-data pipeline operators ----------------------------------
     "td_exact_dedup" -> ((s, d) =>
@@ -293,6 +329,28 @@ object SparkEntry {
     "a18_set_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "a02_page_scan" ->
+      """WITH pg AS (
+        |  SELECT l_orderkey % 8 AS grp, l_orderkey,
+        |         cast((row_number() OVER (PARTITION BY l_orderkey % 8 ORDER BY l_orderkey, l_linenumber) - 1) // 500 AS bigint) AS page
+        |  FROM lineitem)
+        |SELECT grp, page, count(*) AS n_rows, min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+        |FROM pg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a05_upsert" ->
+      """WITH upd AS (
+        |  SELECT c_custkey, c_name || ' (enriched)' AS c_name, c_acctbal + 100.0 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, 0.0 FROM customer WHERE c_custkey <= 3),
+        |merged AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal FROM merged
+        |ORDER BY c_custkey""".stripMargin,
+    "a06_lifecycle" ->
+      """SELECT lang, count(*) AS n, cast(sum(n_chars) AS bigint) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "td_exact_dedup" ->
       """SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS group_size

@@ -11,13 +11,21 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One row of the `docs` table: doc registry + exact norms + the sha256
-  * per-row invariant (SURVEY.md §1.3; BASELINE.json:15). `content` rides
-  * along so downstream stages re-read it locally — parquet column pruning
-  * makes metadata-only readers skip it for free (Lucene analog: stored
-  * fields live next to norms in the same segment).
+  * per-row invariant (SURVEY.md §1.3; BASELINE.json:15). Content is NOT
+  * stored — (repo, path, commit) is the locator back into the source table.
+  * (Round 1 duplicated content here as a stored-fields analog; at corpus
+  * scale that doubles index storage and made the registry exchange carry
+  * full text. Now per-doc metadata is computed in a narrow map BEFORE the
+  * docId exchange — the exchange carries ~100 bytes/doc — and the postings
+  * stage re-derives (docId, content) pairs from the source table with the
+  * same deterministic assignment, see [[InvertedIndex.withDocIds]].)
   */
 final case class DocRow(docId: Long, repo: String, path: String, commit: String,
-    lang: String, dl: Int, sha256: String, content: String)
+    lang: String, dl: Int, sha256: String)
+
+/** Pre-shuffle per-doc metadata (registry exchange payload). */
+final case class DocMeta(repo: String, path: String, commit: String,
+    lang: String, dl: Int, sha256: String)
 
 /** One 128-doc compressed postings block with block-max metadata
   * (SURVEY.md §1.3 / §2.3 B5+B6; Lucene analog: one skip-block of the
@@ -55,6 +63,20 @@ final case class IndexConfig(
       * Deterministic: fixed-seed sample.
       */
     dfSampleFraction: Double = 1.0,
+    /** Resume granularity of the postings stage (BASELINE.json:6
+      * "per-partition lineage manifests ... resumable from last committed
+      * checkpoint"): the docId space is split into this many contiguous
+      * slices, each inverted + encoded + committed independently; a kill
+      * mid-postings loses at most ONE slice's work instead of the whole
+      * stage. 1 = single-shot (fastest when the stage is small vs MTBF);
+      * at 100 TB pick slices sized to ~minutes of work. Max 1024 (blockId
+      * packs the slice in 10 bits).
+      */
+    resumeSlices: Int = 1,
+    /** Chaos hook (tests): abort the build right after this slice commits,
+      * simulating a mid-postings kill. -1 = never.
+      */
+    chaosFailAfterSlice: Int = -1,
     bm25: Bm25Params = Bm25.Default)
 
 object IndexConfig {
@@ -78,12 +100,15 @@ object IndexConfig {
   *   postings   docs       -> postings        (salted SPIMI invert + block encode)
   *   dictionary postings   -> dictionary      (exact df/cf + global maxImpact)
   *
-  * Shuffle inventory (scale analysis): registry = 1 full-content exchange
-  * (hash on key, the only way to get dense deterministic docIds without a
-  * global sort); postings = 1 token exchange (repartitionByRange on
-  * (term, salt) — the explicit skew-handled exchange the spec demands) plus
-  * one small aggregate for heavy-term detection; stats/dictionary are
-  * partial-agg reductions. Nothing shuffles content twice.
+  * Shuffle inventory (scale analysis): registry = 1 METADATA exchange (~100
+  * bytes/doc — dl and sha256 are computed in a narrow map before the
+  * shuffle); postings = 1 full-content exchange (the deterministic docId
+  * re-assignment — the only time content crosses the wire) + 1 token
+  * exchange (hash on (term, salt) — the explicit skew-handled exchange the
+  * spec demands) plus one small aggregate for heavy-term detection;
+  * stats/dictionary are partial-agg reductions. Content is shuffled exactly
+  * once and stored exactly once (in the source table — the docs table keeps
+  * a (repo, path, commit) locator, halving index storage vs round 1).
   */
 object InvertedIndex {
   val DocsTable = "docs"
@@ -96,7 +121,7 @@ object InvertedIndex {
     * (codec payloads are tagged binary — an old index read with a new
     * decoder would be silent garbage).
     */
-  val FormatVersion = 2
+  val FormatVersion = 3
 
   private def versionPath(indexDir: String) = new org.apache.hadoop.fs.Path(s"$indexDir/FORMAT_VERSION")
 
@@ -125,22 +150,33 @@ object InvertedIndex {
       s"index at $indexDir has a different FORMAT_VERSION than this build ($FormatVersion) — rebuild it")
 
   /** Deterministic, dense, partition-layout-independent docId assignment
-    * (SURVEY.md §7.5): pid = pmod(murmur3(repo,path,commit), P) — the exact
-    * partition function `repartition(P, cols)` uses — gives a deterministic
-    * partition for every row; pass A counts rows per pid (cheap: key columns
-    * only, content pruned at the parquet scan); pass B re-shuffles the full
-    * rows the same way, sorts each partition by key, and assigns
+    * (SURVEY.md §7.5) over ANY dataset carrying the (repo, path, commit) key
+    * columns: pid = pmod(murmur3(repo,path,commit), P) — the exact partition
+    * function `repartition(P, cols)` uses — gives a deterministic partition
+    * for every row; pass A counts rows per pid over `keysOnly` (cheap: key
+    * columns only, content pruned at the parquet scan); pass B re-shuffles
+    * `ds` the same way, sorts each partition by key, and assigns
     * docId = offset(pid) + localIndex. No RDD, no global sort, no
-    * monotonically_increasing_id.
+    * monotonically_increasing_id. Because the assignment is a pure function
+    * of (key set, P), the registry and postings stages call this
+    * independently — on different payloads — and get IDENTICAL ids, which is
+    * what lets the docs table drop content.
+    *
+    * `pidRange` = Some((lo, hi)) restricts processing to partitions
+    * [lo, hi) while keeping the GLOBAL offsets (counts always come from the
+    * full `keysOnly`): a caller can pre-filter `ds` to the same pid range
+    * (a narrow predicate — no shuffle of excluded rows) and process one
+    * contiguous docId slice of the corpus. This is what makes the postings
+    * build resumable per slice, not just per stage.
     */
-  def buildRegistry(spark: SparkSession, src: Dataset[CodeFile], cfg: IndexConfig): Dataset[DocRow] = {
-    import spark.implicits._
-    val p = cfg.partitions
+  def withDocIds[T, U: org.apache.spark.sql.Encoder](spark: SparkSession, ds: Dataset[T],
+      keysOnly: DataFrame, p: Int, pidRange: Option[(Int, Int)] = None)
+      (emit: (Long, T) => U): Dataset[U] = {
     val keyCols = Seq(col("repo"), col("path"), col("commit"))
     val pidExpr = pmod(hash(keyCols: _*), lit(p))
 
     val counts = new Array[Long](p)
-    src.toDF().groupBy(pidExpr.as("pid")).agg(count(lit(1)).as("c"))
+    keysOnly.groupBy(pidExpr.as("pid")).agg(count(lit(1)).as("c"))
       .collect().foreach(r => counts(r.getInt(0)) = r.getLong(1))
     val offsets = new Array[Long](p)
     var acc = 0L
@@ -148,63 +184,75 @@ object InvertedIndex {
     while (i < p) { offsets(i) = acc; acc += counts(i); i += 1 }
     val offsetsB = spark.sparkContext.broadcast(offsets)
     val countsB = spark.sparkContext.broadcast(counts)
+    val (rLo, rHi) = pidRange.getOrElse((0, p))
 
-    src.repartition(p, keyCols: _*)
+    ds.repartition(p, keyCols: _*)
       .sortWithinPartitions("repo", "path", "commit")
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
+        val inRange = pid >= rLo && pid < rHi
         var nextId = offsetsB.value(pid)
-        val expectedEnd = offsetsB.value(pid) + countsB.value(pid)
-        new Iterator[DocRow] {
+        val expectedEnd = offsetsB.value(pid) + (if (inRange) countsB.value(pid) else 0L)
+        new Iterator[U] {
           def hasNext: Boolean = {
             val h = it.hasNext
             if (!h) require(nextId == expectedEnd,
               s"docId assignment drift in pid=$pid: got ${nextId - offsetsB.value(pid)} rows, expected ${countsB.value(pid)}")
             h
           }
-          def next(): DocRow = {
-            val f = it.next()
-            val dl = CodeTokenizer.countTokens(f.content)
+          def next(): U = {
+            val t = it.next()
             val id = nextId
             nextId += 1
-            DocRow(id, f.repo, f.path, f.commit, f.lang, dl,
-              graft.fixtures.CorpusGen.sha256Hex(f.content), f.content)
+            emit(id, t)
           }
         }
       }
   }
 
-  /** SPIMI invert + block encode. The per-document tf map needs no shuffle
-    * (a document is one row); the single token exchange is
-    * repartitionByRange(term, salt) — heavy terms pre-split by docId RANGE so
+  /** Registry build: dl + sha256 computed in a narrow map BEFORE the docId
+    * exchange, so the one registry shuffle moves metadata, never content.
+    */
+  def buildRegistry(spark: SparkSession, src: Dataset[CodeFile], cfg: IndexConfig): Dataset[DocRow] = {
+    import spark.implicits._
+    val slim = src.map(f => DocMeta(f.repo, f.path, f.commit, f.lang,
+      CodeTokenizer.countTokens(f.content), graft.fixtures.CorpusGen.sha256Hex(f.content)))
+    withDocIds(spark, slim, src.toDF(), cfg.partitions) { (id, m) =>
+      DocRow(id, m.repo, m.path, m.commit, m.lang, m.dl, m.sha256)
+    }
+  }
+
+  /** SPIMI invert + block encode, straight from the SOURCE table (the docs
+    * table no longer stores content): (docId, content) pairs come from the
+    * same deterministic assignment the registry used ([[withDocIds]]), so
+    * the whole build moves content through exactly ONE exchange — this
+    * stage's token shuffle. The per-document tf map needs no shuffle (a
+    * document is one row); heavy terms are pre-split by docId RANGE so
     * salted runs concatenate in docId order and need no second merge pass
     * (the blockId encodes (salt, position), monotone in docId).
     */
-  def buildPostings(spark: SparkSession, docs: Dataset[DocRow], stats: CorpusStats,
-      cfg: IndexConfig): Dataset[PostingBlock] = {
+  def buildPostings(spark: SparkSession, src: Dataset[CodeFile], stats: CorpusStats,
+      cfg: IndexConfig): Dataset[PostingBlock] =
+    buildPostingsSlice(spark, src, stats, cfg, heavyTerms(spark, src, cfg), 0, 1)
+
+  /** Salting plan: the heavy-term map from ONE deterministic sampled narrow
+    * scan of the source — term counts need no docIds. (An earlier design
+    * also derived token-mass quantile boundaries here and exchanged on an
+    * explicit bucket column; the cumulative sum over the vocabulary ran as a
+    * single-partition Window — a serial stage that dies at code-corpus
+    * vocabulary sizes. It was never needed: the token exchange
+    * hash-partitions on (term, salt), and salting already bounds every
+    * (term, salt) group to ~saltRunDocs rows, so uniform hashing balances
+    * partitions at any scale with zero extra passes and no driver-side
+    * boundary state.)
+    */
+  def heavyTerms(spark: SparkSession, src: Dataset[CodeFile], cfg: IndexConfig): Map[String, Int] = {
     import spark.implicits._
-
-    def tokens(sampled: Dataset[DocRow]): Dataset[TermPosting] =
-      sampled.flatMap { d =>
-        val m = CodeTokenizer.tfCount(d.content)
-        val dl = m.dl
-        m.iterator.map { case (t, tf) => TermPosting(t, 0, d.docId, tf, dl) }
-      }
-
-    // ONE sampled token pass feeds the salting decisions. (An earlier design
-    // also derived token-mass quantile boundaries here and exchanged on an
-    // explicit bucket column; the cumulative sum over the vocabulary ran as a
-    // single-partition Window — a serial stage that dies at code-corpus
-    // vocabulary sizes. It was never needed: the exchange below hash-
-    // partitions on (term, salt), and salting already bounds every
-    // (term, salt) group to ~saltRunDocs rows, so uniform hashing balances
-    // partitions at any scale with zero extra passes and no driver-side
-    // boundary state.)
-    val dfSource = if (cfg.dfSampleFraction >= 1.0) docs else docs.sample(withReplacement = false, cfg.dfSampleFraction, 42L)
+    val dfSource = if (cfg.dfSampleFraction >= 1.0) src else src.sample(withReplacement = false, cfg.dfSampleFraction, 42L)
     val scale = 1.0 / math.min(1.0, cfg.dfSampleFraction)
-
-    val heavy: Map[String, Int] = tokens(dfSource)
-      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    dfSource
+      .flatMap(f => CodeTokenizer.tfCount(f.content).iterator.map(_._1))
+      .groupBy("value").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * scale > cfg.heavyDfThreshold)
       .collect()
       .map { r =>
@@ -212,20 +260,54 @@ object InvertedIndex {
         val saltCount = math.max(2L, (df + cfg.saltRunDocs - 1) / cfg.saltRunDocs)
         r.getString(0) -> math.min(saltCount, Int.MaxValue.toLong).toInt
       }.toMap
+  }
+
+  /** One docId-contiguous slice of the postings build (slice = a range of
+    * registry pids, which IS a docId range because docIds are
+    * offset(pid) + local). The pre-shuffle pid predicate prunes excluded
+    * rows at the source scan, so slice cost is proportional to slice size.
+    * blockId packs (salt, slice, localBlock): slices of one (term, salt)
+    * run cover ascending docId ranges in slice order, so blockId stays
+    * monotone in docId and the slices' block lists concatenate with no
+    * merge pass — exactly the salting trick, one level down.
+    */
+  def buildPostingsSlice(spark: SparkSession, src: Dataset[CodeFile], stats: CorpusStats,
+      cfg: IndexConfig, heavy: Map[String, Int], sliceIdx: Int, nSlices: Int): Dataset[PostingBlock] = {
+    import spark.implicits._
+    require(nSlices >= 1 && nSlices <= 1024, s"nSlices must be in [1, 1024], got $nSlices")
+    require(sliceIdx >= 0 && sliceIdx < nSlices, s"sliceIdx $sliceIdx out of [0, $nSlices)")
+
+    val parts = cfg.partitions
+    val pidLo = (sliceIdx.toLong * parts / nSlices).toInt
+    val pidHi = ((sliceIdx + 1).toLong * parts / nSlices).toInt
+    val sliced =
+      if (nSlices <= 1) src
+      else {
+        val pidExpr = pmod(hash(col("repo"), col("path"), col("commit")), lit(parts))
+        src.where(pidExpr >= pidLo && pidExpr < pidHi)
+      }
+    val pidRange = if (nSlices <= 1) None else Some((pidLo, pidHi))
 
     val heavyB = spark.sparkContext.broadcast(heavy)
     val numDocs = math.max(1L, stats.numDocs)
     val avgDl = stats.avgDl
     val p = cfg.bm25
     val blockSize = cfg.blockSize
+    val sliceL = sliceIdx.toLong
 
-    val salted = tokens(docs).map { t =>
-      val s = heavyB.value.get(t.term) match {
-        case Some(n) => math.min(n - 1L, t.docId * n / numDocs).toInt // docId-range bucket, monotone
-        case None => 0
+    val salted = withDocIds(spark, sliced, src.toDF(), parts, pidRange)((id, f) => (id, f.content))
+      .flatMap { case (docId, content) =>
+        val m = CodeTokenizer.tfCount(content)
+        val dl = m.dl
+        val h = heavyB.value
+        m.iterator.map { case (t, tf) =>
+          val s = h.get(t) match {
+            case Some(n) => math.min(n - 1L, docId * n / numDocs).toInt // docId-range bucket, monotone
+            case None => 0
+          }
+          TermPosting(t, s, docId, tf, dl)
+        }
       }
-      t.copy(salt = s)
-    }
 
     // The single token exchange: hash on (term, salt). Every (term, salt)
     // group lands whole in one partition (so the in-partition sort yields
@@ -265,7 +347,12 @@ object InvertedIndex {
             val blockIds = java.util.Arrays.copyOf(ids, n)
             val blockTfs = java.util.Arrays.copyOf(tfs, n)
             val blockDls = java.util.Arrays.copyOf(dls, n)
-            val b = PostingBlock(curTerm, (curSalt.toLong << 32) | localBlock,
+            // blockId = salt(31b) | slice(10b) | localBlock(22b): ascending
+            // blockId == ascending docId within a term (salt buckets, then
+            // slices, then positions are all docId-monotone)
+            require(localBlock < (1L << 22),
+              s"(term=$curTerm, salt=$curSalt, slice=$sliceL) exceeds 2^22 blocks — raise IndexConfig.saltRunDocs granularity")
+            val b = PostingBlock(curTerm, (curSalt.toLong << 32) | (sliceL << 22) | localBlock,
               blockIds(0), blockIds(n - 1), n, tfSum, maxTfn,
               PostingsCodec.encodeDocIds(blockIds), PostingsCodec.encodeTfs(blockTfs),
               PostingsCodec.encodeDls(blockDls))
@@ -316,23 +403,55 @@ object InvertedIndex {
 
     val stats = readStats(spark, indexDir)
 
+    // The "merge into globally sorted postings" step (BASELINE.json:6) is a
+    // repartitionByRange(term, blockId) over the COMPACT encoded block rows
+    // (~2 orders of magnitude smaller than the token stream).
+    def commitSorted(blocks: DataFrame): Unit =
+      Tables.write(
+        blocks.repartitionByRange(cfg.partitions, col("term"), col("blockId"))
+          .sortWithinPartitions("term", "blockId"),
+        indexDir, PostingsTable)
+
+    val sliceResults = Seq.newBuilder[Manifests.StageResult]
     results += Manifests.runStage(spark, indexDir, "postings", runId, Seq(PostingsTable)) {
-      val docs = Tables.read(spark, indexDir, DocsTable).as[DocRow]
-      val blocks = buildPostings(spark, docs, stats, cfg)
-      // Global (term, blockId) sort of the COMPACT block rows (~2 orders of
-      // magnitude smaller than the token stream) — the "merge into globally
-      // sorted postings" step (BASELINE.json:6). Persist so the range
-      // partitioner's sampling pass reads encoded blocks, not a recompute of
-      // the whole tokenize+shuffle pipeline.
-      blocks.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      try {
-        Tables.write(
-          blocks.repartitionByRange(cfg.partitions, col("term"), col("blockId"))
-            .sortWithinPartitions("term", "blockId")
-            .toDF(),
-          indexDir, PostingsTable)
-      } finally blocks.unpersist()
+      if (cfg.resumeSlices <= 1) {
+        val blocks = buildPostings(spark, src, stats, cfg)
+        // Persist so the range partitioner's sampling pass reads encoded
+        // blocks, not a recompute of the whole tokenize+shuffle pipeline.
+        blocks.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        try commitSorted(blocks.toDF()) finally blocks.unpersist()
+      } else {
+        // Per-slice resume: each docId slice is inverted, encoded, and
+        // committed under its own manifest; re-running after a kill skips
+        // every committed slice and recomputes only the one in flight.
+        val s = cfg.resumeSlices
+        val heavy = heavyTerms(spark, src, cfg) // deterministic; cheap (sampled)
+        for (i <- 0 until s) {
+          val table = s"postings_slices/s$i"
+          sliceResults += Manifests.runStage(spark, indexDir, s"postings_slice_$i", runId, Seq(table)) {
+            val blocks = buildPostingsSlice(spark, src, stats, cfg, heavy, i, s)
+            Tables.write(blocks.toDF(), indexDir, table)
+            Tables.read(spark, indexDir, table).count()
+          }
+          if (cfg.chaosFailAfterSlice == i)
+            throw new RuntimeException(s"chaos: injected kill after postings slice $i")
+        }
+        // the merge reads the committed slice parquet — already compact
+        val all = spark.read.parquet(
+          (0 until s).map(i => Tables.tablePath(indexDir, s"postings_slices/s$i")): _*)
+        commitSorted(all)
+      }
       stats.numDocs
+    }
+    results ++= sliceResults.result()
+    // slice scratch is only needed until the merged postings commit; clean
+    // it AFTER the stage manifest (a kill in between re-runs from the
+    // still-committed slices, never from scratch)
+    if (cfg.resumeSlices > 1 && Manifests.isComplete(spark, indexDir, "postings")) {
+      for (i <- 0 until cfg.resumeSlices) {
+        Tables.delete(spark, indexDir, s"postings_slices/s$i")
+        Tables.delete(spark, indexDir, s"lineage/postings_slice_$i")
+      }
     }
 
     results += Manifests.runStage(spark, indexDir, "dictionary", runId, Seq(DictTable)) {

@@ -1,6 +1,5 @@
 package graft.oracle
 
-import graft.index.DocRow
 import graft.query.{Bm25, Bm25Params}
 import graft.tokenize.CodeTokenizer
 import org.apache.spark.sql.{Dataset, SparkSession}
@@ -9,48 +8,70 @@ import org.apache.spark.sql.functions._
 /** Brute-force exact-BM25 scorer (SURVEY.md §5.2 gate 1).
   *
   * The executable embodiment of the reference engine's documented scoring
-  * semantics: no index, no compression, no skipping — every document is
-  * tokenized and scored from raw content, with df/N/avgdl recomputed
-  * exhaustively and independently of the engine's dictionary. The engine's
-  * top-k (naive DAAT and Block-Max WAND) must be rank-identical to this.
+  * semantics: no index, no compression, no skipping — every document's raw
+  * (term, tf, dl) rows are produced by tokenizing content directly, with
+  * df/N/avgdl recomputed exhaustively and independently of the engine's
+  * dictionary. The engine's top-k (naive DAAT and Block-Max WAND) must be
+  * rank-identical to this.
+  *
+  * [[prepare]] tokenizes the corpus ONCE into a raw row table; each query
+  * then filters + folds those rows (in pinned ascending-term order). Callers
+  * issuing many queries should persist `Prepared.rows` — the round-1 oracle
+  * re-tokenized the corpus twice per query, which dominated `sbt test` wall
+  * time.
   */
 object ExhaustiveScorer {
+  /** (docId, content) input — the oracle needs nothing else. */
+  final case class OracleDoc(docId: Long, content: String)
+
   final case class Scored(docId: Long, score: Double)
 
-  def topK(spark: SparkSession, docs: Dataset[DocRow], query: String, k: Int,
-      p: Bm25Params = Bm25.Default): Array[Scored] = {
+  final class Prepared(spark: SparkSession, val rows: Dataset[(Long, String, Int, Int)],
+      val n: Long, val avgDl: Double, p: Bm25Params) extends Serializable {
     import spark.implicits._
-    val qterms = CodeTokenizer.tokenize(query).distinct.sorted
-    if (qterms.isEmpty) return Array.empty
-    val qB = spark.sparkContext.broadcast(qterms)
 
-    val n = docs.agg(count(lit(1))).collect()(0).getLong(0)
-    if (n == 0) return Array.empty
-    // avgdl recomputed from content (independent of the docs.dl column)
-    val sumDl = docs.map(d => CodeTokenizer.tokenize(d.content).length.toLong)
-      .agg(sum("value")).collect()(0).getLong(0)
-    val avgDl = sumDl.toDouble / n
-
-    val dfMap: Map[String, Long] = docs.flatMap { d =>
-      val (m, _) = CodeTokenizer.tfMap(d.content)
-      qB.value.iterator.filter(m.contains)
-    }.groupBy("value").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-
-    val idfB = spark.sparkContext.broadcast(
-      qterms.flatMap(t => dfMap.get(t).map(df => t -> Bm25.idf(n, df))).toMap)
-
-    docs.flatMap { d =>
-      val (m, dl) = CodeTokenizer.tfMap(d.content)
-      var s = 0.0
-      var any = false
-      // ascending term order — the pinned summation order (SURVEY.md §7.4)
-      qB.value.foreach { t =>
-        if (m.contains(t) && idfB.value.contains(t)) {
-          s += idfB.value(t) * Bm25.tfNorm(m(t).toLong, dl.toLong, avgDl, p)
-          any = true
+    def topK(query: String, k: Int): Array[Scored] = {
+      val qterms = CodeTokenizer.tokenize(query).distinct.sorted
+      if (qterms.isEmpty || n == 0) return Array.empty
+      val hit = rows.filter(r => qterms.contains(r._2))
+      // exact df per query term, recomputed from the raw rows
+      val dfMap = hit.groupByKey(_._2).count().collect().toMap
+      val idfB = spark.sparkContext.broadcast(
+        qterms.flatMap(t => dfMap.get(t).map(df => t -> Bm25.idf(n, df))).toMap)
+      val avg = avgDl
+      val pp = p
+      hit.groupByKey(_._1).mapGroups { (d, it) =>
+        // ascending term order — the pinned summation order (SURVEY.md §7.4)
+        val arr = it.toArray.sortBy(_._2)
+        var s = 0.0
+        arr.foreach { case (_, t, tf, dl) =>
+          idfB.value.get(t).foreach(idf => s += idf * Bm25.tfNorm(tf.toLong, dl.toLong, avg, pp))
         }
-      }
-      if (any) Some(Scored(d.docId, s)) else None
-    }.orderBy(desc("score"), asc("docId")).limit(k).as[Scored].collect()
+        Scored(d, s)
+      }.orderBy(desc("score"), asc("docId")).limit(k).as[Scored].collect()
+    }
   }
+
+  /** Tokenize the corpus once into raw (docId, term, tf, dl) rows + exact
+    * global stats (all recomputed from content, independent of the engine's
+    * docs/stats tables).
+    */
+  def prepare(spark: SparkSession, docs: Dataset[OracleDoc],
+      p: Bm25Params = Bm25.Default): Prepared = {
+    import spark.implicits._
+    val rows = docs.flatMap { d =>
+      val (m, dl) = CodeTokenizer.tfMap(d.content)
+      m.iterator.map { case (t, tf) => (d.docId, t, tf, dl) }
+    }
+    val agg = docs.map(d => CodeTokenizer.tokenize(d.content).length.toLong)
+      .agg(count(lit(1)), sum("value")).collect()(0)
+    val n = agg.getLong(0)
+    val avgDl = if (n == 0) 0.0 else agg.getLong(1).toDouble / n
+    new Prepared(spark, rows, n, avgDl, p)
+  }
+
+  /** One-shot convenience: prepare + single query. */
+  def topK(spark: SparkSession, docs: Dataset[OracleDoc], query: String, k: Int,
+      p: Bm25Params = Bm25.Default): Array[Scored] =
+    prepare(spark, docs, p).topK(query, k)
 }

@@ -36,4 +36,58 @@ class IoSpec extends SparkSpec {
     Tables.delete(spark, base, "t")
     assert(!Tables.exists(spark, base, "t"))
   }
+
+  test("A14 write-back: keyed upsert updates matches, appends the rest, is idempotent") {
+    val base = "/tmp/graft_upsert_test"
+    Tables.delete(spark, "/tmp", "graft_upsert_test")
+    Tables.write(Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "v", "n"), base, "t")
+    val updates = Seq((2L, "B2", 99), (9L, "new", 1)).toDF("k", "v", "n")
+    Tables.upsert(spark, base, "t", updates, Seq("k"))
+    def snap() = Tables.read(spark, base, "t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(snap() == Seq((1L, "a", 10), (2L, "B2", 99), (3L, "c", 30), (9L, "new", 1)))
+    Tables.upsert(spark, base, "t", updates, Seq("k")) // retry = same result
+    assert(snap() == Seq((1L, "a", 10), (2L, "B2", 99), (3L, "c", 30), (9L, "new", 1)))
+    // upsert into a table that does not exist yet = plain create
+    Tables.upsert(spark, base, "t2", updates, Seq("k"))
+    assert(Tables.read(spark, base, "t2").count() == 2)
+  }
+
+  test("A6: lifecycle DDL — create generation, alias swap, drop") {
+    import graft.io.Lifecycle
+    val base = "/tmp/graft_lifecycle_test"
+    Tables.delete(spark, "/tmp", "graft_lifecycle_test")
+    Tables.write(Seq((1, "v1")).toDF("k", "v"), base, "gen1")
+    Tables.write(Seq((1, "v2"), (2, "v2")).toDF("k", "v"), base, "gen2")
+    Lifecycle.createOrReplaceTable(spark, "lc_gen1", Tables.tablePath(base, "gen1"))
+    Lifecycle.createOrReplaceTable(spark, "lc_gen2", Tables.tablePath(base, "gen2"))
+    Lifecycle.aliasSwap(spark, "lc_serving", "lc_gen1")
+    assert(spark.sql("SELECT count(*) FROM lc_serving").collect()(0).getLong(0) == 1)
+    Lifecycle.aliasSwap(spark, "lc_serving", "lc_gen2") // zero-downtime swap
+    assert(spark.sql("SELECT count(*) FROM lc_serving").collect()(0).getLong(0) == 2)
+    assert(spark.sql("SELECT v FROM lc_serving WHERE k = 1").collect()(0).getString(0) == "v2")
+    Lifecycle.dropAlias(spark, "lc_serving")
+    Lifecycle.dropTable(spark, "lc_gen1")
+    Lifecycle.dropTable(spark, "lc_gen2")
+    assert(!Lifecycle.exists(spark, "lc_gen1"))
+    intercept[IllegalArgumentException](Lifecycle.dropTable(spark, "x; DROP TABLE y"))
+  }
+
+  test("A2: page-batched scan — deterministic pages, exact sizes, layout-independent") {
+    import graft.ops.PageScan
+    val df = spark.range(1000).selectExpr("id % 4 AS grp", "id AS key", "id * 2 AS other")
+    val paged = PageScan.withPages(df, "grp", Seq("key"), pageSize = 100)
+    // 250 rows per group => pages 0,1 full (100) + page 2 (50)
+    val stats = PageScan.pageStats(df, "grp", Seq("key"), 100, "key")
+      .orderBy("grp", "page").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stats.toSeq == (for (g <- 0L to 3L; p <- 0L to 2L)
+      yield (g, p, if (p == 2) 50L else 100L)))
+    // same (key -> page) mapping under a different input layout
+    val pagesA = paged.select("key", "page").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pagesB = PageScan.withPages(df.repartition(13), "grp", Seq("key"), 100)
+      .select("key", "page").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pagesA == pagesB)
+    assert(pagesA(0L) == 0L && pagesA(996L) == 2L) // key 996 = grp 0, rank 249
+  }
 }
