@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // concurrent tokenize/score tasks in local mode (measured: query phase 3x
   // slower at local[32] than local[8] with <1% host steal)
   "-XX:+UseParallelGC",
-)
+) ++
+  // ParallelGC's adaptive sizing shrinks Eden under the token-stream churn
+  // of the postings build (round 2, measured on the 2M-doc token exchange:
+  // 86.6 s / 59.6 s GC with default sizing -> 50.5 s / 14.9 s GC with
+  // -Xmn28g at -Xmx40g). Benchmarks pin Eden via SPARK_XMN ~ 0.7 x heap.
+  sys.env.get("SPARK_XMN").map(x => s"-Xmn$x").toSeq

@@ -72,12 +72,46 @@ object Scaling {
 
   private def srcDirFor(n: Long) = s"/tmp/graft_scale_src_$n"
 
+  /** Sums task executorRunTime (ms) and executorCpuTime (ns) across all
+    * tasks — the denominator for the task-time scaling argument: if total
+    * task CPU per doc is flat from N to 4N cores, the algorithm adds zero
+    * coordination overhead with parallelism, and any wall-clock efficiency
+    * gap is environmental (GC pressure, host steal, memory bus), which the
+    * per-phase steal/GC labels quantify separately.
+    */
+  private final class TaskTimeListener extends org.apache.spark.scheduler.SparkListener {
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) { runMs.addAndGet(m.executorRunTime); cpuNs.addAndGet(m.executorCpuTime) }
+    }
+    def snapshot(): (Long, Long) = (runMs.get(), cpuNs.get())
+    /** Listener events post asynchronously; wait until the counters stop
+      * moving (bounded) before reading a phase boundary.
+      */
+    def settled(): (Long, Long) = {
+      var prev = snapshot()
+      var i = 0
+      while (i < 20) {
+        Thread.sleep(100)
+        val cur = snapshot()
+        if (cur == prev) return cur
+        prev = cur
+        i += 1
+      }
+      prev
+    }
+  }
+
   /** One level: fresh JVM, fresh session, fresh index dir. Prints one JSON
     * object for the parent to collect.
     */
   def runLevel(n: Long, cpus: Int, partitions: Int): Unit = {
     val spark = session(cpus, partitions)
     import spark.implicits._
+    val tt = new TaskTimeListener
+    spark.sparkContext.addSparkListener(tt)
     val dir = s"/dev/shm/graft_scale_$cpus"
     graft.io.Tables.delete(spark, "/dev/shm", s"graft_scale_$cpus")
 
@@ -85,11 +119,15 @@ object Scaling {
     val src = spark.read.parquet(s"${srcDirFor(n)}/code_files").as[CodeFile]
     val cs0 = cpuStat()
     val gc0 = gcMs()
+    val tt0 = tt.snapshot()
     val t0 = System.nanoTime()
     val report = InvertedIndex.build(spark, src, dir, cfg, s"scale$cpus")
     val buildSec = (System.nanoTime() - t0) / 1e9
     val buildSteal = stealPct(cs0, cpuStat())
     val buildGc = (gcMs() - gc0) / 1e3
+    val tt1 = tt.settled()
+    val buildTaskSec = (tt1._1 - tt0._1) / 1e3
+    val buildCpuSec = (tt1._2 - tt0._2) / 1e9
     val stages = report.results.map(r => f"${r.stage}:${r.wallSec}%.1f").mkString("|")
 
     val reader = new IndexReader(spark, dir)
@@ -113,13 +151,18 @@ object Scaling {
     val qSec = (System.nanoTime() - tq) / 1e9
     val querySteal = stealPct(cs1, cpuStat())
     val queryGc = (gcMs() - gc1) / 1e3
+    val tt2 = tt.settled()
+    val queryTaskSec = (tt2._1 - tt1._1) / 1e3
+    val queryCpuSec = (tt2._2 - tt1._2) / 1e9
     val nQueries = rounds * workload.size
     spark.stop()
     // the parent greps this exact prefix
     println(s"""LEVELJSON{"cpus":$cpus,"build_sec":$buildSec,"build_docs_per_sec":${n / buildSec},""" +
       s""""stages":"$stages","query_sec":$qSec,"qps":${nQueries / qSec},"fp":"${fp.toHexString}",""" +
       s""""build_steal_pct":$buildSteal,"query_steal_pct":$querySteal,""" +
-      s""""build_gc_sec":$buildGc,"query_gc_sec":$queryGc}""")
+      s""""build_gc_sec":$buildGc,"query_gc_sec":$queryGc,""" +
+      s""""build_task_sec":$buildTaskSec,"build_cpu_sec":$buildCpuSec,""" +
+      s""""query_task_sec":$queryTaskSec,"query_cpu_sec":$queryCpuSec}""")
   }
 
   /** Spawn a fresh JVM (same classpath + JVM flags as this one) for a level
@@ -168,9 +211,16 @@ object Scaling {
     val ratio = cpusB.toDouble / cpusA
     val buildEff = (field(jsonA, "build_sec") / field(jsonB, "build_sec")) / ratio
     val queryEff = (field(jsonA, "query_sec") / field(jsonB, "query_sec")) / ratio
+    // work-invariance: total task CPU at 4N vs N — ~1.0 means the algorithm
+    // adds zero coordination overhead with parallelism (the wall gap is then
+    // environmental: GC / steal / memory bus, labeled per phase above)
+    val buildWorkRatio = field(jsonB, "build_cpu_sec") / field(jsonA, "build_cpu_sec")
+    val queryWorkRatio = field(jsonB, "query_cpu_sec") / field(jsonA, "query_cpu_sec")
     println(s"""{"metric":"scaling","n_docs":$n,"partitions":$partitions,""" +
       s""""levels":[$jsonA,$jsonB],""" +
       s""""build_efficiency":$buildEff,"query_efficiency":$queryEff,""" +
+      s""""build_cpu_work_ratio_4n_over_n":$buildWorkRatio,""" +
+      s""""query_cpu_work_ratio_4n_over_n":$queryWorkRatio,""" +
       s""""topk_identical_across_levels":${fpA == fpB}}""")
   }
 }

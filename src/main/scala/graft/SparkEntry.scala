@@ -187,6 +187,14 @@ object SparkEntry {
       VectorOps.cosineTopK(tbl(s, d, "embeddings"), probeId = 0L, k = 10)),
     "td_ann_lsh" -> ((s, d) =>
       VectorOps.lshAnnTopK(tbl(s, d, "embeddings"), probeId = 0L, k = 10)),
+    // IVF ANN with the iters=0 (pure-relational) quantizer so the DuckDB
+    // twin reproduces cell assignment exactly; the trained (Lloyd) quantizer
+    // is sbt-gated in OpsSpec.
+    "td_ann_ivf" -> ((s, d) => {
+      val emb = tbl(s, d, "embeddings")
+      graft.ops.IvfOps.annTopK(emb, graft.ops.IvfOps.initQuantizer(emb, 8),
+        probeId = 0L, k = 10, nprobe = 2)
+    }),
     "td_cosine_neardup" -> ((s, d) =>
       // explicit bits so the DuckDB twin reproduces the bucketing; the
       // operator's default is corpus-adaptive bits (see VectorOps)
@@ -492,6 +500,23 @@ object SparkEntry {
         |FROM bk a JOIN bk b ON a.bucket = b.bucket
         |WHERE b.vec_id = 0 AND a.vec_id <> 0
         |ORDER BY round(list_cosine_similarity(cast(a.embedding AS double[]), cast(b.embedding AS double[])), 4) DESC, a.vec_id
+        |LIMIT 10""".stripMargin,
+    "td_ann_ivf" ->
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT 8),
+        |sims AS (
+        |  SELECT e.vec_id, c.cid,
+        |         round(list_cosine_similarity(cast(e.embedding AS double[]), cast(c.cvec AS double[])), 6) AS sim
+        |  FROM embeddings e, cent c),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn FROM sims)
+        |  WHERE rn = 1),
+        |pc AS (SELECT cid FROM sims WHERE vec_id = 0 ORDER BY sim DESC, cid LIMIT 2),
+        |cand AS (SELECT a.vec_id FROM assign a JOIN pc USING (cid) WHERE a.vec_id <> 0)
+        |SELECT e.vec_id,
+        |       round(list_cosine_similarity(cast(e.embedding AS double[]), cast(b.embedding AS double[])), 4) AS cosine
+        |FROM cand JOIN embeddings e USING (vec_id), (SELECT embedding FROM embeddings WHERE vec_id = 0) b
+        |ORDER BY cosine DESC, e.vec_id
         |LIMIT 10""".stripMargin,
     "td_cosine_neardup" ->
       """WITH bk AS (

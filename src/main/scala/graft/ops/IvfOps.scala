@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the second scale path
+  * next to the sign-LSH in [[VectorOps]] (a 100 TB ANN deployment typically
+  * prefers IVF: recall is tunable per query via nprobe, and cells shard
+  * cleanly). Structure:
+  *
+  *   quantizer  k centroids (spherical k-means, deterministic)
+  *   assign     every vector -> its most-cosine-similar centroid (one narrow
+  *              broadcast pass — the "inverted file" is just a cell column,
+  *              i.e. a partition key at scale)
+  *   search     probe -> nprobe nearest cells -> exact cosine ONLY within
+  *              those cells -> top-k
+  *
+  * Determinism contract (cross-engine oracle protocol): centroid
+  * similarities are rounded to 6 dp and ties broken by ascending centroid id
+  * before every argmax, so an external SQL engine reproduces the exact cell
+  * assignment. With `iters = 0` the quantizer is the k lowest-id vectors and
+  * the WHOLE operator is a pure relational expression (the driver-contract
+  * entry uses that); `iters > 0` runs Lloyd rounds for a real quantizer
+  * (sbt-gated: recall vs brute force on constructed clusters).
+  */
+object IvfOps {
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0) 0.0 else dot / d
+  }
+
+  /** Deterministic spherical k-means: init = the k lowest-id vectors; each
+    * Lloyd round assigns by (rounded cosine desc, cid asc) and re-centers on
+    * the per-cell mean. Centroids are tiny (k x dim) — they live on the
+    * driver and broadcast into the assignment pass, the corpus is never
+    * shuffled.
+    */
+  def centroids(emb: DataFrame, k: Int, iters: Int,
+      id: String = "vec_id", vec: String = "embedding"): Array[(Int, Array[Double])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val typed = emb.select(col(id).cast("long"), expr(s"transform($vec, x -> cast(x as double))"))
+      .as[(Long, Array[Double])]
+    var cents: Array[Array[Double]] = typed.orderBy(col(id)).limit(k).collect().map(_._2)
+    for (_ <- 0 until iters) {
+      val cB = spark.sparkContext.broadcast(cents)
+      val sums = typed.map { case (_, v) =>
+        (assignCell(v, cB.value), (v, 1L))
+      }.groupByKey(_._1).mapValues(_._2).reduceGroups { (a, b) =>
+        val s = a._1.clone()
+        var i = 0
+        while (i < s.length) { s(i) += b._1(i); i += 1 }
+        (s, a._2 + b._2)
+      }.collect()
+      val next = cents.clone()
+      sums.foreach { case (cid, (sum, n)) => next(cid) = sum.map(_ / n) }
+      cents = next
+    }
+    cents.zipWithIndex.map { case (c, i) => (i, c) }
+  }
+
+  /** Cell of vector v: argmax over centroids of round(cosine, 6), ties to
+    * the smaller centroid id — the same rule the SQL twin expresses.
+    */
+  def assignCell(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      val s = math.rint(cosine(v, cents(i)) * 1e6) / 1e6
+      if (s > bestSim) { bestSim = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** IVF search, fully relational (works for any quantizer passed in as a
+    * (cid, centroid) DataFrame — e.g. `iters = 0` init or [[centroids]]
+    * output via `centroidsDf`): assign cells with a broadcast cross join +
+    * windowed argmax, probe the `nprobe` nearest cells, exact cosine only
+    * inside them. At scale the assignment column is the table's partition
+    * key, so probing reads only nprobe partitions.
+    */
+  def annTopK(emb: DataFrame, cents: DataFrame, probeId: Long, k: Int, nprobe: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val ev = emb.select(col(id), expr(s"transform($vec, x -> cast(x as double))").as("ev"))
+    val cv = cents.select(col("cid"), expr("transform(cvec, x -> cast(x as double))").as("cv"))
+    val simExpr = expr(
+      """round(aggregate(zip_with(ev, cv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
+        | / (sqrt(aggregate(transform(ev, x -> x * x), 0D, (acc, v) -> acc + v))
+        |    * sqrt(aggregate(transform(cv, x -> x * x), 0D, (acc, v) -> acc + v))), 6)""".stripMargin)
+    val sims = ev.crossJoin(broadcast(cv)).withColumn("sim", simExpr)
+    val w = Window.partitionBy(col(id)).orderBy(desc("sim"), asc("cid"))
+    val assign = sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col(id), col("cid"))
+    val probeCells = sims.where(col(id) === probeId)
+      .orderBy(desc("sim"), asc("cid")).limit(nprobe).select("cid")
+    val candIds = assign.join(broadcast(probeCells), Seq("cid")).where(col(id) =!= probeId)
+      .select(col(id))
+    VectorOps.cosineTopKAmong(emb.join(candIds, Seq(id)), emb, probeId, k, id, vec)
+  }
+
+  /** [[centroids]] output as the (cid, cvec) DataFrame [[annTopK]] takes. */
+  def centroidsDf(spark: SparkSession, cents: Array[(Int, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.toDF("cid", "cvec")
+  }
+
+  /** The iters = 0 quantizer as a relation: the k lowest-id vectors. */
+  def initQuantizer(emb: DataFrame, k: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    emb.orderBy(col(id)).limit(k).select(col(id).cast("int").as("cid"), col(vec).as("cvec"))
+}

@@ -27,9 +27,18 @@ object VectorOps {
     * (cross join with a 1-row side), never a shuffle of the corpus.
     */
   def cosineTopK(emb: DataFrame, probeId: Long, k: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame =
+    cosineTopKAmong(emb, emb, probeId, k, id, vec)
+
+  /** Exact cosine top-k of the probe (looked up in `probeSrc`) against the
+    * rows of `cand` — the verify kernel shared by the brute-force baseline
+    * (cand = the whole table) and the ANN paths (cand = one bucket / the
+    * probed IVF cells).
+    */
+  def cosineTopKAmong(cand: DataFrame, probeSrc: DataFrame, probeId: Long, k: Int,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val probe = withDouble(emb.where(col(id) === probeId), "eb", vec).select(col("eb"))
-    val all = withDouble(emb.where(col(id) =!= probeId), "ea", vec)
+    val probe = withDouble(probeSrc.where(col(id) === probeId), "eb", vec).select(col("eb"))
+    val all = withDouble(cand.where(col(id) =!= probeId), "ea", vec)
     all.crossJoin(broadcast(probe))
       .withColumn("cosine", round(expr(cosExpr), 4))
       .select(col(id), col("cosine"))

@@ -92,6 +92,31 @@ class OpsSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
+  test("IVF: trained quantizer separates constructed clusters; nprobe=1 recall is exact") {
+    // 3 well-separated direction clusters of 20 vectors each; probe in
+    // cluster 0 — all true neighbors share its cell, so IVF@nprobe=1 must
+    // equal brute force exactly.
+    def mk(cluster: Int, j: Int): Array[Float] = {
+      val rng = new scala.util.Random(cluster * 1000L + j)
+      val v = new Array[Float](12)
+      v(cluster * 4) = 10f // dominant direction per cluster
+      (0 until 12).foreach(i => v(i) = v(i) + (rng.nextGaussian() * 0.3).toFloat)
+      v
+    }
+    val emb = (for (c <- 0 until 3; j <- 0 until 20) yield ((c * 20 + j).toLong, mk(c, j)))
+      .toDF("vec_id", "embedding")
+    val cents = IvfOps.centroids(emb, k = 3, iters = 3)
+    assert(cents.length == 3)
+    // Lloyd moved the centroids: each trained centroid is dominated by one
+    // cluster direction, and the three directions are all represented
+    val doms = cents.map(_._2.zipWithIndex.maxBy(x => math.abs(x._1))._2 / 4).sorted
+    assert(doms.toSeq == Seq(0, 1, 2), s"trained centroids don't separate the clusters: ${doms.toSeq}")
+    val ivf = IvfOps.annTopK(emb, IvfOps.centroidsDf(spark, cents), probeId = 0L, k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = VectorOps.cosineTopK(emb, 0L, 5).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.toSeq == brute.toSeq, s"IVF@nprobe=1 must match brute force on separated clusters")
+  }
+
   test("banded LSH candidates grow sub-quadratically with adaptive bits (10x corpus)") {
     // deterministic pseudo-gaussian 64-dim vectors; signs ~uniform so band
     // buckets are ~uniform — the adversarial shape for candidate growth.
