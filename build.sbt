@@ -32,8 +32,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // slower at local[32] than local[8] with <1% host steal)
   "-XX:+UseParallelGC",
 ) ++
-  // ParallelGC's adaptive sizing shrinks Eden under the token-stream churn
-  // of the postings build (round 2, measured on the 2M-doc token exchange:
-  // 86.6 s / 59.6 s GC with default sizing -> 50.5 s / 14.9 s GC with
-  // -Xmn28g at -Xmx40g). Benchmarks pin Eden via SPARK_XMN ~ 0.7 x heap.
+  // Optional Eden pin for GC experiments. VERDICT-round-2 finding: do NOT
+  // pin by default — a large -Xmn starves the old gen that Spark's unified
+  // memory (0.6 x heap) promotes into, causing full-GC thrash (paired
+  // back-to-back at 2M docs, tmpfs source: postings chain 78.4 s with
+  // default sizing vs 136.9 s with -Xmn28g/-Xmx40g; an earlier apparent
+  // Xmn win was a host-noise confound).
   sys.env.get("SPARK_XMN").map(x => s"-Xmn$x").toSeq

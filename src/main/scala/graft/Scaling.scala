@@ -70,7 +70,12 @@ object Scaling {
     s
   }
 
-  private def srcDirFor(n: Long) = s"/tmp/graft_scale_src_$n"
+  // tmpfs: the staged source joins shuffle + index output off the single
+  // shared virtio disk (round 2: the disk's cold-read throughput measured
+  // ~135 MB/s and its contention varies by host co-tenancy — reading the
+  // corpus from it injected up to 2x variance into the registry/postings
+  // stages of BOTH levels)
+  private def srcDirFor(n: Long) = s"/dev/shm/graft_scale_src_$n"
 
   /** Sums task executorRunTime (ms) and executorCpuTime (ns) across all
     * tasks — the denominator for the task-time scaling argument: if total
@@ -194,6 +199,13 @@ object Scaling {
     val n = args.lift(0).map(_.toLong).getOrElse(200000L)
     val cpusA = args.lift(1).map(_.toInt).getOrElse(8)
     val cpusB = args.lift(2).map(_.toInt).getOrElse(32)
+    // Repeats interleave the levels (A,B,A,B,...) and the efficiency is
+    // computed from each level's MINIMUM wall time: the host steals CPU in
+    // multi-minute bursts, so any single sample can be polluted, but the
+    // min over interleaved repeats converges on the uncontended time —
+    // a steal-robust estimator (each sample still carries its own
+    // steal%/GC label for inspection).
+    val repeats = args.lift(3).map(_.toInt).getOrElse(1)
     val partitions = 4 * math.max(cpusA, cpusB) // fixed => same task graph at both levels
 
     // untimed: stage the corpus table once (shared by both levels)
@@ -204,23 +216,28 @@ object Scaling {
       s.stop()
     }
 
-    val (jsonA, fpA) = spawnLevel(n, cpusA, partitions)
-    val (jsonB, fpB) = spawnLevel(n, cpusB, partitions)
+    val samples = (1 to repeats).flatMap { _ =>
+      Seq(("A", spawnLevel(n, cpusA, partitions)), ("B", spawnLevel(n, cpusB, partitions)))
+    }
+    val (sampA, sampB) = (samples.filter(_._1 == "A").map(_._2), samples.filter(_._1 == "B").map(_._2))
     def field(j: String, name: String): Double =
       s""""$name":([0-9.E-]+)""".r.findFirstMatchIn(j).map(_.group(1).toDouble).getOrElse(Double.NaN)
+    def minOf(ss: Seq[(String, String)], name: String): Double = ss.map(s => field(s._1, name)).min
     val ratio = cpusB.toDouble / cpusA
-    val buildEff = (field(jsonA, "build_sec") / field(jsonB, "build_sec")) / ratio
-    val queryEff = (field(jsonA, "query_sec") / field(jsonB, "query_sec")) / ratio
+    val buildEff = (minOf(sampA, "build_sec") / minOf(sampB, "build_sec")) / ratio
+    val queryEff = (minOf(sampA, "query_sec") / minOf(sampB, "query_sec")) / ratio
     // work-invariance: total task CPU at 4N vs N — ~1.0 means the algorithm
     // adds zero coordination overhead with parallelism (the wall gap is then
     // environmental: GC / steal / memory bus, labeled per phase above)
-    val buildWorkRatio = field(jsonB, "build_cpu_sec") / field(jsonA, "build_cpu_sec")
-    val queryWorkRatio = field(jsonB, "query_cpu_sec") / field(jsonA, "query_cpu_sec")
-    println(s"""{"metric":"scaling","n_docs":$n,"partitions":$partitions,""" +
-      s""""levels":[$jsonA,$jsonB],""" +
+    val buildWorkRatio = minOf(sampB, "build_cpu_sec") / minOf(sampA, "build_cpu_sec")
+    val queryWorkRatio = minOf(sampB, "query_cpu_sec") / minOf(sampA, "query_cpu_sec")
+    val fps = samples.map(_._2._2).distinct
+    val allJsons = samples.map(_._2._1).mkString(",")
+    println(s"""{"metric":"scaling","n_docs":$n,"partitions":$partitions,"repeats":$repeats,""" +
+      s""""levels":[$allJsons],""" +
       s""""build_efficiency":$buildEff,"query_efficiency":$queryEff,""" +
       s""""build_cpu_work_ratio_4n_over_n":$buildWorkRatio,""" +
       s""""query_cpu_work_ratio_4n_over_n":$queryWorkRatio,""" +
-      s""""topk_identical_across_levels":${fpA == fpB}}""")
+      s""""topk_identical_across_levels":${fps.size == 1}}""")
   }
 }

@@ -315,52 +315,83 @@ object InvertedIndex {
     // ~saltRunDocs rows, so expected partition load is uniform. Block
     // contents depend only on the (term, salt) run contents — identical
     // under any partition count (byte-identical-rebuild gate).
-    salted
+    // The encode pass consumes the sort output at the InternalRow level
+    // (queryExecution.toRdd) instead of deserializing 10^8-scale TermPosting
+    // objects: per row it reads 4 primitives and a zero-copy UTF8String view
+    // — the reduce side of the token exchange allocates one small object per
+    // ROW VIEW and one term copy per RUN, not 3+ objects per posting.
+    // Measured motivation: GC was ~60 s of an ~87 s token exchange at 2M
+    // docs x 32 threads. This is the one deliberate drop below the typed
+    // Dataset API in the engine (allowed when forced — the alternative is
+    // per-posting serde), and its output is byte-identical to the typed
+    // encoder it replaced (rebuild-fingerprint gate).
+    val sorted = salted
       .repartition(cfg.partitions, $"term", $"salt")
       .sortWithinPartitions($"term", $"salt", $"docId")
-      .mapPartitions { it =>
-        new Iterator[PostingBlock] {
-          private val buf = it.buffered
-          private var localBlock = 0L
-          private var curTerm: String = null
-          private var curSalt = -1
-          private val ids = new Array[Long](blockSize)
-          private val tfs = new Array[Int](blockSize)
-          private val dls = new Array[Int](blockSize)
-          def hasNext: Boolean = buf.hasNext
-          def next(): PostingBlock = {
-            val head = buf.head
-            if (head.term != curTerm || head.salt != curSalt) {
-              curTerm = head.term; curSalt = head.salt; localBlock = 0L
-            }
-            var n = 0
-            var tfSum = 0L
-            var maxTfn = 0.0
-            while (n < blockSize && buf.hasNext && buf.head.term == curTerm && buf.head.salt == curSalt) {
-              val e = buf.next()
-              ids(n) = e.docId; tfs(n) = e.tf; dls(n) = e.dl
-              tfSum += e.tf
-              val tfn = Bm25.tfNorm(e.tf, e.dl, avgDl, p)
+      .toDF() // columns: term(0), salt(1), docId(2), tf(3), dl(4)
+    val blocksRdd = sorted.queryExecution.toRdd.mapPartitions { rows =>
+      new Iterator[PostingBlock] {
+        private val ids = new Array[Long](blockSize)
+        private val tfs = new Array[Int](blockSize)
+        private val dls = new Array[Int](blockSize)
+        private var curTerm: org.apache.spark.unsafe.types.UTF8String = null
+        private var curTermStr: String = null
+        private var curSalt = -1
+        private var localBlock = 0L
+        // the sorter reuses its row buffer, so the row that opens the NEXT
+        // run (or block) is stashed as copied values, never held as a row
+        private var carried = false
+        private var cTerm: org.apache.spark.unsafe.types.UTF8String = null
+        private var cSalt = 0
+        private var cDoc = 0L
+        private var cTf = 0
+        private var cDl = 0
+        private def stash(r: org.apache.spark.sql.catalyst.InternalRow): Unit = {
+          cTerm = r.getUTF8String(0).clone()
+          cSalt = r.getInt(1); cDoc = r.getLong(2); cTf = r.getInt(3); cDl = r.getInt(4)
+        }
+        def hasNext: Boolean = carried || rows.hasNext
+        def next(): PostingBlock = {
+          if (!carried) stash(rows.next())
+          carried = false
+          if (curTerm == null || cSalt != curSalt || !cTerm.equals(curTerm)) {
+            curTerm = cTerm; curTermStr = curTerm.toString; curSalt = cSalt; localBlock = 0L
+          }
+          ids(0) = cDoc; tfs(0) = cTf; dls(0) = cDl
+          var n = 1
+          var tfSum = cTf.toLong
+          var maxTfn = Bm25.tfNorm(cTf.toLong, cDl.toLong, avgDl, p)
+          var open = true
+          while (open && n < blockSize && rows.hasNext) {
+            val r = rows.next()
+            val s = r.getInt(1)
+            if (s == curSalt && r.getUTF8String(0).equals(curTerm)) {
+              val tf = r.getInt(3); val dl = r.getInt(4)
+              ids(n) = r.getLong(2); tfs(n) = tf; dls(n) = dl
+              tfSum += tf
+              val tfn = Bm25.tfNorm(tf.toLong, dl.toLong, avgDl, p)
               if (tfn > maxTfn) maxTfn = tfn
               n += 1
-            }
-            val blockIds = java.util.Arrays.copyOf(ids, n)
-            val blockTfs = java.util.Arrays.copyOf(tfs, n)
-            val blockDls = java.util.Arrays.copyOf(dls, n)
-            // blockId = salt(31b) | slice(10b) | localBlock(22b): ascending
-            // blockId == ascending docId within a term (salt buckets, then
-            // slices, then positions are all docId-monotone)
-            require(localBlock < (1L << 22),
-              s"(term=$curTerm, salt=$curSalt, slice=$sliceL) exceeds 2^22 blocks — raise IndexConfig.saltRunDocs granularity")
-            val b = PostingBlock(curTerm, (curSalt.toLong << 32) | (sliceL << 22) | localBlock,
-              blockIds(0), blockIds(n - 1), n, tfSum, maxTfn,
-              PostingsCodec.encodeDocIds(blockIds), PostingsCodec.encodeTfs(blockTfs),
-              PostingsCodec.encodeDls(blockDls))
-            localBlock += 1
-            b
+            } else { stash(r); carried = true; open = false }
           }
+          val blockIds = java.util.Arrays.copyOf(ids, n)
+          val blockTfs = java.util.Arrays.copyOf(tfs, n)
+          val blockDls = java.util.Arrays.copyOf(dls, n)
+          // blockId = salt(31b) | slice(10b) | localBlock(22b): ascending
+          // blockId == ascending docId within a term (salt buckets, then
+          // slices, then positions are all docId-monotone)
+          require(localBlock < (1L << 22),
+            s"(term=$curTermStr, salt=$curSalt, slice=$sliceL) exceeds 2^22 blocks — raise IndexConfig.saltRunDocs granularity")
+          val b = PostingBlock(curTermStr, (curSalt.toLong << 32) | (sliceL << 22) | localBlock,
+            blockIds(0), blockIds(n - 1), n, tfSum, maxTfn,
+            PostingsCodec.encodeDocIds(blockIds), PostingsCodec.encodeTfs(blockTfs),
+            PostingsCodec.encodeDls(blockDls))
+          localBlock += 1
+          b
         }
       }
+    }
+    spark.createDataset(blocksRdd)
   }
 
   /** Exact df/cf + the global WAND bound, derived from committed postings —
