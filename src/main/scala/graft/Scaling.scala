@@ -117,12 +117,16 @@ object Scaling {
     import spark.implicits._
     val tt = new TaskTimeListener
     spark.sparkContext.addSparkListener(tt)
-    val dir = s"/dev/shm/graft_scale_$cpus"
+    // the level dir is keyed by (n, cpus): a reused index can never belong
+    // to a different corpus size
+    val dirName = s"graft_scale_${n}_$cpus"
+    val dir = s"/dev/shm/$dirName"
     // GRAFT_SCALE_REUSE=1 keeps each level's committed index so the build
     // phase no-ops (manifest skip) and the run measures ONLY the query
     // phase — lets query-scaling samples repeat cheaply on a bursty host.
+    // (Such runs report build_sec ~ 0; only their query numbers are data.)
     if (!sys.env.get("GRAFT_SCALE_REUSE").contains("1"))
-      graft.io.Tables.delete(spark, "/dev/shm", s"graft_scale_$cpus")
+      graft.io.Tables.delete(spark, "/dev/shm", dirName)
 
     val cfg = IndexConfig.auto(n, partitions, dfSampleFraction = 0.1)
     val src = spark.read.parquet(s"${srcDirFor(n)}/code_files").as[CodeFile]
@@ -153,6 +157,11 @@ object Scaling {
     reader.searchBmwBatch(QuerySet.all, QuerySet.K, buckets) // warm
     val rounds = 2
     var fp = 0L
+    // fresh task-time baseline AFTER the warm-up + reader init, so the
+    // query task/CPU deltas cover exactly the timed window (the warm batch
+    // is ~20% of the timed workload at large n — counting it skewed the
+    // work-invariance evidence)
+    val ttQ0 = tt.settled()
     val cs1 = cpuStat()
     val gc1 = gcMs()
     val tq = System.nanoTime()
@@ -164,8 +173,8 @@ object Scaling {
     val querySteal = stealPct(cs1, cpuStat())
     val queryGc = (gcMs() - gc1) / 1e3
     val tt2 = tt.settled()
-    val queryTaskSec = (tt2._1 - tt1._1) / 1e3
-    val queryCpuSec = (tt2._2 - tt1._2) / 1e9
+    val queryTaskSec = (tt2._1 - ttQ0._1) / 1e3
+    val queryCpuSec = (tt2._2 - ttQ0._2) / 1e9
     val nQueries = rounds * workload.size
     spark.stop()
     // the parent greps this exact prefix

@@ -215,6 +215,17 @@ object InvertedIndex {
     */
   def buildRegistry(spark: SparkSession, src: Dataset[CodeFile], cfg: IndexConfig): Dataset[DocRow] = {
     import spark.implicits._
+    // The docId assignment — and the postings stage's content re-derivation
+    // through the SAME assignment — requires (repo, path, commit) to be
+    // UNIQUE (it is the source table's primary key, BASELINE.json:15): two
+    // rows with equal keys would sort adjacently in a payload-dependent
+    // order in the two independent passes, silently pairing one row's
+    // metadata with the other's content. Fail loudly instead; keys-only
+    // scan, checked once here on behalf of both passes.
+    val dup = src.toDF().groupBy("repo", "path", "commit").count()
+      .where(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"duplicate (repo, path, commit) key in the source table: ${dup.headOption.getOrElse("")} — the key must be unique")
     val slim = src.map(f => DocMeta(f.repo, f.path, f.commit, f.lang,
       CodeTokenizer.countTokens(f.content), graft.fixtures.CorpusGen.sha256Hex(f.content)))
     withDocIds(spark, slim, src.toDF(), cfg.partitions) { (id, m) =>
@@ -455,11 +466,17 @@ object InvertedIndex {
         // Per-slice resume: each docId slice is inverted, encoded, and
         // committed under its own manifest; re-running after a kill skips
         // every committed slice and recomputes only the one in flight.
+        // Slice names and paths carry the GEOMETRY (i of s, and the
+        // partition count the pid ranges derive from): resuming with a
+        // different resumeSlices/partitions cannot silently mix slices of
+        // incompatible pid coverage — old-geometry scratch is simply
+        // ignored and cleaned with the rest.
         val s = cfg.resumeSlices
+        val geom = s"p${cfg.partitions}n$s"
         val heavy = heavyTerms(spark, src, cfg) // deterministic; cheap (sampled)
         for (i <- 0 until s) {
-          val table = s"postings_slices/s$i"
-          sliceResults += Manifests.runStage(spark, indexDir, s"postings_slice_$i", runId, Seq(table)) {
+          val table = s"postings_slices/$geom/s$i"
+          sliceResults += Manifests.runStage(spark, indexDir, s"postings_slice_${geom}_$i", runId, Seq(table)) {
             val blocks = buildPostingsSlice(spark, src, stats, cfg, heavy, i, s)
             Tables.write(blocks.toDF(), indexDir, table)
             Tables.read(spark, indexDir, table).count()
@@ -469,20 +486,20 @@ object InvertedIndex {
         }
         // the merge reads the committed slice parquet — already compact
         val all = spark.read.parquet(
-          (0 until s).map(i => Tables.tablePath(indexDir, s"postings_slices/s$i")): _*)
+          (0 until s).map(i => Tables.tablePath(indexDir, s"postings_slices/$geom/s$i")): _*)
         commitSorted(all)
       }
       stats.numDocs
     }
     results ++= sliceResults.result()
-    // slice scratch is only needed until the merged postings commit; clean
-    // it AFTER the stage manifest (a kill in between re-runs from the
-    // still-committed slices, never from scratch)
+    // slice scratch (any geometry) is only needed until the merged postings
+    // commit; clean it AFTER the stage manifest (a kill in between re-runs
+    // from the still-committed slices, never from scratch)
     if (cfg.resumeSlices > 1 && Manifests.isComplete(spark, indexDir, "postings")) {
-      for (i <- 0 until cfg.resumeSlices) {
-        Tables.delete(spark, indexDir, s"postings_slices/s$i")
-        Tables.delete(spark, indexDir, s"lineage/postings_slice_$i")
-      }
+      Tables.delete(spark, indexDir, "postings_slices")
+      val geom = s"p${cfg.partitions}n${cfg.resumeSlices}"
+      for (i <- 0 until cfg.resumeSlices)
+        Tables.delete(spark, indexDir, s"lineage/postings_slice_${geom}_$i")
     }
 
     results += Manifests.runStage(spark, indexDir, "dictionary", runId, Seq(DictTable)) {

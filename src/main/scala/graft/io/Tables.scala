@@ -40,27 +40,51 @@ object Tables {
     * shape (bulk partial-update of documents already in the index,
     * SURVEY.md §2.2 A14). On Iceberg this facade becomes `MERGE INTO t USING
     * u ON keys WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT` (a
-    * metadata-level row-delta commit); on plain parquet it is rewrite-and-
-    * swap: survivors (anti-join on the keys — one shuffle of the target) +
-    * updates land in a staging dir, which replaces the table only after its
-    * _SUCCESS marker, so readers of the old table are never torn.
+    * metadata-level row-delta ATOMIC commit); on plain parquet it is
+    * rewrite-and-swap with a crash-recoverable protocol:
     *
-    * Scale note: the anti-join shuffles the whole target once — the honest
-    * cost of upsert WITHOUT a delta-capable format; at 100 TB you partition
-    * the target and upsert only the touched partitions (or use Iceberg).
+    *   1. recover: if only `name__old` exists, a prior swap died mid-way —
+    *      rename it back; if `name` exists, any `name__old` is a completed
+    *      swap's leftover — drop it (with stale staging either way);
+    *   2. stage the merged table (survivors via anti-join on the keys — one
+    *      shuffle of the target — union the updates) under `name__staging`,
+    *      fully committed (_SUCCESS) before any swap step;
+    *   3. swap: rename name -> name__old, staging -> name, drop name__old.
+    *
+    * A kill at ANY point leaves either the old or the new generation fully
+    * recoverable by the next call — the base data is never deleted before
+    * the replacement is in place. (What plain directories cannot give is an
+    * atomic cutover for CONCURRENT readers during step 3 — that is exactly
+    * the gap Iceberg's snapshot commit closes at scale.)
+    *
+    * Scale note: the anti-join rewrites the whole target — the honest cost
+    * of upsert WITHOUT a delta-capable format; at 100 TB partition the
+    * target and upsert only the touched partitions (or use Iceberg).
     */
   def upsert(spark: SparkSession, base: String, name: String,
       updates: DataFrame, keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     val staging = s"${name}__staging"
+    val old = s"${name}__old"
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // step 1: recovery from a previous kill
+    delete(spark, base, staging)
+    if (!exists(spark, base, name) && exists(spark, base, old))
+      require(fs.rename(new Path(tablePath(base, old)), new Path(tablePath(base, name))),
+        s"upsert recovery failed for $base/$name")
+    else delete(spark, base, old)
+    // step 2: stage the merged generation
     val merged =
       if (!exists(spark, base, name)) updates
       else read(spark, base, name).join(updates.select(keys.map(org.apache.spark.sql.functions.col): _*),
         keys, "left_anti").unionByName(updates)
     write(merged, base, staging)
-    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    delete(spark, base, name)
+    // step 3: swap (old generation survives until the new one is in place)
+    if (exists(spark, base, name))
+      require(fs.rename(new Path(tablePath(base, name)), new Path(tablePath(base, old))),
+        s"upsert swap (aside) failed for $base/$name")
     require(fs.rename(new Path(tablePath(base, staging)), new Path(tablePath(base, name))),
-      s"upsert swap failed for $base/$name")
+      s"upsert swap (in) failed for $base/$name")
+    delete(spark, base, old)
   }
 }

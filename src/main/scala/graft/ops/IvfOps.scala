@@ -33,11 +33,18 @@ object IvfOps {
     if (d == 0) 0.0 else dot / d
   }
 
-  /** Deterministic spherical k-means: init = the k lowest-id vectors; each
-    * Lloyd round assigns by (rounded cosine desc, cid asc) and re-centers on
-    * the per-cell mean. Centroids are tiny (k x dim) — they live on the
-    * driver and broadcast into the assignment pass, the corpus is never
-    * shuffled.
+  /** Spherical k-means: init = the k lowest-id vectors (fully
+    * deterministic); each Lloyd round assigns by (rounded cosine desc, cid
+    * asc) and re-centers on the per-cell mean. Centroids are tiny (k x dim)
+    * — they live on the driver and broadcast into the assignment pass, the
+    * corpus is never shuffled.
+    *
+    * Determinism caveat (standard for distributed k-means): the per-cell
+    * vector SUM reduces across partitions in no fixed order, so trained
+    * centroids are deterministic only up to floating-point summation order
+    * — low-bit drift that can flip a near-tie assignment between runs. The
+    * exactly-reproducible path (and the one the driver oracle checks) is
+    * the iters = 0 quantizer, where no reduction exists.
     */
   def centroids(emb: DataFrame, k: Int, iters: Int,
       id: String = "vec_id", vec: String = "embedding"): Array[(Int, Array[Double])] = {
@@ -63,6 +70,14 @@ object IvfOps {
     cents.zipWithIndex.map { case (c, i) => (i, c) }
   }
 
+  /** round(x, 6) with SQL ROUND semantics (HALF_UP, away from zero) — the
+    * same rule Spark's `round` and the DuckDB twin apply, so the Scala
+    * (Lloyd) and relational assignment paths agree even exactly on a
+    * rounding boundary.
+    */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Cell of vector v: argmax over centroids of round(cosine, 6), ties to
     * the smaller centroid id — the same rule the SQL twin expresses.
     */
@@ -71,7 +86,7 @@ object IvfOps {
     var bestSim = Double.NegativeInfinity
     var i = 0
     while (i < cents.length) {
-      val s = math.rint(cosine(v, cents(i)) * 1e6) / 1e6
+      val s = round6(cosine(v, cents(i)))
       if (s > bestSim) { bestSim = s; best = i }
       i += 1
     }

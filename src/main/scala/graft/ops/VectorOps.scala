@@ -99,6 +99,12 @@ object VectorOps {
     */
   def bandCandidates(emb: DataFrame, bits: Int, bands: Int,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    // enforce bands * bits <= dim: a band sliced past the end yields an
+    // EMPTY piece for every vector — one global bucket, silently quadratic
+    emb.select(size(col(vec)).as("d")).limit(1).collect().foreach { r =>
+      require(bands * bits <= r.getInt(0),
+        s"bands*bits = ${bands * bits} exceeds embedding dim ${r.getInt(0)} — empty band pieces would degrade the blocking to all-pairs")
+    }
     val pieceExpr = expr(
       s"""transform(sequence(0, ${bands - 1}), q -> struct(q AS q,
          |  concat_ws('', transform(slice($vec, q * $bits + 1, $bits),
@@ -114,7 +120,15 @@ object VectorOps {
   def cosineNearDupPairs(emb: DataFrame, minCos: Double, bitsPerBand: Int = 0,
       bands: Int = 4, targetBucketDocs: Long = 64,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val bits = if (bitsPerBand > 0) bitsPerBand else adaptiveBits(emb.count(), targetBucketDocs)
+    val bits =
+      if (bitsPerBand > 0) bitsPerBand
+      else {
+        // adaptive bits are additionally clamped to what the vector dim can
+        // supply (bandCandidates rejects an overrun outright)
+        val dim = emb.select(size(col(vec)).as("d")).limit(1).collect()
+          .headOption.map(_.getInt(0)).getOrElse(0)
+        math.max(1, math.min(adaptiveBits(emb.count(), targetBucketDocs), dim / math.max(1, bands)))
+      }
     val cand = bandCandidates(emb, bits, bands, id, vec)
     val ev = withDouble(emb, "ev", vec).select(col(id), col("ev"))
     cand

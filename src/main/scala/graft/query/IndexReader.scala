@@ -56,17 +56,15 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       .where(col("term").isin(terms: _*))
       .as[PostingBlock]
 
-  /** Naive document-at-a-time baseline: decode ALL blocks of the query
-    * terms, aggregate per doc (contributions sorted by term before summing —
-    * the pinned order), global top-k. The regression target BMW must equal.
+  /** Per-posting BM25 contributions of the query terms — (docId, term,
+    * idf x tfNorm) rows decoded per block; the shared kernel of the naive
+    * DAAT baseline and the distributed rank-all path.
     */
-  def searchNaive(query: String, k: Int): Array[SearchHit] = {
-    val meta = termMeta(analyze(query))
-    if (meta.isEmpty) return Array.empty
+  private def contribs(meta: Map[String, BlockMaxWand.TermMeta]): DataFrame = {
     val metaB = spark.sparkContext.broadcast(meta)
     val avgDl = stats.avgDl
     val pp = p
-    val contribs = postingsFor(meta.keys.toSeq.sorted).flatMap { b =>
+    postingsFor(meta.keys.toSeq.sorted).flatMap { b =>
       val idf = metaB.value(b.term).idf
       val ids = PostingsCodec.decodeDocIds(b.firstDocId, b.count, b.docDeltas)
       val tfs = PostingsCodec.decodeTfs(b.count, b.tfs)
@@ -74,7 +72,16 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       Iterator.tabulate(b.count)(i =>
         (ids(i), b.term, idf * Bm25.tfNorm(tfs(i).toLong, dls(i).toLong, avgDl, pp)))
     }.toDF("docId", "term", "contrib")
-    contribs.groupByKey(r => r.getLong(0))
+  }
+
+  /** Naive document-at-a-time baseline: decode ALL blocks of the query
+    * terms, aggregate per doc (contributions sorted by term before summing —
+    * the pinned order), global top-k. The regression target BMW must equal.
+    */
+  def searchNaive(query: String, k: Int): Array[SearchHit] = {
+    val meta = termMeta(analyze(query))
+    if (meta.isEmpty) return Array.empty
+    contribs(meta).groupByKey(r => r.getLong(0))
       .mapGroups { (d, it) =>
         val s = it.toArray.sortBy(_.getString(1)).foldLeft(0.0)(_ + _.getDouble(2))
         SearchHit(d, s)
@@ -202,17 +209,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
-    val metaB = spark.sparkContext.broadcast(meta)
-    val avgDl = stats.avgDl
-    val pp = p
-    postingsFor(meta.keys.toSeq.sorted).flatMap { b =>
-      val idf = metaB.value(b.term).idf
-      val ids = PostingsCodec.decodeDocIds(b.firstDocId, b.count, b.docDeltas)
-      val tfs = PostingsCodec.decodeTfs(b.count, b.tfs)
-      val dls = PostingsCodec.decodeDls(b.count, b.dls)
-      Iterator.tabulate(b.count)(i =>
-        (ids(i), b.term, idf * Bm25.tfNorm(tfs(i).toLong, dls(i).toLong, avgDl, pp)))
-    }.toDF("docId", "term", "contrib")
+    contribs(meta)
       .groupBy("docId")
       .agg(aggregate(
         sort_array(collect_list(struct(col("term"), col("contrib")))),

@@ -42,7 +42,7 @@ class SlicedBuildSpec extends SparkSpec {
     for (q <- probes)
       assert(ra.searchBmw(q, QuerySet.K).toSeq == rb.searchBmw(q, QuerySet.K).toSeq, s"top-k differs for '$q'")
     // slice scratch cleaned after the merged commit
-    assert(!Tables.exists(spark, dirSliced, "postings_slices/s0"))
+    assert(!Tables.exists(spark, dirSliced, "postings_slices/p8n4/s0"))
   }
 
   test("kill mid-postings: committed slices are not recomputed on resume") {
@@ -53,21 +53,21 @@ class SlicedBuildSpec extends SparkSpec {
     assert(boom.getMessage.contains("chaos"))
     // mid-kill state: registry/stats + slices 0,1 committed; 2,3 and the
     // merged postings absent
-    assert(Manifests.isComplete(spark, dirKill, "postings_slice_0"))
-    assert(Manifests.isComplete(spark, dirKill, "postings_slice_1"))
-    assert(!Manifests.isComplete(spark, dirKill, "postings_slice_2"))
+    assert(Manifests.isComplete(spark, dirKill, "postings_slice_p8n4_0"))
+    assert(Manifests.isComplete(spark, dirKill, "postings_slice_p8n4_1"))
+    assert(!Manifests.isComplete(spark, dirKill, "postings_slice_p8n4_2"))
     assert(!Manifests.isComplete(spark, dirKill, "postings"))
     val committedAt01 = (0 to 1).map { i =>
-      Tables.read(spark, dirKill, s"lineage/postings_slice_$i")
+      Tables.read(spark, dirKill, s"lineage/postings_slice_p8n4_$i")
         .where(col("partitionId") === -1).collect()(0).getAs[Long]("committedAtMs")
     }
 
     val report = InvertedIndex.build(spark, corpus, dirKill, cfgSliced, "resume")
     val byStage = report.results.map(r => r.stage -> r.skipped).toMap
     assert(byStage("registry") && byStage("stats"), s"pre-kill stages must be skipped: $byStage")
-    assert(byStage("postings_slice_0") && byStage("postings_slice_1"),
+    assert(byStage("postings_slice_p8n4_0") && byStage("postings_slice_p8n4_1"),
       s"committed slices must be skipped on resume: $byStage")
-    assert(!byStage("postings_slice_2") && !byStage("postings_slice_3"),
+    assert(!byStage("postings_slice_p8n4_2") && !byStage("postings_slice_p8n4_3"),
       s"uncommitted slices must run: $byStage")
     assert(!byStage("postings") && !byStage("dictionary"))
 
@@ -83,6 +83,32 @@ class SlicedBuildSpec extends SparkSpec {
     // recommit would have rewritten them before the cleanup erased the
     // scratch manifests entirely (they are gone after the merged commit)
     assert(committedAt01.forall(_ > 0))
-    assert(!Tables.exists(spark, dirKill, "lineage/postings_slice_0"))
+    assert(!Tables.exists(spark, dirKill, "lineage/postings_slice_p8n4_0"))
+  }
+
+  test("resume with a DIFFERENT slice geometry ignores old-geometry scratch") {
+    // kill a 4-slice build mid-way, then resume with 8 slices: the committed
+    // p8n4 slices cover pid ranges that mean something else under p8n8 —
+    // geometry-qualified names/paths must keep them out of the merge, and
+    // the result must still equal the clean build.
+    val dir = "/tmp/graft_sliced_regeom"
+    Tables.delete(spark, "/tmp", "graft_sliced_regeom")
+    intercept[RuntimeException] {
+      InvertedIndex.build(spark, corpus, dir, cfgSliced.copy(chaosFailAfterSlice = 1), "kill")
+    }
+    assert(Manifests.isComplete(spark, dir, "postings_slice_p8n4_1"))
+    val report = InvertedIndex.build(spark, corpus, dir, cfgSliced.copy(resumeSlices = 8), "regeom")
+    val byStage = report.results.map(r => r.stage -> r.skipped).toMap
+    assert(!byStage("postings_slice_p8n8_0"), "new-geometry slices must all run")
+    // block boundaries legitimately differ between geometries; what must
+    // hold is exact df/cf (a mixed merge would double-count pids) and
+    // identical query answers
+    assert(fingerprint(dir, InvertedIndex.DictTable) ==
+      fingerprint(dirSliced, InvertedIndex.DictTable),
+      "re-geometried resume must not mix old-geometry slices into the merge")
+    val rg = new IndexReader(spark, dir)
+    val rb = new IndexReader(spark, dirSliced)
+    for (q <- probes)
+      assert(rg.searchBmw(q, QuerySet.K).toSeq == rb.searchBmw(q, QuerySet.K).toSeq, s"top-k differs for '$q'")
   }
 }
