@@ -94,10 +94,30 @@ object DocumentsIndex {
         .select(col("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), asc("doc_id"))
     } else {
-      // top-k: BMW with over-fetch by exact score (the rounded re-sort for
-      // the cross-engine protocol needs a stable boundary); k*20 hits are
-      // trivially driver-sized.
-      val hits = r.searchBmw(query, math.max(k * 20, 200))
+      // top-k: BMW with over-fetch by exact score, GROWN until the rounded
+      // boundary is provably stable: rounding is monotone, so every doc
+      // outside the fetch rounds to <= the last fetched hit's rounded score;
+      // if that is strictly below the rounded score at rank k, no outside
+      // doc can tie into the cut. A fetch that returns fewer hits than asked
+      // is the complete match set (trivially stable). Unstable after one
+      // growth -> exact rank-all fallback (tiny driver tables only; at
+      // corpus scale a detected tie on a 6-dp boundary is vanishingly rare).
+      def stable(hits: Array[graft.query.SearchHit], fetch: Int): Boolean =
+        hits.length < fetch || {
+          val rounded = hits.map(h => math.BigDecimal(h.score).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          rounded.sorted(Ordering[BigDecimal].reverse).lift(k - 1)
+            .forall(rk => rounded.last < rk)
+        }
+      val fetch0 = math.max(k * 20, 200)
+      val attempts = Iterator(fetch0, fetch0 * 8)
+        .map(f => (r.searchBmw(query, f), f))
+      val hits = attempts.collectFirst { case (h, f) if stable(h, f) => h }
+        .getOrElse {
+          return r.scoreAllDf(query).join(docIdMap(spark, sfDir), Seq("docId"))
+            .select(col("doc_id"), round(col("score"), 6).as("score"))
+            .orderBy(desc("score"), asc("doc_id"))
+            .limit(k)
+        }
       val hitsDf = spark.createDataset(hits.toSeq).toDF()
       broadcast(hitsDf).join(docIdMap(spark, sfDir), Seq("docId"))
         .select(col("doc_id"), round(col("score"), 6).as("score"))

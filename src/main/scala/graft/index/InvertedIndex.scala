@@ -35,9 +35,17 @@ final case class DocMeta(repo: String, path: String, commit: String,
   * tf/(tf+k1(1-b+b*dl/avgdl)) within the block; the WAND upper bound for a
   * block is idf(term) * blockMaxTfn, so encode needs no df and the bound
   * stays exact under the final df.
+  *
+  * (maxTf, minDl) is the STATS-INDEPENDENT bound material (the analog of
+  * Lucene's per-block competitive (freq, norm) impact pairs): tfNorm is
+  * increasing in tf and decreasing in dl, so tfNorm(maxTf, minDl, avgdl') is
+  * a valid (slightly looser) block bound under ANY corpus avgdl' — what lets
+  * delta segments be served with merged stats without re-encoding the base
+  * segment's blocks (blockMaxTfn is exact only under the avgdl the block was
+  * built with).
   */
 final case class PostingBlock(term: String, blockId: Long, firstDocId: Long, lastDocId: Long,
-    count: Int, tfSum: Long, blockMaxTfn: Double,
+    count: Int, tfSum: Long, blockMaxTfn: Double, maxTf: Int, minDl: Int,
     docDeltas: Array[Byte], tfs: Array[Byte], dls: Array[Byte])
 
 final case class TermPosting(term: String, salt: Int, docId: Long, tf: Int, dl: Int)
@@ -77,6 +85,21 @@ final case class IndexConfig(
       * simulating a mid-postings kill. -1 = never.
       */
     chaosFailAfterSlice: Int = -1,
+    /** Physical partition count of the postings table on term: the table is
+      * written with a `tbucket = crc32(term) % termBuckets` partition column,
+      * so a query's term predicate eliminates partitions at the CATALOG
+      * level (directory pruning) before any file statistics are consulted —
+      * sturdier than row-group min/max stats under compaction, and the
+      * natural Iceberg `bucket(term)` layout. Size so each bucket holds a
+      * few files at the target scale.
+      */
+    termBuckets: Int = 32,
+    /** First docId this build assigns (dense from here). Non-zero for DELTA
+      * segments (graft.index.DeltaIndex): the delta's docIds continue where
+      * the base segment's end, so segment docId ranges are disjoint and
+      * bucket-range query sharding works over their union unchanged.
+      */
+    docIdBase: Long = 0L,
     bm25: Bm25Params = Bm25.Default)
 
 object IndexConfig {
@@ -119,11 +142,45 @@ object InvertedIndex {
   /** On-disk format version; bump on any postings/codec layout change. A
     * reader refuses indexes of another version instead of misdecoding
     * (codec payloads are tagged binary — an old index read with a new
-    * decoder would be silent garbage).
+    * decoder would be silent garbage). v4: term-bucket partitioned postings
+    * + per-block/per-term (maxTf, minDl) impact material.
     */
-  val FormatVersion = 3
+  val FormatVersion = 4
 
   private def versionPath(indexDir: String) = new org.apache.hadoop.fs.Path(s"$indexDir/FORMAT_VERSION")
+
+  /** The postings partition bucket of a term — MUST agree between the write
+    * path (Catalyst `pmod(crc32(encode(term, 'UTF-8')), B)` in commitSorted)
+    * and this driver-side form used at query compile (both are CRC-32 over
+    * the term's UTF-8 bytes, mod B).
+    */
+  def termBucket(term: String, buckets: Int): Int = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(term.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (crc.getValue % buckets).toInt
+  }
+
+  private def termBucketsPath(indexDir: String) = new org.apache.hadoop.fs.Path(s"$indexDir/TERM_BUCKETS")
+
+  private def writeTermBuckets(spark: SparkSession, indexDir: String, buckets: Int): Unit = {
+    val p = termBucketsPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(buckets.toString.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Bucket count the postings table at `indexDir` was written with. */
+  def readTermBuckets(spark: SparkSession, indexDir: String): Int = {
+    val p = termBucketsPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"index at $indexDir has no TERM_BUCKETS sidecar — rebuild it")
+    val in = fs.open(p)
+    val b = new Array[Byte](16)
+    val n = in.read(b)
+    in.close()
+    new String(b, 0, n, "UTF-8").trim.toInt
+  }
 
   def writeFormatVersion(spark: SparkSession, indexDir: String): Unit = {
     val p = versionPath(indexDir)
@@ -149,41 +206,73 @@ object InvertedIndex {
     require(formatVersionOk(spark, indexDir),
       s"index at $indexDir has a different FORMAT_VERSION than this build ($FormatVersion) — rebuild it")
 
+  /** The per-partition layout of one build's docId assignment: counts and
+    * starting offsets per pid, computed by ONE keys-only scan
+    * ([[docIdPlan]]) and shared by every stage and slice of the build (the
+    * registry pass, each postings slice's pass, and the postings stage's
+    * source-drift cross-check all consume the same plan — round 2 recomputed
+    * it per call, one redundant keys-only scan per stage/slice).
+    */
+  final case class DocIdPlan(counts: Array[Long], offsets: Array[Long], idBase: Long) {
+    def partitions: Int = counts.length
+    def total: Long = counts.sum
+  }
+
+  /** Compute the docId plan with ONE keys-only scan that also enforces the
+    * (repo, path, commit) uniqueness precondition: the scan groups by the
+    * full key first (any group of 2+ rows is a duplicate — two equal keys
+    * would sort adjacently in a payload-dependent order in the independent
+    * registry/postings passes, silently pairing one row's metadata with the
+    * other's content — fail loudly instead), then reduces the key groups to
+    * per-pid counts (a tiny partial aggregate). `idBase` offsets every
+    * assigned docId — non-zero for delta segments.
+    */
+  def docIdPlan(spark: SparkSession, keysOnly: DataFrame, p: Int, idBase: Long = 0L): DocIdPlan = {
+    val pidExpr = pmod(hash(col("repo"), col("path"), col("commit")), lit(p))
+    val rows = keysOnly.select(col("repo"), col("path"), col("commit"))
+      .groupBy("repo", "path", "commit").agg(count(lit(1)).as("c"))
+      .groupBy(pidExpr.as("pid")).agg(sum("c").as("c"), max("c").as("mx"))
+      .collect()
+    val counts = new Array[Long](p)
+    rows.foreach { r =>
+      require(r.getLong(2) <= 1L,
+        s"duplicate (repo, path, commit) key in the source table (pid=${r.getInt(0)}) — the key must be unique")
+      counts(r.getInt(0)) = r.getLong(1)
+    }
+    val offsets = new Array[Long](p)
+    var acc = idBase
+    var i = 0
+    while (i < p) { offsets(i) = acc; acc += counts(i); i += 1 }
+    DocIdPlan(counts, offsets, idBase)
+  }
+
   /** Deterministic, dense, partition-layout-independent docId assignment
     * (SURVEY.md §7.5) over ANY dataset carrying the (repo, path, commit) key
     * columns: pid = pmod(murmur3(repo,path,commit), P) — the exact partition
     * function `repartition(P, cols)` uses — gives a deterministic partition
-    * for every row; pass A counts rows per pid over `keysOnly` (cheap: key
-    * columns only, content pruned at the parquet scan); pass B re-shuffles
-    * `ds` the same way, sorts each partition by key, and assigns
+    * for every row; pass A ([[docIdPlan]], computed once per build) counts
+    * rows per pid over the key columns only; pass B re-shuffles `ds` the
+    * same way, sorts each partition by key, and assigns
     * docId = offset(pid) + localIndex. No RDD, no global sort, no
     * monotonically_increasing_id. Because the assignment is a pure function
-    * of (key set, P), the registry and postings stages call this
+    * of (key set, P, idBase), the registry and postings stages call this
     * independently — on different payloads — and get IDENTICAL ids, which is
     * what lets the docs table drop content.
     *
     * `pidRange` = Some((lo, hi)) restricts processing to partitions
-    * [lo, hi) while keeping the GLOBAL offsets (counts always come from the
-    * full `keysOnly`): a caller can pre-filter `ds` to the same pid range
+    * [lo, hi) while keeping the GLOBAL offsets (the plan always covers the
+    * full key set): a caller can pre-filter `ds` to the same pid range
     * (a narrow predicate — no shuffle of excluded rows) and process one
     * contiguous docId slice of the corpus. This is what makes the postings
     * build resumable per slice, not just per stage.
     */
   def withDocIds[T, U: org.apache.spark.sql.Encoder](spark: SparkSession, ds: Dataset[T],
-      keysOnly: DataFrame, p: Int, pidRange: Option[(Int, Int)] = None)
+      plan: DocIdPlan, pidRange: Option[(Int, Int)] = None)
       (emit: (Long, T) => U): Dataset[U] = {
     val keyCols = Seq(col("repo"), col("path"), col("commit"))
-    val pidExpr = pmod(hash(keyCols: _*), lit(p))
-
-    val counts = new Array[Long](p)
-    keysOnly.groupBy(pidExpr.as("pid")).agg(count(lit(1)).as("c"))
-      .collect().foreach(r => counts(r.getInt(0)) = r.getLong(1))
-    val offsets = new Array[Long](p)
-    var acc = 0L
-    var i = 0
-    while (i < p) { offsets(i) = acc; acc += counts(i); i += 1 }
-    val offsetsB = spark.sparkContext.broadcast(offsets)
-    val countsB = spark.sparkContext.broadcast(counts)
+    val p = plan.partitions
+    val offsetsB = spark.sparkContext.broadcast(plan.offsets)
+    val countsB = spark.sparkContext.broadcast(plan.counts)
     val (rLo, rHi) = pidRange.getOrElse((0, p))
 
     ds.repartition(p, keyCols: _*)
@@ -212,26 +301,21 @@ object InvertedIndex {
 
   /** Registry build: dl + sha256 computed in a narrow map BEFORE the docId
     * exchange, so the one registry shuffle moves metadata, never content.
+    * The key-uniqueness precondition is enforced by the shared [[docIdPlan]]
+    * (one keys-only scan on behalf of every pass of the build).
     */
-  def buildRegistry(spark: SparkSession, src: Dataset[CodeFile], cfg: IndexConfig): Dataset[DocRow] = {
+  def buildRegistry(spark: SparkSession, src: Dataset[CodeFile], cfg: IndexConfig,
+      plan: DocIdPlan): Dataset[DocRow] = {
     import spark.implicits._
-    // The docId assignment — and the postings stage's content re-derivation
-    // through the SAME assignment — requires (repo, path, commit) to be
-    // UNIQUE (it is the source table's primary key, BASELINE.json:15): two
-    // rows with equal keys would sort adjacently in a payload-dependent
-    // order in the two independent passes, silently pairing one row's
-    // metadata with the other's content. Fail loudly instead; keys-only
-    // scan, checked once here on behalf of both passes.
-    val dup = src.toDF().groupBy("repo", "path", "commit").count()
-      .where(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"duplicate (repo, path, commit) key in the source table: ${dup.headOption.getOrElse("")} — the key must be unique")
     val slim = src.map(f => DocMeta(f.repo, f.path, f.commit, f.lang,
       CodeTokenizer.countTokens(f.content), graft.fixtures.CorpusGen.sha256Hex(f.content)))
-    withDocIds(spark, slim, src.toDF(), cfg.partitions) { (id, m) =>
+    withDocIds(spark, slim, plan) { (id, m) =>
       DocRow(id, m.repo, m.path, m.commit, m.lang, m.dl, m.sha256)
     }
   }
+
+  def buildRegistry(spark: SparkSession, src: Dataset[CodeFile], cfg: IndexConfig): Dataset[DocRow] =
+    buildRegistry(spark, src, cfg, docIdPlan(spark, src.toDF(), cfg.partitions, cfg.docIdBase))
 
   /** SPIMI invert + block encode, straight from the SOURCE table (the docs
     * table no longer stores content): (docId, content) pairs come from the
@@ -244,7 +328,8 @@ object InvertedIndex {
     */
   def buildPostings(spark: SparkSession, src: Dataset[CodeFile], stats: CorpusStats,
       cfg: IndexConfig): Dataset[PostingBlock] =
-    buildPostingsSlice(spark, src, stats, cfg, heavyTerms(spark, src, cfg), 0, 1)
+    buildPostingsSlice(spark, src, stats, cfg, heavyTerms(spark, src, cfg), 0, 1,
+      docIdPlan(spark, src.toDF(), cfg.partitions, cfg.docIdBase))
 
   /** Salting plan: the heavy-term map from ONE deterministic sampled narrow
     * scan of the source — term counts need no docIds. (An earlier design
@@ -283,10 +368,20 @@ object InvertedIndex {
     * merge pass — exactly the salting trick, one level down.
     */
   def buildPostingsSlice(spark: SparkSession, src: Dataset[CodeFile], stats: CorpusStats,
-      cfg: IndexConfig, heavy: Map[String, Int], sliceIdx: Int, nSlices: Int): Dataset[PostingBlock] = {
+      cfg: IndexConfig, heavy: Map[String, Int], sliceIdx: Int, nSlices: Int,
+      plan: DocIdPlan): Dataset[PostingBlock] = {
     import spark.implicits._
     require(nSlices >= 1 && nSlices <= 1024, s"nSlices must be in [1, 1024], got $nSlices")
     require(sliceIdx >= 0 && sliceIdx < nSlices, s"sliceIdx $sliceIdx out of [0, $nSlices)")
+    // Source-drift cross-check (cheap — the plan is already computed): the
+    // registry's docId pass and this pass pair (docId, content) through the
+    // same deterministic assignment, which is only sound if they saw the
+    // SAME key set. On a resumed build (registry stage skipped) or a direct
+    // call against a source that changed after the registry committed, the
+    // key count diverges from the committed stats — fail loudly.
+    require(plan.total == stats.numDocs,
+      s"source table has ${plan.total} keyed rows but the committed registry/stats say ${stats.numDocs} — " +
+        "the source changed since the registry stage committed; rebuild from scratch")
 
     val parts = cfg.partitions
     val pidLo = (sliceIdx.toLong * parts / nSlices).toInt
@@ -301,19 +396,22 @@ object InvertedIndex {
 
     val heavyB = spark.sparkContext.broadcast(heavy)
     val numDocs = math.max(1L, stats.numDocs)
+    val idBase = cfg.docIdBase
     val avgDl = stats.avgDl
     val p = cfg.bm25
     val blockSize = cfg.blockSize
     val sliceL = sliceIdx.toLong
 
-    val salted = withDocIds(spark, sliced, src.toDF(), parts, pidRange)((id, f) => (id, f.content))
+    val salted = withDocIds(spark, sliced, plan, pidRange)((id, f) => (id, f.content))
       .flatMap { case (docId, content) =>
         val m = CodeTokenizer.tfCount(content)
         val dl = m.dl
         val h = heavyB.value
         m.iterator.map { case (t, tf) =>
           val s = h.get(t) match {
-            case Some(n) => math.min(n - 1L, docId * n / numDocs).toInt // docId-range bucket, monotone
+            // docId-range bucket, monotone; ranged over THIS segment's dense
+            // id span [idBase, idBase + numDocs)
+            case Some(n) => math.min(n - 1L, (docId - idBase) * n / numDocs).toInt
             case None => 0
           }
           TermPosting(t, s, docId, tf, dl)
@@ -372,6 +470,8 @@ object InvertedIndex {
           var n = 1
           var tfSum = cTf.toLong
           var maxTfn = Bm25.tfNorm(cTf.toLong, cDl.toLong, avgDl, p)
+          var maxTf = cTf
+          var minDl = cDl
           var open = true
           while (open && n < blockSize && rows.hasNext) {
             val r = rows.next()
@@ -382,6 +482,8 @@ object InvertedIndex {
               tfSum += tf
               val tfn = Bm25.tfNorm(tf.toLong, dl.toLong, avgDl, p)
               if (tfn > maxTfn) maxTfn = tfn
+              if (tf > maxTf) maxTf = tf
+              if (dl < minDl) minDl = dl
               n += 1
             } else { stash(r); carried = true; open = false }
           }
@@ -394,7 +496,7 @@ object InvertedIndex {
           require(localBlock < (1L << 22),
             s"(term=$curTermStr, salt=$curSalt, slice=$sliceL) exceeds 2^22 blocks — raise IndexConfig.saltRunDocs granularity")
           val b = PostingBlock(curTermStr, (curSalt.toLong << 32) | (sliceL << 22) | localBlock,
-            blockIds(0), blockIds(n - 1), n, tfSum, maxTfn,
+            blockIds(0), blockIds(n - 1), n, tfSum, maxTfn, maxTf, minDl,
             PostingsCodec.encodeDocIds(blockIds), PostingsCodec.encodeTfs(blockTfs),
             PostingsCodec.encodeDls(blockDls))
           localBlock += 1
@@ -405,18 +507,20 @@ object InvertedIndex {
     spark.createDataset(blocksRdd)
   }
 
-  /** Exact df/cf + the global WAND bound, derived from committed postings —
-    * no extra pass over the corpus (SURVEY.md §2.3 B11: exact, never
-    * approximate, rank-identity forbids it).
+  /** Exact df/cf + the global WAND bound material, derived from committed
+    * postings — no extra pass over the corpus (SURVEY.md §2.3 B11: exact,
+    * never approximate, rank-identity forbids it). The dictionary stores the
+    * BOUND MATERIAL (maxTfn exact under this segment's build avgdl;
+    * (maxTf, minDl) valid under any avgdl) rather than a finished maxImpact:
+    * idf — and therefore the impact — is a function of the SERVING stats,
+    * which change when delta segments join the base (df and N merge at query
+    * compile, see IndexReader.termMeta).
     */
-  def buildDictionary(spark: SparkSession, postings: DataFrame, stats: CorpusStats): DataFrame = {
-    val n = stats.numDocs
+  def buildDictionary(spark: SparkSession, postings: DataFrame, stats: CorpusStats): DataFrame =
     postings.groupBy("term")
-      .agg(sum("count").as("df"), sum("tfSum").as("cf"), max("blockMaxTfn").as("maxTfn"))
-      .withColumn("idf", log(lit(1.0) + (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("maxImpact", col("idf") * col("maxTfn"))
-      .select("term", "df", "cf", "maxImpact")
-  }
+      .agg(sum("count").as("df"), sum("tfSum").as("cf"), max("blockMaxTfn").as("maxTfn"),
+        max("maxTf").as("maxTf"), min("minDl").as("minDl"))
+      .select("term", "df", "cf", "maxTfn", "maxTf", "minDl")
 
   final case class BuildReport(results: Seq[Manifests.StageResult], numDocs: Long)
 
@@ -428,8 +532,14 @@ object InvertedIndex {
     import spark.implicits._
     val results = Seq.newBuilder[Manifests.StageResult]
 
+    // ONE keys-only scan per build serves the uniqueness check, the registry
+    // pass, every postings slice's pass, and the postings-stage source-drift
+    // cross-check. Lazy: a fully-resumed build (all stages committed) never
+    // pays for it.
+    lazy val plan = docIdPlan(spark, src.toDF(), cfg.partitions, cfg.docIdBase)
+
     results += Manifests.runStage(spark, indexDir, "registry", runId, Seq(DocsTable)) {
-      val docs = buildRegistry(spark, src, cfg)
+      val docs = buildRegistry(spark, src, cfg, plan)
       Tables.write(docs.toDF(), indexDir, DocsTable)
       Tables.read(spark, indexDir, DocsTable).count()
     }
@@ -445,19 +555,28 @@ object InvertedIndex {
 
     val stats = readStats(spark, indexDir)
 
-    // The "merge into globally sorted postings" step (BASELINE.json:6) is a
-    // repartitionByRange(term, blockId) over the COMPACT encoded block rows
-    // (~2 orders of magnitude smaller than the token stream).
-    def commitSorted(blocks: DataFrame): Unit =
-      Tables.write(
-        blocks.repartitionByRange(cfg.partitions, col("term"), col("blockId"))
-          .sortWithinPartitions("term", "blockId"),
-        indexDir, PostingsTable)
+    // The "merge into globally sorted postings" step (BASELINE.json:6) over
+    // the COMPACT encoded block rows (~2 orders of magnitude smaller than
+    // the token stream). v4 layout: a physical `tbucket = crc32(term) % B`
+    // partition column — query-term pruning becomes CATALOG-level partition
+    // elimination (directory pruning) instead of riding only on per-file
+    // min/max term stats; ranging by (tbucket, term, blockId) keeps each
+    // bucket's files term-sorted, so row-group stats still prune WITHIN a
+    // bucket.
+    def commitSorted(blocks: DataFrame): Unit = {
+      val bucketed = blocks.withColumn("tbucket",
+        pmod(crc32(encode(col("term"), "UTF-8")), lit(cfg.termBuckets)).cast("int"))
+      Tables.writePartitioned(
+        bucketed.repartitionByRange(cfg.partitions, col("tbucket"), col("term"), col("blockId"))
+          .sortWithinPartitions("tbucket", "term", "blockId"),
+        indexDir, PostingsTable, Seq("tbucket"))
+    }
 
     val sliceResults = Seq.newBuilder[Manifests.StageResult]
     results += Manifests.runStage(spark, indexDir, "postings", runId, Seq(PostingsTable)) {
       if (cfg.resumeSlices <= 1) {
-        val blocks = buildPostings(spark, src, stats, cfg)
+        val blocks = buildPostingsSlice(spark, src, stats, cfg,
+          heavyTerms(spark, src, cfg), 0, 1, plan)
         // Persist so the range partitioner's sampling pass reads encoded
         // blocks, not a recompute of the whole tokenize+shuffle pipeline.
         blocks.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -473,11 +592,31 @@ object InvertedIndex {
         // ignored and cleaned with the rest.
         val s = cfg.resumeSlices
         val geom = s"p${cfg.partitions}n$s"
-        val heavy = heavyTerms(spark, src, cfg) // deterministic; cheap (sampled)
+        // The heavy-term salt map is committed (geometry-keyed, next to the
+        // slice scratch) when the FIRST slice is built and reloaded on
+        // resume: with dfSampleFraction < 1 the seeded sample is partition-
+        // layout-sensitive, so recomputing on resume could assign a term a
+        // DIFFERENT salt count than already-committed slices — and salt
+        // occupies the top blockId bits, so mixed salting would silently
+        // break the blockId-monotone-in-docId invariant BMW iterates by.
+        val heavyTable = s"postings_slices/$geom/heavy_terms"
+        val heavyStage = s"postings_heavy_$geom"
+        val heavy: Map[String, Int] =
+          if (Manifests.isComplete(spark, indexDir, heavyStage))
+            Tables.read(spark, indexDir, heavyTable).select("term", "salts")
+              .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+          else {
+            val h = heavyTerms(spark, src, cfg)
+            sliceResults += Manifests.runStage(spark, indexDir, heavyStage, runId, Seq(heavyTable)) {
+              Tables.write(h.toSeq.toDF("term", "salts"), indexDir, heavyTable)
+              h.size.toLong
+            }
+            h
+          }
         for (i <- 0 until s) {
           val table = s"postings_slices/$geom/s$i"
           sliceResults += Manifests.runStage(spark, indexDir, s"postings_slice_${geom}_$i", runId, Seq(table)) {
-            val blocks = buildPostingsSlice(spark, src, stats, cfg, heavy, i, s)
+            val blocks = buildPostingsSlice(spark, src, stats, cfg, heavy, i, s, plan)
             Tables.write(blocks.toDF(), indexDir, table)
             Tables.read(spark, indexDir, table).count()
           }
@@ -492,14 +631,21 @@ object InvertedIndex {
       stats.numDocs
     }
     results ++= sliceResults.result()
-    // slice scratch (any geometry) is only needed until the merged postings
-    // commit; clean it AFTER the stage manifest (a kill in between re-runs
-    // from the still-committed slices, never from scratch)
-    if (cfg.resumeSlices > 1 && Manifests.isComplete(spark, indexDir, "postings")) {
+    // Slice scratch is only needed until the merged postings commit; clean
+    // it AFTER the stage manifest (a kill in between re-runs from the
+    // still-committed slices, never from scratch). Manifests are swept for
+    // EVERY geometry — matching the scratch deletion — so a later build
+    // under some old geometry can never find a 'committed' slice manifest
+    // whose data is gone.
+    if (Manifests.isComplete(spark, indexDir, "postings")) {
       Tables.delete(spark, indexDir, "postings_slices")
-      val geom = s"p${cfg.partitions}n${cfg.resumeSlices}"
-      for (i <- 0 until cfg.resumeSlices)
-        Tables.delete(spark, indexDir, s"lineage/postings_slice_${geom}_$i")
+      val lineage = new org.apache.hadoop.fs.Path(s"$indexDir/lineage")
+      val fs = lineage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(lineage)) fs.listStatus(lineage).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("postings_slice_") || nm.startsWith("postings_heavy_"))
+          fs.delete(st.getPath, true)
+      }
     }
 
     results += Manifests.runStage(spark, indexDir, "dictionary", runId, Seq(DictTable)) {
@@ -511,6 +657,7 @@ object InvertedIndex {
       stats.numDocs
     }
 
+    writeTermBuckets(spark, indexDir, cfg.termBuckets)
     writeFormatVersion(spark, indexDir)
     BuildReport(results.result(), stats.numDocs)
   }

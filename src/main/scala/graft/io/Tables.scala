@@ -23,6 +23,15 @@ object Tables {
   def write(df: DataFrame, base: String, name: String): Unit =
     df.write.mode("overwrite").parquet(tablePath(base, name))
 
+  /** Same, with hive-style physical partitioning: `partitionCols` become
+    * directory levels, so equality/IN predicates on them are eliminated at
+    * the catalog level before any file is opened (Iceberg analog: a
+    * `bucket(...)`/identity partition spec).
+    */
+  def writePartitioned(df: DataFrame, base: String, name: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tablePath(base, name))
+
   def exists(spark: SparkSession, base: String, name: String): Boolean = {
     val p = new Path(tablePath(base, name))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -43,9 +52,13 @@ object Tables {
     * metadata-level row-delta ATOMIC commit); on plain parquet it is
     * rewrite-and-swap with a crash-recoverable protocol:
     *
-    *   1. recover: if only `name__old` exists, a prior swap died mid-way —
-    *      rename it back; if `name` exists, any `name__old` is a completed
-    *      swap's leftover — drop it (with stale staging either way);
+    *   1. recover: if `name` is absent but a COMMITTED (_SUCCESS) staging
+    *      exists, a prior call died between rename(name -> old) and
+    *      rename(staging -> name) — ROLL FORWARD (staging is the fully
+    *      merged next generation; discarding it would silently undo a
+    *      completed merge); else if only `name__old` exists, roll back by
+    *      renaming it in; if `name` exists, any `name__old`/staging is a
+    *      completed or abandoned swap's leftover — drop it;
     *   2. stage the merged table (survivors via anti-join on the keys — one
     *      shuffle of the target — union the updates) under `name__staging`,
     *      fully committed (_SUCCESS) before any swap step;
@@ -67,12 +80,16 @@ object Tables {
     val staging = s"${name}__staging"
     val old = s"${name}__old"
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // step 1: recovery from a previous kill
-    delete(spark, base, staging)
-    if (!exists(spark, base, name) && exists(spark, base, old))
+    // step 1: recovery from a previous kill (exists() checks _SUCCESS, so a
+    // half-written staging never rolls forward — it falls through to delete)
+    if (!exists(spark, base, name) && exists(spark, base, staging))
+      require(fs.rename(new Path(tablePath(base, staging)), new Path(tablePath(base, name))),
+        s"upsert roll-forward failed for $base/$name")
+    else if (!exists(spark, base, name) && exists(spark, base, old))
       require(fs.rename(new Path(tablePath(base, old)), new Path(tablePath(base, name))),
         s"upsert recovery failed for $base/$name")
-    else delete(spark, base, old)
+    delete(spark, base, staging)
+    delete(spark, base, old)
     // step 2: stage the merged generation
     val merged =
       if (!exists(spark, base, name)) updates

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor — the second scale path
@@ -93,30 +92,48 @@ object IvfOps {
     best
   }
 
-  /** IVF search, fully relational (works for any quantizer passed in as a
-    * (cid, centroid) DataFrame — e.g. `iters = 0` init or [[centroids]]
-    * output via `centroidsDf`): assign cells with a broadcast cross join +
-    * windowed argmax, probe the `nprobe` nearest cells, exact cosine only
-    * inside them. At scale the assignment column is the table's partition
-    * key, so probing reads only nprobe partitions.
+  /** IVF search (works for any quantizer passed in as a (cid, centroid)
+    * DataFrame — e.g. `iters = 0` init or [[centroids]] output via
+    * `centroidsDf`). The quantizer is TINY (k x dim) — it is collected once
+    * and broadcast, so cell assignment is one NARROW argmax pass over the
+    * corpus (reusing [[assignCell]], the Lloyd kernel): no exchange at all,
+    * let alone the k-fold row amplification a relational
+    * crossJoin + window-argmax plan would shuffle. (That relational form
+    * survives only as the DuckDB oracle twin, where it belongs.) Probe cells
+    * are picked on the driver from the same broadcast centroids; candidates
+    * = the narrow filter "assigned cell ∈ probed cells"; exact cosine only
+    * inside them, ending in one TakeOrderedAndProject. At scale the
+    * assignment is the table's partition key, so probing reads only nprobe
+    * partitions instead of filtering the full scan.
     */
   def annTopK(emb: DataFrame, cents: DataFrame, probeId: Long, k: Int, nprobe: Int,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val ev = emb.select(col(id), expr(s"transform($vec, x -> cast(x as double))").as("ev"))
-    val cv = cents.select(col("cid"), expr("transform(cvec, x -> cast(x as double))").as("cv"))
-    val simExpr = expr(
-      """round(aggregate(zip_with(ev, cv, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
-        | / (sqrt(aggregate(transform(ev, x -> x * x), 0D, (acc, v) -> acc + v))
-        |    * sqrt(aggregate(transform(cv, x -> x * x), 0D, (acc, v) -> acc + v))), 6)""".stripMargin)
-    val sims = ev.crossJoin(broadcast(cv)).withColumn("sim", simExpr)
-    val w = Window.partitionBy(col(id)).orderBy(desc("sim"), asc("cid"))
-    val assign = sims.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col(id), col("cid"))
-    val probeCells = sims.where(col(id) === probeId)
-      .orderBy(desc("sim"), asc("cid")).limit(nprobe).select("cid")
-    val candIds = assign.join(broadcast(probeCells), Seq("cid")).where(col(id) =!= probeId)
-      .select(col(id))
-    VectorOps.cosineTopKAmong(emb.join(candIds, Seq(id)), emb, probeId, k, id, vec)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cArr: Array[Array[Double]] = cents
+      .select(col("cid").cast("int"), expr("transform(cvec, x -> cast(x as double))"))
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val typed = emb.select(col(id).cast("long"),
+      expr(s"transform($vec, x -> cast(x as double))")).as[(Long, Array[Double])]
+    // driver-side probe-cell pick: nprobe most-similar centroids, the same
+    // (round6 desc, cid asc) rule as assignment
+    val probeVec = typed.where(col(id) === probeId).collect()
+      .headOption.map(_._2).getOrElse(sys.error(s"probe id $probeId not found"))
+    val probeCells: Set[Int] = cArr.indices
+      .sortBy(ci => (-round6(cosine(probeVec, cArr(ci))), ci)).take(nprobe).toSet
+    val cB = spark.sparkContext.broadcast(cArr)
+    val probeB = spark.sparkContext.broadcast(probeVec)
+    // one narrow pass: assign + probe-cell filter + exact cosine (the same
+    // sequential left-fold summation order as VectorOps.cosExpr)
+    typed
+      .filter(r => r._1 != probeId && probeCells(assignCell(r._2, cB.value)))
+      .map { case (vid, v) =>
+        val c = cosine(v, probeB.value)
+        (vid, java.math.BigDecimal.valueOf(c).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+      }
+      .toDF(id, "cosine")
+      .orderBy(desc("cosine"), col(id).asc)
+      .limit(k)
   }
 
   /** [[centroids]] output as the (cid, cvec) DataFrame [[annTopK]] takes. */

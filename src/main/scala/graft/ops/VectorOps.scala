@@ -98,12 +98,16 @@ object VectorOps {
     * replicates embeddings.
     */
   def bandCandidates(emb: DataFrame, bits: Int, bands: Int,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+      id: String = "vec_id", vec: String = "embedding", dimHint: Int = -1): DataFrame = {
     // enforce bands * bits <= dim: a band sliced past the end yields an
-    // EMPTY piece for every vector — one global bucket, silently quadratic
-    emb.select(size(col(vec)).as("d")).limit(1).collect().foreach { r =>
-      require(bands * bits <= r.getInt(0),
-        s"bands*bits = ${bands * bits} exceeds embedding dim ${r.getInt(0)} — empty band pieces would degrade the blocking to all-pairs")
+    // EMPTY piece for every vector — one global bucket, silently quadratic.
+    // dimHint lets a caller that already probed the dim skip this action.
+    val dims: Iterable[Int] =
+      if (dimHint >= 0) Some(dimHint)
+      else emb.select(size(col(vec)).as("d")).limit(1).collect().map(_.getInt(0))
+    dims.foreach { d =>
+      require(bands * bits <= d,
+        s"bands*bits = ${bands * bits} exceeds embedding dim $d — empty band pieces would degrade the blocking to all-pairs")
     }
     val pieceExpr = expr(
       s"""transform(sequence(0, ${bands - 1}), q -> struct(q AS q,
@@ -120,16 +124,18 @@ object VectorOps {
   def cosineNearDupPairs(emb: DataFrame, minCos: Double, bitsPerBand: Int = 0,
       bands: Int = 4, targetBucketDocs: Long = 64,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    // ONE probe action per call: corpus size (for adaptive bits) and vector
+    // dim (for the bands*bits<=dim clamp) come from a single tiny aggregate.
+    val probe = emb.agg(count(lit(1)).as("n"), first(size(col(vec))).as("d")).collect()(0)
+    val n = probe.getLong(0)
+    val dim = if (probe.isNullAt(1)) 0 else probe.getInt(1)
     val bits =
       if (bitsPerBand > 0) bitsPerBand
-      else {
+      else
         // adaptive bits are additionally clamped to what the vector dim can
         // supply (bandCandidates rejects an overrun outright)
-        val dim = emb.select(size(col(vec)).as("d")).limit(1).collect()
-          .headOption.map(_.getInt(0)).getOrElse(0)
-        math.max(1, math.min(adaptiveBits(emb.count(), targetBucketDocs), dim / math.max(1, bands)))
-      }
-    val cand = bandCandidates(emb, bits, bands, id, vec)
+        math.max(1, math.min(adaptiveBits(n, targetBucketDocs), dim / math.max(1, bands)))
+    val cand = bandCandidates(emb, bits, bands, id, vec, dimHint = dim)
     val ev = withDouble(emb, "ev", vec).select(col(id), col("ev"))
     cand
       .join(ev.select(col(id).as("a"), col("ev").as("ea")), Seq("a"))

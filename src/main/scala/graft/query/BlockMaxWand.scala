@@ -37,11 +37,14 @@ final class TopKHeap(k: Int) {
   * touch it.
   */
 final class BlockCache {
-  private val m = mutable.HashMap.empty[(String, Long), (Array[Long], Array[Int], Array[Int])]
+  // keyed by (term, blockId, firstDocId): blockId alone repeats across
+  // SEGMENTS of a delta-maintained index, but segment docId ranges are
+  // disjoint, so firstDocId disambiguates
+  private val m = mutable.HashMap.empty[(String, Long, Long), (Array[Long], Array[Int], Array[Int])]
   var decodes = 0L
   var hits = 0L
   def decoded(b: PostingBlock): (Array[Long], Array[Int], Array[Int]) = {
-    val key = (b.term, b.blockId)
+    val key = (b.term, b.blockId, b.firstDocId)
     m.get(key) match {
       case Some(v) => hits += 1; v
       case None =>

@@ -1,7 +1,7 @@
 package graft.query
 
 import graft.codec.PostingsCodec
-import graft.index.{CorpusStats, InvertedIndex, PostingBlock}
+import graft.index.{CorpusStats, DeltaIndex, InvertedIndex, PostingBlock}
 import graft.io.Tables
 import graft.tokenize.CodeTokenizer
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -13,19 +13,47 @@ import org.apache.spark.util.LongAccumulator
   * The `match`-query compile path mirrors ES's two-phase query exactly:
   * tokenize the query with the same analyzer; broadcast the tiny per-term
   * stats (df, idf, maxImpact — the FST lookup); scan ONLY the query terms'
-  * postings (predicate pushed to the parquet scan: the postings table is
-  * range-partitioned and sorted by term, so file/row-group min-max stats
-  * prune everything else); per-bucket scoring (= per-shard); one global
-  * TakeOrderedAndProject merge (= coordinator merge).
+  * postings (two pruning levels: the `tbucket` partition predicate
+  * eliminates postings directories at the catalog, and the term predicate's
+  * min/max row-group stats prune within a bucket's term-sorted files);
+  * per-bucket scoring (= per-shard); one global TakeOrderedAndProject merge
+  * (= coordinator merge).
+  *
+  * A reader serves the BASE SEGMENT plus every delta segment committed under
+  * `<indexDir>/deltas/` (graft.index.DeltaIndex) as ONE logical index —
+  * Lucene's segmented-index model. Per-term df/cf merge at query compile
+  * (the per-query dictionary lookup is tiny); N/avgdl merge from the
+  * segments' stats tables; segment docId ranges are disjoint by construction
+  * (delta builds set docIdBase past the end), so the docId-range bucketing
+  * and every downstream path work over the union unchanged. Block-max
+  * bounds: a segment's stored blockMaxTfn is exact only under the avgdl it
+  * was BUILT with, so in composite mode every block's bound is recomputed
+  * from the stats-independent (maxTf, minDl) impact material — valid
+  * (slightly looser) under the merged avgdl; single-segment mode keeps the
+  * exact stored bound.
   */
 final class IndexReader(spark: SparkSession, indexDir: String,
     p: Bm25Params = Bm25.Default) extends Serializable {
   import spark.implicits._
 
+  /** Base + committed delta segments, each a full index directory. */
+  val segments: Seq[String] = DeltaIndex.segmentDirs(spark, indexDir)
+
+  /** Single-segment readers use the exact stored block bounds; composite
+    * readers recompute bounds under the merged avgdl.
+    */
+  private val exactStats: Boolean = segments.size == 1
+
   lazy val stats: CorpusStats = {
-    InvertedIndex.assertFormatVersion(spark, indexDir)
-    InvertedIndex.readStats(spark, indexDir)
+    segments.foreach(InvertedIndex.assertFormatVersion(spark, _))
+    val per = segments.map(InvertedIndex.readStats(spark, _))
+    val n = per.map(_.numDocs).sum
+    val sumDl = per.map(_.sumDl).sum
+    CorpusStats(n, sumDl, if (n == 0) 0.0 else sumDl.toDouble / n)
   }
+
+  private lazy val segBuckets: Seq[Int] =
+    segments.map(InvertedIndex.readTermBuckets(spark, _))
 
   // registered once per reader for BMW skip-evidence (BASELINE.md rule 4)
   val decodedBlocksAcc: LongAccumulator = spark.sparkContext.longAccumulator("graft.bmw.decodedBlocks")
@@ -35,26 +63,54 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   def analyze(query: String): Array[String] =
     CodeTokenizer.tokenize(query).distinct.sorted
 
-  /** Dictionary lookup for the query terms: tiny collect, broadcast by the
-    * caller. Terms absent from the corpus drop out here (df = 0 contributes
-    * nothing — Lucene BooleanQuery SHOULD semantics).
+  /** Dictionary lookup for the query terms: tiny per-segment collects merged
+    * on the driver (df/cf sum; bound material max/min), broadcast by the
+    * caller. Terms absent from every segment drop out here (df = 0
+    * contributes nothing — Lucene BooleanQuery SHOULD semantics).
     */
   def termMeta(qterms: Array[String]): Map[String, BlockMaxWand.TermMeta] = {
     if (qterms.isEmpty) return Map.empty
-    Tables.read(spark, indexDir, InvertedIndex.DictTable)
-      .where(col("term").isin(qterms.toSeq: _*))
-      .select("term", "df", "maxImpact")
-      .collect()
-      .map { r =>
-        val t = r.getString(0)
-        t -> BlockMaxWand.TermMeta(t, Bm25.idf(stats.numDocs, r.getLong(1)), r.getDouble(2))
-      }.toMap
+    // (df, maxTfn, maxTf, minDl) per term, merged across segments
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Double, Int, Int)]
+    for (seg <- segments) {
+      Tables.read(spark, seg, InvertedIndex.DictTable)
+        .where(col("term").isin(qterms.toSeq: _*))
+        .select("term", "df", "maxTfn", "maxTf", "minDl")
+        .collect()
+        .foreach { r =>
+          val t = r.getString(0)
+          val (df0, mtfn0, mtf0, mdl0) = acc.getOrElse(t, (0L, 0.0, 0, Int.MaxValue))
+          acc.update(t, (df0 + r.getLong(1), math.max(mtfn0, r.getDouble(2)),
+            math.max(mtf0, r.getInt(3)), math.min(mdl0, r.getInt(4))))
+        }
+    }
+    acc.iterator.map { case (t, (df, maxTfn, maxTf, minDl)) =>
+      val idf = Bm25.idf(stats.numDocs, df)
+      val ub = if (exactStats) maxTfn else Bm25.tfNorm(maxTf.toLong, minDl.toLong, stats.avgDl, p)
+      t -> BlockMaxWand.TermMeta(t, idf, idf * ub)
+    }.toMap
   }
 
-  private def postingsFor(terms: Seq[String]): Dataset[PostingBlock] =
-    Tables.read(spark, indexDir, InvertedIndex.PostingsTable)
-      .where(col("term").isin(terms: _*))
-      .as[PostingBlock]
+  private def postingsFor(terms: Seq[String]): Dataset[PostingBlock] = {
+    val cols = Seq("term", "blockId", "firstDocId", "lastDocId", "count", "tfSum",
+      "blockMaxTfn", "maxTf", "minDl", "docDeltas", "tfs", "dls").map(col)
+    val scans = segments.zip(segBuckets).map { case (seg, b) =>
+      val tb = terms.map(t => InvertedIndex.termBucket(t, b)).distinct
+      Tables.read(spark, seg, InvertedIndex.PostingsTable)
+        .where(col("tbucket").isin(tb: _*) && col("term").isin(terms: _*))
+        .select(cols: _*)
+    }
+    val unioned = scans.reduce(_ unionByName _).as[PostingBlock]
+    if (exactStats) unioned
+    else {
+      // composite serving: per-block bound from the stats-independent
+      // impact pair, valid under the merged avgdl (narrow map over block
+      // rows — blocks are ~blockSize x fewer than postings)
+      val avgDl = stats.avgDl
+      val pp = p
+      unioned.map(b => b.copy(blockMaxTfn = Bm25.tfNorm(b.maxTf.toLong, b.minDl.toLong, avgDl, pp)))
+    }
+  }
 
   /** Per-posting BM25 contributions of the query terms — (docId, term,
     * idf x tfNorm) rows decoded per block; the shared kernel of the naive
@@ -126,12 +182,21 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   /** Batch mode: N queries in ONE Spark job (SURVEY.md §2.3 B9/B10). All
     * queries' terms are fetched in a single dictionary lookup and a single
     * postings scan; every docId bucket runs BMW once per query against its
-    * local blocks; per-bucket top-k lists (tiny: buckets x queries x k) are
-    * merged on the driver. This amortizes job-scheduling and scan overhead
-    * across the whole query set — the shape a 100 TB deployment serves query
+    * local blocks; per-bucket top-k lists are then merged into per-query
+    * global top-k. This amortizes job-scheduling and scan overhead across
+    * the whole query set — the shape a 100 TB deployment serves query
     * batches with.
+    *
+    * The merge has two gated paths producing identical results (pinned by a
+    * test): when buckets x queries x k <= `driverMergeMaxRows` the per-bucket
+    * tops collect straight to the driver and merge there (one job — the
+    * extra exchange measurably dominates small batches); above the threshold
+    * the merge stays DISTRIBUTED — one more exchange on query id reducing to
+    * exactly queries x k driver rows, because 10^6 queries x 10^3 buckets of
+    * partial tops neither fit on the driver nor deserve a serial merge.
     */
-  def searchBmwBatch(queriesIn: Seq[String], k: Int, nBuckets: Int = 0): Map[String, Array[SearchHit]] = {
+  def searchBmwBatch(queriesIn: Seq[String], k: Int, nBuckets: Int = 0,
+      driverMergeMaxRows: Long = 1L << 20): Map[String, Array[SearchHit]] = {
     val analyzed = queriesIn.map(q => q -> analyze(q))
     val allTerms = analyzed.flatMap(_._2).distinct.sorted.toArray
     val meta = termMeta(allTerms)
@@ -169,19 +234,28 @@ final class IndexReader(spark: SparkSession, indexDir: String,
         decAcc.add(st.decoded); skipAcc.add(st.skipped); scoredAcc.add(st.scoredDocs)
         out.iterator
       }
-    // The shard merge stays DISTRIBUTED: per-bucket top-k lists exchange
-    // once more on query id and reduce to the global top-k per query, so
-    // the driver receives exactly queries x k rows. (Merging buckets x
-    // queries x k rows on the driver was both a scale ceiling — 10^6
-    // queries x 10^3 buckets would not fit — and a serial Amdahl term that
-    // measurably depressed query scaling efficiency.)
-    val merged = perBucketTops
-      .groupByKey(_._1)
-      .flatMapGroups { (qi, it) =>
-        val heap = new TopKHeap(kk)
-        it.foreach(t => heap.offer(t._2, t._3))
-        heap.results.iterator.map(h => (qi, h.docId, h.score))
-      }.collect()
+    // Both merge paths reduce each query's per-bucket tops through the same
+    // TopKHeap (same comparator, same tie-break), so they are result-
+    // identical by construction — and a test pins it.
+    val merged: Array[(Int, Long, Double)] =
+      if (buckets.toLong * perQuery.length * kk <= driverMergeMaxRows) {
+        // small batch: skip the extra exchange, heap-merge on the driver
+        val heaps = scala.collection.mutable.Map.empty[Int, TopKHeap]
+        perBucketTops.collect().foreach { case (qi, d, s) =>
+          heaps.getOrElseUpdate(qi, new TopKHeap(kk)).offer(d, s)
+        }
+        heaps.iterator.flatMap { case (qi, h) =>
+          h.results.iterator.map(r => (qi, r.docId, r.score))
+        }.toArray
+      } else {
+        perBucketTops
+          .groupByKey(_._1)
+          .flatMapGroups { (qi, it) =>
+            val heap = new TopKHeap(kk)
+            it.foreach(t => heap.offer(t._2, t._3))
+            heap.results.iterator.map(h => (qi, h.docId, h.score))
+          }.collect()
+      }
 
     val byQuery = merged.groupBy(_._1)
     queriesIn.zipWithIndex.map { case (q, i) =>

@@ -1,0 +1,122 @@
+package graft
+
+import graft.fixtures.{CodeFile, CorpusGen, QuerySet}
+import graft.index.{DeltaIndex, IndexConfig, InvertedIndex}
+import graft.io.Tables
+import graft.query.IndexReader
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance gate (VERDICT r2 item 2): index N docs, add M as
+  * a delta segment, and every query over base ∪ delta must equal the full
+  * N+M rebuild — plus bound-safety and lifecycle checks.
+  *
+  * docIds differ between the delta-maintained index and the rebuild (the
+  * rebuild's docId plan covers the union key set), so results are compared
+  * by the document KEY (repo, path, commit), with exact scores.
+  */
+class DeltaIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  val N = 900L // base docs
+  val M = 180L // delta docs (20% of base — deliberately not negligible)
+  val cfg: IndexConfig = IndexConfig(partitions = 8, heavyDfThreshold = 300L, saltRunDocs = 300L)
+
+  def docsRange(lo: Long, hi: Long): Dataset[CodeFile] =
+    spark.range(lo, hi, 1L, 4).as[Long].map(CorpusGen.row)
+
+  lazy val dirDelta = "/tmp/graft_delta_base"
+  lazy val dirFull = "/tmp/graft_delta_full"
+
+  // build once for the whole suite
+  lazy val built: Unit = {
+    Tables.delete(spark, "/tmp", "graft_delta_base")
+    Tables.delete(spark, "/tmp", "graft_delta_full")
+    InvertedIndex.build(spark, docsRange(0, N), dirDelta, cfg, "base")
+    DeltaIndex.addDocuments(spark, dirDelta, docsRange(N, N + M), cfg, "d0")
+    InvertedIndex.build(spark, docsRange(0, N + M), dirFull, cfg, "full")
+  }
+
+  private def keyOf(reader: IndexReader, segDirs: Seq[String]): Map[Long, String] =
+    segDirs.flatMap { d =>
+      Tables.read(spark, d, InvertedIndex.DocsTable)
+        .select(col("docId"), concat_ws("|", col("repo"), col("path"), col("commit")).as("k"))
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+    }.toMap
+
+  test("base ∪ delta answers every query identically to the full rebuild") {
+    built
+    val rd = new IndexReader(spark, dirDelta)
+    val rf = new IndexReader(spark, dirFull)
+    assert(rd.segments.size == 2, s"expected base+1 delta, got ${rd.segments}")
+    assert(rd.stats == rf.stats, "merged segment stats must equal the rebuild's")
+    val kd = keyOf(rd, rd.segments)
+    val kf = keyOf(rf, rf.segments)
+    for (q <- QuerySet.all) {
+      val got = rd.searchBmw(q, QuerySet.K).map(h => (kd(h.docId), h.score))
+        .sortBy { case (k, s) => (-s, k) }.toSeq
+      val want = rf.searchBmw(q, QuerySet.K).map(h => (kf(h.docId), h.score))
+        .sortBy { case (k, s) => (-s, k) }.toSeq
+      assert(got == want, s"base∪delta top-k differs from rebuild for '$q'")
+    }
+  }
+
+  test("composite BMW == composite naive (recomputed bounds are safe)") {
+    built
+    val rd = new IndexReader(spark, dirDelta)
+    for (q <- Seq("def z100_id", "val buf_buf", "z103_id z104_id", "def val class"))
+      assert(rd.searchBmw(q, QuerySet.K).toSeq == rd.searchNaive(q, QuerySet.K).toSeq,
+        s"composite BMW diverges from exhaustive decode for '$q' — a block bound must be violated")
+  }
+
+  test("merged dictionary stats equal the rebuild's (df/cf per query term)") {
+    built
+    val rd = new IndexReader(spark, dirDelta)
+    // df is embedded in idf inside TermMeta; check via raw dictionaries
+    def dfcf(dirs: Seq[String]): Map[String, (Long, Long)] =
+      dirs.flatMap(d => Tables.read(spark, d, InvertedIndex.DictTable)
+          .where(col("term").isin("def", "val", "buf_buf", "z100_id"))
+          .select("term", "df", "cf").collect()
+          .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))))
+        .groupBy(_._1).map { case (t, xs) =>
+          t -> (xs.map(_._2._1).sum, xs.map(_._2._2).sum)
+        }
+    assert(dfcf(rd.segments) == dfcf(Seq(dirFull)))
+  }
+
+  test("addDocuments rejects a key that already exists in any segment") {
+    built
+    val boom = intercept[IllegalArgumentException] {
+      DeltaIndex.addDocuments(spark, dirDelta, docsRange(0, 1), cfg, "dup")
+    }
+    assert(boom.getMessage.contains("already exists"))
+  }
+
+  test("uncommitted delta directories are invisible to readers") {
+    built
+    val junk = new org.apache.hadoop.fs.Path(s"$dirDelta/deltas/d9999")
+    val f = junk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(junk)
+    try {
+      val rd = new IndexReader(spark, dirDelta)
+      assert(rd.segments.size == 2, "an uncommitted delta dir must not be served")
+    } finally { f.delete(junk, true); () }
+  }
+
+  test("compact absorbs deltas and equals the direct rebuild byte-for-byte") {
+    built
+    val dir = "/tmp/graft_delta_compact"
+    Tables.delete(spark, "/tmp", "graft_delta_compact")
+    InvertedIndex.build(spark, docsRange(0, N), dir, cfg, "base")
+    DeltaIndex.addDocuments(spark, dir, docsRange(N, N + M), cfg, "d0")
+    DeltaIndex.compact(spark, dir, docsRange(0, N + M), cfg, "compact")
+    val rc = new IndexReader(spark, dir)
+    assert(rc.segments == Seq(dir), "compact must leave a single segment")
+    // same source, same config => same docId plan as the direct rebuild:
+    // directly comparable, including docIds
+    val rf = new IndexReader(spark, dirFull)
+    for (q <- Seq("def z100_id", "val buf_buf", "z103_id z104_id"))
+      assert(rc.searchBmw(q, QuerySet.K).toSeq == rf.searchBmw(q, QuerySet.K).toSeq,
+        s"compacted index differs from direct rebuild for '$q'")
+  }
+}

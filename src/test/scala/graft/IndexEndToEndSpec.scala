@@ -109,21 +109,42 @@ class IndexEndToEndSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
-  test("postings table is globally sorted by (term, blockId) across files") {
-    val perFile = Tables.read(spark, dir, InvertedIndex.PostingsTable)
-      .groupBy(input_file_name().as("f"))
+  test("postings sorted by (term, blockId) across files WITHIN each term bucket") {
+    // v4 layout: the physical sort is (tbucket, term, blockId) — term order
+    // holds within a bucket directory (row-group pruning), while cross-
+    // bucket term routing is checked separately below
+    val byBucket = Tables.read(spark, dir, InvertedIndex.PostingsTable)
+      .groupBy(col("tbucket"), input_file_name().as("f"))
       .agg(min(struct(col("term"), col("blockId"))).as("lo"),
         max(struct(col("term"), col("blockId"))).as("hi"))
       .collect()
-      .map(r => (r.getStruct(1).getString(0), r.getStruct(1).getLong(1),
-        r.getStruct(2).getString(0), r.getStruct(2).getLong(1)))
-      .sortBy(t => (t._1, t._2))
-    perFile.sliding(2).foreach {
-      case Array(a, b) =>
-        assert(a._3 < b._1 || (a._3 == b._1 && a._4 <= b._2),
-          s"file ranges overlap: $a vs $b")
-      case _ =>
+      .map(r => (r.getInt(0), r.getStruct(2).getString(0), r.getStruct(2).getLong(1),
+        r.getStruct(3).getString(0), r.getStruct(3).getLong(1)))
+      .groupBy(_._1)
+    for ((bkt, files) <- byBucket) {
+      val sorted = files.toSeq.map(t => (t._2, t._3, t._4, t._5)).sortBy(t => (t._1, t._2))
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._3 < b._1 || (a._3 == b._1 && a._4 <= b._2),
+            s"file ranges overlap in tbucket=$bkt: $a vs $b")
+        case _ =>
+      }
     }
+  }
+
+  test("every term's blocks live in exactly its crc32 bucket (partition pruning is sound)") {
+    val buckets = InvertedIndex.readTermBuckets(spark, dir)
+    val bad = Tables.read(spark, dir, InvertedIndex.PostingsTable)
+      .select(col("term"), col("tbucket"))
+      .where(col("tbucket") =!= pmod(crc32(encode(col("term"), "UTF-8")), lit(buckets)).cast("int"))
+      .count()
+    assert(bad == 0, "a block landed outside its term's bucket — pruned reads would miss it")
+    // and the driver-side bucket function agrees with the Catalyst one
+    import spark.implicits._
+    val terms = Seq("def", "buf_buf", "z100_id", "日本語")
+    val sql = terms.toDF("t")
+      .select(pmod(crc32(encode(col("t"), "UTF-8")), lit(buckets)).cast("int")).as[Int].collect()
+    assert(terms.map(t => InvertedIndex.termBucket(t, buckets)) == sql.toSeq)
   }
 
   test("rank identity: naive DAAT == BMW == exhaustive oracle, all 20 queries") {
@@ -163,6 +184,15 @@ class IndexEndToEndSpec extends SparkSpec with BeforeAndAfterAll {
     val batch = reader.searchBmwBatch(QuerySet.all, QuerySet.K)
     for (q <- QuerySet.all)
       assert(batch(q).toSeq == reader.searchBmw(q, QuerySet.K).toSeq, s"batch mismatch for '$q'")
+  }
+
+  test("batch merge paths identical: driver heap-merge == distributed merge") {
+    // driverMergeMaxRows = 0 forces the distributed exchange; the default
+    // takes the small-batch driver path — results must match exactly
+    val viaDriver = reader.searchBmwBatch(QuerySet.all, QuerySet.K)
+    val viaExchange = reader.searchBmwBatch(QuerySet.all, QuerySet.K, driverMergeMaxRows = 0L)
+    for (q <- QuerySet.all)
+      assert(viaDriver(q).toSeq == viaExchange(q).toSeq, s"merge paths diverge for '$q'")
   }
 
   test("empty / absent-term queries return empty") {

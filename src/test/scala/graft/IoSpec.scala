@@ -53,6 +53,35 @@ class IoSpec extends SparkSpec {
     assert(Tables.read(spark, base, "t2").count() == 2)
   }
 
+  test("A14 upsert recovery: kill points roll forward or back, never lose a generation") {
+    import org.apache.hadoop.fs.Path
+    val base = "/tmp/graft_upsert_crash"
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def snap() = Tables.read(spark, base, "t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    // Kill point A: between rename(name -> old) and rename(staging -> name):
+    // name absent, old = generation G0, staging = COMMITTED generation G1.
+    // Recovery must ROLL FORWARD to G1 (G1 was a fully merged next
+    // generation — rolling back would silently undo a completed merge).
+    Tables.delete(spark, "/tmp", "graft_upsert_crash")
+    Tables.write(Seq((1L, "g1"), (2L, "g1")).toDF("k", "v"), base, "t__staging")
+    Tables.write(Seq((1L, "g0")).toDF("k", "v"), base, "t__old")
+    Tables.upsert(spark, base, "t", Seq((3L, "u")).toDF("k", "v"), Seq("k"))
+    assert(snap() == Seq((1L, "g1"), (2L, "g1"), (3L, "u")),
+      "committed staging must roll forward before the new merge applies")
+
+    // Kill point B: killed mid-staging-write (no _SUCCESS): must roll BACK
+    // to old, not serve the torn staging.
+    Tables.delete(spark, "/tmp", "graft_upsert_crash")
+    Tables.write(Seq((1L, "torn"), (2L, "torn")).toDF("k", "v"), base, "t__staging")
+    fs.delete(new Path(s"$base/t__staging/_SUCCESS"), false)
+    Tables.write(Seq((1L, "g0")).toDF("k", "v"), base, "t__old")
+    Tables.upsert(spark, base, "t", Seq((3L, "u")).toDF("k", "v"), Seq("k"))
+    assert(snap() == Seq((1L, "g0"), (3L, "u")),
+      "a torn (uncommitted) staging must be discarded in favor of the old generation")
+  }
+
   test("A6: lifecycle DDL — create generation, alias swap, drop") {
     import graft.io.Lifecycle
     val base = "/tmp/graft_lifecycle_test"
