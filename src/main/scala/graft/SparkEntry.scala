@@ -42,6 +42,11 @@ object SparkEntry {
     "b08_bm25_topk" -> ((s, d) => DocumentsIndex.bm25(s, d, "spark join", 10)),
     "b08_bm25_topk_multi" -> ((s, d) => DocumentsIndex.bm25(s, d, "window merge batch vector", 10)),
     "b09_bm25_rank_all" -> ((s, d) => DocumentsIndex.bm25(s, d, "the a value", -1)),
+    // B13/B14: multi-field documents — a second analyzed field (`tags` =
+    // lang + source) with its OWN df/avgdl via a per-field sub-index;
+    // fielded match + boolean OR across fields (Lucene SHOULD = score sum).
+    "b13_field_match" -> ((s, d) => DocumentsIndex.bm25Tags(s, d, "de src18")),
+    "b14_multi_match" -> ((s, d) => DocumentsIndex.multiMatch(s, d, "spark src18 de", 20)),
 
     // -- Layer A: toolchain operators (SURVEY.md §2.1/2.2) -----------------
     "a01_scan_projection" -> ((s, d) =>
@@ -209,16 +214,43 @@ object SparkEntry {
 
   // -------------------------------------------------------------- oracleSql
 
-  /** Shared tokenization CTE — the exact DuckDB twin of
-    * graft.tokenize.CodeTokenizer (lower -> split [^a-z0-9_]+ -> drop empty
-    * -> truncate 64).
+  /** Tokenization CTE over an arbitrary field expression — the exact DuckDB
+    * twin of graft.tokenize.CodeTokenizer (lower -> split [^a-z0-9_]+ ->
+    * drop empty -> truncate 64). `name` prefixes the CTE so several fields'
+    * chains can coexist in one query (the multi-field twins).
     */
-  private val TokCte =
-    """tok AS (
-      |  SELECT doc_id, substr(t.term, 1, 64) AS term
-      |  FROM documents, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS t(term)
-      |  WHERE t.term <> ''
-      |)""".stripMargin
+  private def tokCteOver(fieldExpr: String, name: String = "tok"): String =
+    s"""$name AS (
+       |  SELECT doc_id, substr(t.term, 1, 64) AS term
+       |  FROM documents, unnest(regexp_split_to_array(lower($fieldExpr), '[^a-z0-9_]+')) AS t(term)
+       |  WHERE t.term <> ''
+       |)""".stripMargin
+
+  private val TokCte = tokCteOver("text")
+
+  /** Per-field BM25 scoring CTE chain (prefix `pf`): every doc with at least
+    * one query term in the FIELD, scored under the field's OWN df/N/avgdl —
+    * exactly what the engine's per-field sub-index computes. N counts ALL
+    * documents (the per-field registry indexes every doc, empty field as
+    * dl = 0), hence the LEFT JOIN in the stats CTE.
+    */
+  private def fieldBm25Ctes(fieldExpr: String, pf: String, terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""${tokCteOver(fieldExpr, s"${pf}tok")},
+       |${pf}tf AS (SELECT doc_id, term, count(*) AS tf FROM ${pf}tok GROUP BY 1, 2),
+       |${pf}dl AS (SELECT doc_id, count(*) AS dl FROM ${pf}tok GROUP BY 1),
+       |${pf}st AS (
+       |  SELECT count(*) AS n, avg(cast(coalesce(${pf}dl.dl, 0) AS double)) AS avgdl
+       |  FROM documents d LEFT JOIN ${pf}dl ON d.doc_id = ${pf}dl.doc_id),
+       |${pf}df AS (SELECT term, count(*) AS df FROM ${pf}tf GROUP BY 1),
+       |${pf}sc AS (
+       |  SELECT tf.doc_id,
+       |         sum(ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+       |             * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score
+       |  FROM ${pf}tf tf JOIN ${pf}dl dl USING (doc_id) JOIN ${pf}df dfx USING (term) CROSS JOIN ${pf}st st
+       |  WHERE tf.term IN ($inList)
+       |  GROUP BY tf.doc_id)""".stripMargin
+  }
 
   private def bm25Sql(terms: Seq[String], limit: Int): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
@@ -293,6 +325,23 @@ object SparkEntry {
     "b08_bm25_topk" -> bm25Sql(Seq("join", "spark"), 10),
     "b08_bm25_topk_multi" -> bm25Sql(Seq("batch", "merge", "vector", "window"), 10),
     "b09_bm25_rank_all" -> bm25Sql(Seq("a", "the", "value"), -1),
+    // fielded match: BM25 over the tags field (lang || ' ' || source) under
+    // the FIELD's own df/N/avgdl — the twin of the tags sub-index
+    "b13_field_match" ->
+      s"""WITH ${fieldBm25Ctes("lang || ' ' || source", "g", Seq("de", "src18"))}
+         |SELECT doc_id, round(score, 6) AS score FROM gsc
+         |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
+    // multi_match OR across text + tags: Lucene BooleanQuery SHOULD = sum of
+    // the per-field BM25 scores, each under its own field stats
+    "b14_multi_match" ->
+      s"""WITH ${fieldBm25Ctes("text", "x", Seq("de", "spark", "src18"))},
+         |${fieldBm25Ctes("lang || ' ' || source", "g", Seq("de", "spark", "src18"))}
+         |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |       round(coalesce(a.score, 0) + coalesce(b.score, 0), 6) AS score
+         |FROM xsc a FULL OUTER JOIN gsc b ON a.doc_id = b.doc_id
+         |ORDER BY round(coalesce(a.score, 0) + coalesce(b.score, 0), 6) DESC,
+         |         coalesce(a.doc_id, b.doc_id)
+         |LIMIT 20""".stripMargin,
 
     "a01_scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem

@@ -32,14 +32,17 @@ object DocumentsIndex {
     * timings).
     */
   def rebuild(spark: SparkSession, sfDir: String): Double = synchronized {
-    val idx = dirFor(sfDir)
-    val p = new org.apache.hadoop.fs.Path(idx)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    for (idx <- Seq(dirFor(sfDir), dirFor(sfDir) + "_tags")) {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      readers.remove(idx)
+    }
     cache.remove(sfDir)
-    readers.remove(idx)
+    cache.remove(s"$sfDir#tags")
     val t0 = System.nanoTime()
     indexDir(spark, sfDir)
+    tagsIndexDir(spark, sfDir)
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -124,6 +127,75 @@ object DocumentsIndex {
         .orderBy(desc("score"), asc("doc_id"))
         .limit(k)
     }
+  }
+
+  /** Second-field index over the documents table: `tags` =
+    * concat(lang, ' ', source) — the driver table's categorical metadata as
+    * an analyzed field (the reference's schema.org entities carry many such
+    * fields next to the main text). Cached + manifest-resumable like the
+    * text index. Tiny: ~2 tokens/doc.
+    */
+  def tagsIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    cache.getOrElseUpdate(s"$sfDir#tags", {
+      val idx = dirFor(sfDir) + "_tags"
+      if (!Manifests.isComplete(spark, idx, "dictionary") ||
+          !InvertedIndex.formatVersionOk(spark, idx)) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        import spark.implicits._
+        val src = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(lit("corpus").as("repo"), col("doc_id").cast("string").as("path"),
+            col("doc_id").cast("string").as("commit"), col("lang"),
+            concat_ws(" ", col("lang"), col("source")).as("content"))
+          .as[graft.fixtures.CodeFile]
+        val parts = spark.sessionState.conf.numShufflePartitions
+        InvertedIndex.build(spark, src, idx,
+          IndexConfig(partitions = parts, heavyDfThreshold = 1000L, saltRunDocs = 1000L),
+          runId = "driver-tags")
+      }
+      idx
+    })
+  }
+
+  def tagsReader(spark: SparkSession, sfDir: String): IndexReader = synchronized {
+    val idx = tagsIndexDir(spark, sfDir)
+    readers.getOrElseUpdate(idx, new IndexReader(spark, idx))
+  }
+
+  private def docIdMapOf(spark: SparkSession, idx: String): DataFrame =
+    Tables.read(spark, idx, InvertedIndex.DocsTable)
+      .select(col("docId"), col("path").cast("long").as("doc_id"))
+
+  /** Fielded match on the tags field — rank-all (fielded queries over
+    * categorical metadata produce huge tie groups, so the exact distributed
+    * ranking is both the correct and the cheap path), keyed by doc_id.
+    */
+  def bm25Tags(spark: SparkSession, sfDir: String, query: String): DataFrame = {
+    val r = tagsReader(spark, sfDir)
+    r.scoreAllDf(query).join(docIdMapOf(spark, tagsIndexDir(spark, sfDir)), Seq("docId"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+  }
+
+  /** Cross-field OR (multi_match) over text + tags: score = text-field BM25
+    * (its own df/avgdl) + tags-field BM25 (its own df/avgdl) — Lucene
+    * BooleanQuery SHOULD across fielded clauses. The two sub-indexes may
+    * have been built in different sessions (different partition counts), so
+    * the combination joins on the STABLE doc_id key, not on docId; with
+    * rank-all on both sides the rounded re-sort + limit is globally exact.
+    */
+  def multiMatch(spark: SparkSession, sfDir: String, query: String, k: Int): DataFrame = {
+    val text = reader(spark, sfDir).scoreAllDf(query)
+      .join(docIdMap(spark, sfDir), Seq("docId")).select(col("doc_id"), col("score").as("s_text"))
+    val tags = tagsReader(spark, sfDir).scoreAllDf(query)
+      .join(docIdMapOf(spark, tagsIndexDir(spark, sfDir)), Seq("docId"))
+      .select(col("doc_id"), col("score").as("s_tags"))
+    val out = text.join(tags, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(col("s_text"), lit(0.0)) + coalesce(col("s_tags"), lit(0.0)), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+    if (k > 0) out.limit(k) else out
   }
 
   def dictionaryDf(spark: SparkSession, sfDir: String): DataFrame =

@@ -1,0 +1,73 @@
+package graft.index
+
+import graft.fixtures.CodeFile
+import graft.query.IndexReader
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-field documents (SURVEY.md §2.1 A9 / the LOD API's fielded
+  * queries): the reference's schema.org entities are indexed under an ES
+  * mapping with MANY analyzed fields, and queries target specific fields or
+  * boolean-combine several. Re-expressed Spark-first as PER-FIELD SUB-
+  * INDEXES under `<dir>/fields/<field>` — each a full engine index, so every
+  * per-field statistic the Lucene model requires (df, cf, avgdl per field)
+  * falls out of the existing build with zero new code paths, and each field
+  * independently gets salting, block-max, delta segments, and resume.
+  *
+  * docId ALIGNMENT across fields is free: the assignment is a pure function
+  * of (key set, partitions, docIdBase) — all fields of one build share all
+  * three, so a document has the SAME docId in every field's sub-index and
+  * cross-field score combination is a docId equi-join with no key mapping.
+  *
+  * Scoring semantics (Lucene BooleanQuery SHOULD across fielded clauses —
+  * ES multi_match, the LOD API's default): score(doc) = Σ over fields of
+  * that field's BM25 score under ITS OWN df/avgdl. [[matchField]] is the
+  * single-field `match`; [[multiMatchScoreAll]] is the cross-field OR with
+  * the hit set kept distributed (rank-all shape: fielded queries are short,
+  * and the sum needs every field's matching docs anyway; a top-k WAND
+  * ACROSS fields would need per-clause (bound, avgdl) cursor state — a
+  * documented non-goal while the exact relational form is this simple).
+  */
+object MultiFieldIndex {
+  def fieldDir(dir: String, field: String): String = s"$dir/fields/$field"
+
+  /** Build one sub-index per (field name -> string column) over a source
+    * carrying the (repo, path, commit, lang) key columns. Null field values
+    * index as empty documents (dl = 0 — they match nothing, score nothing,
+    * but keep docIds dense and aligned).
+    */
+  def build(spark: SparkSession, src: DataFrame, fields: Seq[String], dir: String,
+      cfg: IndexConfig, runId: String = "mf"): Unit = {
+    import spark.implicits._
+    for (f <- fields) {
+      val cf = src.select(col("repo"), col("path"), col("commit"), col("lang"),
+        coalesce(col(f).cast("string"), lit("")).as("content")).as[CodeFile]
+      InvertedIndex.build(spark, cf, fieldDir(dir, f), cfg, s"$runId-$f")
+      ()
+    }
+  }
+
+  def reader(spark: SparkSession, dir: String, field: String): IndexReader =
+    new IndexReader(spark, fieldDir(dir, field))
+
+  /** `match(field, query)` — BMW top-k against that field's sub-index. */
+  def matchField(spark: SparkSession, dir: String, field: String, query: String,
+      k: Int): Array[graft.query.SearchHit] =
+    reader(spark, dir, field).searchBmw(query, k)
+
+  /** Cross-field OR (`multi_match`): per-field rank-all scored under each
+    * field's own stats, combined by a full-outer docId equi-join (docIds are
+    * aligned across fields by construction) with missing fields contributing
+    * 0 — distributed end-to-end.
+    */
+  def multiMatchScoreAll(spark: SparkSession, dir: String, fields: Seq[String],
+      query: String): DataFrame = {
+    require(fields.nonEmpty, "multiMatch needs at least one field")
+    val perField = fields.map { f =>
+      reader(spark, dir, f).scoreAllDf(query).withColumnRenamed("score", s"score_$f")
+    }
+    val joined = perField.reduce((a, b) => a.join(b, Seq("docId"), "full_outer"))
+    val total = fields.map(f => coalesce(col(s"score_$f"), lit(0.0))).reduce(_ + _)
+    joined.select(col("docId"), total.as("score"))
+  }
+}

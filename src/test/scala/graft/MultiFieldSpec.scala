@@ -1,0 +1,85 @@
+package graft
+
+import graft.fixtures.CorpusGen
+import graft.index.{IndexConfig, InvertedIndex, MultiFieldIndex}
+import graft.io.Tables
+import graft.oracle.ExhaustiveScorer
+import org.apache.spark.sql.functions._
+
+/** Multi-field gate (VERDICT r2 item 6): per-field sub-indexes carry each
+  * field's OWN df/avgdl; fielded match and the cross-field OR must be
+  * rank-identical to per-field exhaustive scoring (summed for the OR).
+  */
+class MultiFieldSpec extends SparkSpec {
+  import spark.implicits._
+
+  val N = 600L
+  val dir = "/tmp/graft_mf_test"
+  val cfg: IndexConfig = IndexConfig(partitions = 8, heavyDfThreshold = 200L, saltRunDocs = 200L)
+
+  // two analyzed fields: the code content, and a short metadata field
+  // (lang + repo) — the shape of the reference's schema.org entities
+  lazy val src = CorpusGen.dataset(spark, N, 4).toDF()
+    .withColumn("meta", concat_ws(" ", col("lang"), col("repo")))
+    .select("repo", "path", "commit", "lang", "content", "meta")
+
+  lazy val built: Unit = {
+    Tables.delete(spark, "/tmp", "graft_mf_test")
+    MultiFieldIndex.build(spark, src, Seq("content", "meta"), dir, cfg, "mf")
+  }
+
+  private def fieldOracle(field: String): ExhaustiveScorer.Prepared = {
+    val reg = Tables.read(spark, MultiFieldIndex.fieldDir(dir, field), InvertedIndex.DocsTable)
+      .select("docId", "repo", "path", "commit")
+    val docs = src.join(reg, Seq("repo", "path", "commit"))
+      .select(col("docId"), col(field).as("content")).as[ExhaustiveScorer.OracleDoc]
+    ExhaustiveScorer.prepare(spark, docs)
+  }
+
+  test("docIds aligned across field sub-indexes (same key -> same id)") {
+    built
+    def ids(f: String) = Tables.read(spark, MultiFieldIndex.fieldDir(dir, f), InvertedIndex.DocsTable)
+      .select(concat_ws("|", col("repo"), col("path"), col("commit")).as("k"), col("docId"))
+    val mism = ids("content").as("a").join(ids("meta").as("b"), Seq("k"))
+      .where(col("a.docId") =!= col("b.docId")).count()
+    assert(mism == 0, "a document got different docIds in two field sub-indexes")
+  }
+
+  test("per-field stats are the field's own (meta avgdl << content avgdl)") {
+    built
+    val stC = InvertedIndex.readStats(spark, MultiFieldIndex.fieldDir(dir, "content"))
+    val stM = InvertedIndex.readStats(spark, MultiFieldIndex.fieldDir(dir, "meta"))
+    assert(stC.numDocs == N && stM.numDocs == N)
+    assert(stM.avgDl < stC.avgDl / 4, s"meta avgdl ${stM.avgDl} should be far below content's ${stC.avgDl}")
+  }
+
+  test("fielded match == exhaustive scorer on that field") {
+    built
+    val oracleM = fieldOracle("meta")
+    for (q <- Seq("scala repo0001", "rust", "java repo0002 repo0003")) {
+      val got = MultiFieldIndex.matchField(spark, dir, "meta", q, 10)
+      val want = oracleM.topK(q, 10)
+      assert(got.map(_.docId).toSeq == want.map(_.docId).toSeq, s"fielded ranks for '$q'")
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g.score - w.score) <= 1e-9 * math.max(1.0, math.abs(w.score)))
+      }
+    }
+  }
+
+  test("multi_match OR == sum of per-field exhaustive scores") {
+    built
+    val oracleC = fieldOracle("content")
+    val oracleM = fieldOracle("meta")
+    for (q <- Seq("def scala", "rust z100_id", "val repo0001")) {
+      val sc = oracleC.topK(q, Int.MaxValue).map(s => s.docId -> s.score).toMap
+      val sm = oracleM.topK(q, Int.MaxValue).map(s => s.docId -> s.score).toMap
+      val want = (sc.keySet ++ sm.keySet).map(d => d -> (sc.getOrElse(d, 0.0) + sm.getOrElse(d, 0.0))).toMap
+      val got = MultiFieldIndex.multiMatchScoreAll(spark, dir, Seq("content", "meta"), q)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == want.keySet, s"multi_match doc set for '$q'")
+      got.foreach { case (d, s) =>
+        assert(math.abs(s - want(d)) <= 1e-9 * math.max(1.0, math.abs(want(d))), s"score for doc $d, '$q'")
+      }
+    }
+  }
+}
