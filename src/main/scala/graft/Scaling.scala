@@ -85,6 +85,16 @@ object Scaling {
       .config("spark.local.dir", "/dev/shm/graft_spark_local")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Tungsten execution memory OFF-HEAP, sized per core (equal at both
+      // levels): the postings sort otherwise fills 0.6 x heap with
+      // long-lived buffers that ParallelGC copies on every collection —
+      // measured 54-107 s of GC at the 8-core level (25-45% of build wall)
+      // vs 4 s at the 2-core level, an asymmetry that polluted the scaling
+      // ratio. Off-heap pages are invisible to the collector; this is the
+      // standard production setting for sort-heavy executors, applied
+      // identically per core at every level.
+      .config("spark.memory.offHeap.enabled", "true")
+      .config("spark.memory.offHeap.size", (1536L * 1024 * 1024 * cpus).toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -239,14 +249,21 @@ object Scaling {
     */
   private def spawnLevel(n: Long, cpus: Int, partitions: Int): (String, String) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
-    val gbPerCore = sys.env.get("GRAFT_SCALE_GB_PER_CORE").map(_.toInt).getOrElse(5)
+    // Default 2 GiB/core: measured sweet spot at 2M docs — per-task sort
+    // share (0.6 x heap / tasks) is equal across levels at ANY per-core
+    // figure, but a big absolute heap makes ParallelGC copy a huge live
+    // sorter set instead of letting tasks spill to tmpfs (@8: 40g heap =
+    // 231 s build / 107 s GC; 16g heap = 161 s / 54 s, same code+corpus).
+    val gbPerCore = sys.env.get("GRAFT_SCALE_GB_PER_CORE").map(_.toInt).getOrElse(2)
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xmx")).toSeq
     val pin = if (sys.env.get("GRAFT_SCALE_PIN").contains("1"))
       Seq("taskset", "-c", s"0-${cpus - 1}") else Seq.empty
     val cmd = pin ++ Seq(javaBin) ++ jvmArgs ++
-      Seq(s"-Xmx${gbPerCore * cpus}g", s"-XX:ParallelGCThreads=$cpus",
+      // Xms = Xmx: heap-growth full GCs are benchmark noise, not workload
+      Seq(s"-Xms${gbPerCore * cpus}g", s"-Xmx${gbPerCore * cpus}g",
+        s"-XX:ParallelGCThreads=$cpus",
         "-cp", System.getProperty("java.class.path"), "graft.Scaling",
         "--level", n.toString, cpus.toString, partitions.toString)
     val pb = new ProcessBuilder(cmd.asJava)

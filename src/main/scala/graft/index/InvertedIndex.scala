@@ -541,7 +541,10 @@ object InvertedIndex {
     results += Manifests.runStage(spark, indexDir, "registry", runId, Seq(DocsTable)) {
       val docs = buildRegistry(spark, src, cfg, plan)
       Tables.write(docs.toDF(), indexDir, DocsTable)
-      Tables.read(spark, indexDir, DocsTable).count()
+      // input rows = the plan's total (already computed; withDocIds asserts
+      // per-pid counts during the write, and the manifest commit re-counts
+      // the output per file — a third read-back count added nothing)
+      plan.total
     }
 
     results += Manifests.runStage(spark, indexDir, "stats", runId, Seq(StatsTable)) {
