@@ -27,28 +27,34 @@ import scala.jdk.CollectionConverters._
   *    phase spent >50% of wall in GC at local[32]);
   *  - EACH LEVEL RUNS IN A FRESH CHILD JVM — one shared JVM let the second
   *    level inherit a warmed JIT but a fragmented heap, skewing both ways;
-  *  - each level's JVM gets GC threads AND heap proportional to its cores
-  *    (ParallelGCThreads=cpus, Xmx=5g x cpus): 4N executors bring 4x the
-  *    GC bandwidth and 4x the aggregate memory, so equal-resource levels
-  *    quietly gift the small level up to 16x its honest GC bandwidth and
-  *    4x its per-core memory (the round-2 residual that kept 2->8 wall
-  *    efficiency at ~0.68 while cpu work ratios said ~1.0). Full taskset
-  *    pinning was measured and rejected — see spawnLevel;
+  *  - each level's JVM gets GC threads, heap (2g x cpus), and off-heap
+  *    Tungsten memory (1.5g x cpus) proportional to its cores: 4N
+  *    executors bring 4x the GC bandwidth and 4x the aggregate memory, so
+  *    equal-resource levels quietly gift the small level up to 16x its
+  *    honest GC bandwidth and 4x its per-core memory (the round-2 residual
+  *    that kept 2->8 wall efficiency at ~0.68 while cpu work ratios said
+  *    ~1.0). Full taskset pinning was measured and rejected — see
+  *    spawnLevel;
   *  - queries run in BATCH mode over DISTINCT generated queries (no
   *    duplicate a cache could shortcut); query shards scale with the
   *    level's cores the way a real cluster's shard count does;
-  *  - per-phase steal%% (measured on exactly the pinned cores) and GC
-  *    seconds recorded: this is a shared host (steal bursts to ~15%), so
-  *    every sample carries its own pollution label.
+  *  - per-phase steal%% (host-wide when unpinned — an unpinned JVM floats
+  *    over all cores; the taskset prefix when GRAFT_SCALE_PIN=1) and GC
+  *    seconds recorded: this is a shared host (ambient steal ran 7-48%
+  *    through the round-3 evening), so every sample carries its own
+  *    pollution label.
   *
   * Usage: runMain graft.Scaling [nDocs] [cpusA] [cpusB]  — prints one JSON
   * line. (Internal: `--level <n> <cpus> <partitions>` runs one level.)
   */
 object Scaling {
 
-  /** (busy, steal) jiffies summed over the FIRST `cores` cpus — the set
-    * taskset pins this level to — so the steal label measures exactly the
-    * cores this level runs on, not host-wide noise on cores it never uses.
+  /** (busy, steal) jiffies summed over the FIRST `cores` cpus. With
+    * GRAFT_SCALE_PIN=1 the level is tasksetted to exactly that prefix, so
+    * the label measures its own cores; unpinned (the default), callers MUST
+    * pass the full core count — an unpinned JVM's threads float across all
+    * cores, and sampling only a prefix mislabels the level with whatever
+    * the co-tenants do on those particular cores.
     */
   private def cpuStat(cores: Int): (Long, Long) = {
     val f = scala.io.Source.fromFile("/proc/stat")
@@ -143,6 +149,11 @@ object Scaling {
     * object for the parent to collect.
     */
   def runLevel(n: Long, cpus: Int, partitions: Int): Unit = {
+    // steal sampled on the cores this JVM can actually run on: the taskset
+    // prefix when pinned, the whole host otherwise
+    val stealCores =
+      if (sys.env.get("GRAFT_SCALE_PIN").contains("1")) cpus
+      else Runtime.getRuntime.availableProcessors()
     val spark = session(cpus, partitions)
     import spark.implicits._
     val tt = new TaskTimeListener
@@ -160,13 +171,13 @@ object Scaling {
 
     val cfg = IndexConfig.auto(n, partitions, dfSampleFraction = 0.1)
     val src = spark.read.parquet(s"${srcDirFor(n)}/code_files").as[CodeFile]
-    val cs0 = cpuStat(cpus)
+    val cs0 = cpuStat(stealCores)
     val gc0 = gcMs()
     val tt0 = tt.snapshot()
     val t0 = System.nanoTime()
     val report = InvertedIndex.build(spark, src, dir, cfg, s"scale$cpus")
     val buildSec = (System.nanoTime() - t0) / 1e9
-    val buildSteal = stealPct(cs0, cpuStat(cpus))
+    val buildSteal = stealPct(cs0, cpuStat(stealCores))
     val buildGc = (gcMs() - gc0) / 1e3
     val tt1 = tt.settled()
     val buildTaskSec = (tt1._1 - tt0._1) / 1e3
@@ -202,7 +213,7 @@ object Scaling {
     // is ~20% of the timed workload at large n — counting it skewed the
     // work-invariance evidence)
     val ttQ0 = tt.settled()
-    val cs1 = cpuStat(cpus)
+    val cs1 = cpuStat(stealCores)
     val gc1 = gcMs()
     val tq = System.nanoTime()
     for (_ <- 1 to rounds) {
@@ -210,7 +221,7 @@ object Scaling {
       QuerySet.all.foreach(q => res(q).foreach(h => fp = fp * 31 + h.docId))
     }
     val qSec = (System.nanoTime() - tq) / 1e9
-    val querySteal = stealPct(cs1, cpuStat(cpus))
+    val querySteal = stealPct(cs1, cpuStat(stealCores))
     val queryGc = (gcMs() - gc1) / 1e3
     val tt2 = tt.settled()
     val queryTaskSec = (tt2._1 - ttQ0._1) / 1e3

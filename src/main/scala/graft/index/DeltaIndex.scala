@@ -68,6 +68,13 @@ object DeltaIndex {
     * uniqueness precondition the base build enforces within itself —
     * checked here across segments with one keys-only semi-join per segment;
     * update-in-place of an existing doc is compact's job, not a delta's).
+    *
+    * Resume contract (same as the base build's): a killed addDocuments left
+    * an UNCOMMITTED generation dir whose per-stage manifests this call
+    * resumes from — so a retry must pass the SAME newDocs. A retry with a
+    * different row COUNT fails loudly (the postings stage cross-checks the
+    * docId plan against committed stats); to abandon a partial delta and
+    * add a different batch, delete the uncommitted `deltas/d*` dir first.
     */
   def addDocuments(spark: SparkSession, indexDir: String, newDocs: Dataset[CodeFile],
       cfg: IndexConfig, runId: String = "delta"): String = {
