@@ -49,20 +49,34 @@ import scala.jdk.CollectionConverters._
   */
 object Scaling {
 
-  /** (busy, steal) jiffies summed over the FIRST `cores` cpus. With
-    * GRAFT_SCALE_PIN=1 the level is tasksetted to exactly that prefix, so
-    * the label measures its own cores; unpinned (the default), callers MUST
-    * pass the full core count — an unpinned JVM's threads float across all
-    * cores, and sampling only a prefix mislabels the level with whatever
-    * the co-tenants do on those particular cores.
+  /** The cpus this process may actually run on — /proc/self/status
+    * Cpus_allowed_list, which reflects any taskset/cgroup mask (or its
+    * absence). Assuming a [0, N) prefix would label an externally-masked
+    * process with the STEAL OF CORES IT NEVER USES.
     */
-  private def cpuStat(cores: Int): (Long, Long) = {
+  private def allowedCpus(): Set[Int] = {
+    val src = scala.io.Source.fromFile("/proc/self/status")
+    try {
+      src.getLines().find(_.startsWith("Cpus_allowed_list:")).map { l =>
+        l.split(":")(1).trim.split(",").iterator.flatMap { r =>
+          val p = r.split("-")
+          if (p.length == 2) p(0).trim.toInt to p(1).trim.toInt else Seq(p(0).trim.toInt)
+        }.toSet
+      }.getOrElse((0 until Runtime.getRuntime.availableProcessors()).toSet)
+    } finally src.close()
+  }
+
+  /** (busy, steal) jiffies summed over exactly `cores` — the set this
+    * level's JVM can run on, so each sample's steal label measures its own
+    * cores whether the level is pinned or floating.
+    */
+  private def cpuStat(cores: Set[Int]): (Long, Long) = {
     val f = scala.io.Source.fromFile("/proc/stat")
     try {
       var busy = 0L
       var steal = 0L
       f.getLines().foreach { line =>
-        if (line.matches("cpu\\d+ .*") && line.drop(3).takeWhile(_ != ' ').toInt < cores) {
+        if (line.matches("cpu\\d+ .*") && cores(line.drop(3).takeWhile(_ != ' ').toInt)) {
           val v = line.trim.split("\\s+").drop(1).map(_.toLong)
           busy += v(0) + v(1) + v(2)
           steal += v(7)
@@ -149,11 +163,9 @@ object Scaling {
     * object for the parent to collect.
     */
   def runLevel(n: Long, cpus: Int, partitions: Int): Unit = {
-    // steal sampled on the cores this JVM can actually run on: the taskset
-    // prefix when pinned, the whole host otherwise
-    val stealCores =
-      if (sys.env.get("GRAFT_SCALE_PIN").contains("1")) cpus
-      else Runtime.getRuntime.availableProcessors()
+    // steal sampled on the cores this JVM can actually run on (the real
+    // affinity mask — covers taskset-pinned and floating levels alike)
+    val stealCores = allowedCpus()
     val spark = session(cpus, partitions)
     import spark.implicits._
     val tt = new TaskTimeListener

@@ -84,6 +84,18 @@ object DocumentsIndex {
     Tables.read(spark, indexDir(spark, sfDir), InvertedIndex.DocsTable)
       .select(col("docId"), col("path").cast("long").as("doc_id"))
 
+  /** The cross-engine output protocol, in ONE place (it must stay identical
+    * for every BM25-family driver entry or oracle parity silently breaks
+    * per query family): map docId to the stable doc_id via the given
+    * index's registry, round scores to 6 dp, order (rounded desc, doc_id).
+    */
+  private def rankedByDocId(spark: SparkSession, scores: DataFrame, idx: String): DataFrame =
+    scores.join(
+        Tables.read(spark, idx, InvertedIndex.DocsTable)
+          .select(col("docId"), col("path").cast("long").as("doc_id")), Seq("docId"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+
   /** BM25 search via the Block-Max WAND path, output keyed by doc_id.
     * k <= 0 means "all matching docs".
     */
@@ -93,9 +105,7 @@ object DocumentsIndex {
     if (k <= 0) {
       // rank-all: fully distributed — the hit set is corpus-sized for
       // stopword queries, so it must never land on the driver.
-      r.scoreAllDf(query).join(docIdMap(spark, sfDir), Seq("docId"))
-        .select(col("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy(desc("score"), asc("doc_id"))
+      rankedByDocId(spark, r.scoreAllDf(query), indexDir(spark, sfDir))
     } else {
       // top-k: BMW with over-fetch by exact score, GROWN until the rounded
       // boundary is provably stable: rounding is monotone, so every doc
@@ -116,16 +126,10 @@ object DocumentsIndex {
         .map(f => (r.searchBmw(query, f), f))
       val hits = attempts.collectFirst { case (h, f) if stable(h, f) => h }
         .getOrElse {
-          return r.scoreAllDf(query).join(docIdMap(spark, sfDir), Seq("docId"))
-            .select(col("doc_id"), round(col("score"), 6).as("score"))
-            .orderBy(desc("score"), asc("doc_id"))
-            .limit(k)
+          return rankedByDocId(spark, r.scoreAllDf(query), indexDir(spark, sfDir)).limit(k)
         }
       val hitsDf = spark.createDataset(hits.toSeq).toDF()
-      broadcast(hitsDf).join(docIdMap(spark, sfDir), Seq("docId"))
-        .select(col("doc_id"), round(col("score"), 6).as("score"))
-        .orderBy(desc("score"), asc("doc_id"))
-        .limit(k)
+      rankedByDocId(spark, broadcast(hitsDf), indexDir(spark, sfDir)).limit(k)
     }
   }
 
@@ -173,9 +177,7 @@ object DocumentsIndex {
     */
   def bm25Tags(spark: SparkSession, sfDir: String, query: String): DataFrame = {
     val r = tagsReader(spark, sfDir)
-    r.scoreAllDf(query).join(docIdMapOf(spark, tagsIndexDir(spark, sfDir)), Seq("docId"))
-      .select(col("doc_id"), round(col("score"), 6).as("score"))
-      .orderBy(desc("score"), asc("doc_id"))
+    rankedByDocId(spark, r.scoreAllDf(query), tagsIndexDir(spark, sfDir))
   }
 
   /** Cross-field OR (multi_match) over text + tags: score = text-field BM25

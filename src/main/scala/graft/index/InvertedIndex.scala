@@ -179,6 +179,9 @@ object InvertedIndex {
     val b = new Array[Byte](16)
     val n = in.read(b)
     in.close()
+    // a torn/empty sidecar (kill between create and write) must diagnose,
+    // not throw StringIndexOutOfBounds from a negative read length
+    require(n > 0, s"index at $indexDir has an empty TERM_BUCKETS sidecar — rebuild it")
     new String(b, 0, n, "UTF-8").trim.toInt
   }
 
@@ -631,6 +634,12 @@ object InvertedIndex {
           (0 until s).map(i => Tables.tablePath(indexDir, s"postings_slices/$geom/s$i")): _*)
         commitSorted(all)
       }
+      // sidecar written INSIDE the stage body: it describes the layout this
+      // stage just wrote. A resumed build that SKIPS the stage must never
+      // restamp the sidecar from its own (possibly different) cfg — readers
+      // would prune scans by a bucket function the files were not written
+      // with, silently losing every mis-routed term.
+      writeTermBuckets(spark, indexDir, cfg.termBuckets)
       stats.numDocs
     }
     results ++= sliceResults.result()
@@ -657,11 +666,13 @@ object InvertedIndex {
         .repartitionByRange(cfg.partitions, col("term"))
         .sortWithinPartitions("term")
       Tables.write(dict, indexDir, DictTable)
+      // version stamped inside the final stage body, same rationale as the
+      // TERM_BUCKETS sidecar: a fully-skipped resume over an OLD-version
+      // index must not stamp the new version over old-layout tables
+      writeFormatVersion(spark, indexDir)
       stats.numDocs
     }
 
-    writeTermBuckets(spark, indexDir, cfg.termBuckets)
-    writeFormatVersion(spark, indexDir)
     BuildReport(results.result(), stats.numDocs)
   }
 

@@ -129,6 +129,15 @@ object VectorOps {
     val probe = emb.agg(count(lit(1)).as("n"), first(size(col(vec))).as("d")).collect()(0)
     val n = probe.getLong(0)
     val dim = if (probe.isNullAt(1)) 0 else probe.getInt(1)
+    // empty corpus: no pairs by definition — the dim clamp below would
+    // otherwise reject bands*bits <= 0 for what is a perfectly valid input
+    if (n == 0)
+      return emb.sparkSession.createDataFrame(
+        emb.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
     val bits =
       if (bitsPerBand > 0) bitsPerBand
       else

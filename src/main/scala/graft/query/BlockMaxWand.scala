@@ -162,17 +162,22 @@ object BlockMaxWand {
 
   final case class BucketStats(var decoded: Long = 0L, var skipped: Long = 0L, var scoredDocs: Long = 0L)
 
-  /** termBlocks: per query term, this bucket's blocks sorted by firstDocId.
-    * Returns the bucket-local top-k. Exact w.r.t. the exhaustive scorer:
-    * skips only docs provably unable to enter the top-k under the pinned
-    * tie-break.
+  /** termBlocks: per query term, this bucket's blocks. Returns the
+    * bucket-local top-k. Exact w.r.t. the exhaustive scorer: skips only
+    * docs provably unable to enter the top-k under the pinned tie-break.
+    * `presorted = true` promises every term's blocks are already sorted by
+    * firstDocId — batch callers sort once per bucket and share the arrays
+    * across all queries instead of paying an O(blocks log blocks) sort per
+    * (query, term).
     */
   def scoreBucket(termBlocks: Map[String, Array[PostingBlock]], meta: Map[String, TermMeta],
       lo: Long, hi: Long, k: Int, avgDl: Double, p: Bm25Params,
-      stats: BucketStats = BucketStats(), cache: BlockCache = null): Array[SearchHit] = {
+      stats: BucketStats = BucketStats(), cache: BlockCache = null,
+      presorted: Boolean = false): Array[SearchHit] = {
     val cursors: Array[TermCursor] = termBlocks.toArray.sortBy(_._1).map { case (t, bs) =>
       val m = meta(t)
-      new TermCursor(t, m.idf, m.maxImpact, bs.sortBy(_.firstDocId), lo, hi, avgDl, p, cache)
+      val sorted = if (presorted) bs else bs.sortBy(_.firstDocId)
+      new TermCursor(t, m.idf, m.maxImpact, sorted, lo, hi, avgDl, p, cache)
     }
     val heap = new TopKHeap(k)
     var active = cursors.filter(!_.exhausted)

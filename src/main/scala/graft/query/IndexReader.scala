@@ -222,13 +222,14 @@ final class IndexReader(spark: SparkSession, indexDir: String,
         val lo = g * w
         val hi = lo + w
         val byTerm = it.map(_._2).toArray.groupBy(_.term)
-          .map { case (t, bs) => t -> bs.sortBy(_.firstDocId) } // sort once per bucket
+          .map { case (t, bs) => t -> bs.sortBy(_.firstDocId) } // sort ONCE per bucket, shared by all queries
         val st = BlockMaxWand.BucketStats()
         val cache = new BlockCache() // queries share block decodes
         val out = perQueryB.value.iterator.flatMap { case (qi, terms) =>
           val tb = terms.iterator.flatMap(t => byTerm.get(t).map(t -> _)).toMap
           if (tb.isEmpty) Iterator.empty
-          else BlockMaxWand.scoreBucket(tb, metaB.value, lo, hi, kk, avgDl, pp, st, cache)
+          else BlockMaxWand.scoreBucket(tb, metaB.value, lo, hi, kk, avgDl, pp, st, cache,
+              presorted = true)
             .iterator.map(h => (qi, h.docId, h.score))
         }.toArray
         decAcc.add(st.decoded); skipAcc.add(st.skipped); scoredAcc.add(st.scoredDocs)
