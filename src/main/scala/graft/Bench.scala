@@ -47,20 +47,31 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
-    // warm-index BM25 throughput: the fixed driver-table query trio, 5 rounds
+    // warm-index BM25 throughput: the fixed driver-table query trio.
+    // Throughput = queries / MIN round time — the steal-robust estimator
+    // graft.Scaling uses everywhere: this box is a shared host with
+    // multi-minute 7-48% steal bursts, and a mean over rounds reports the
+    // co-tenant's load, not the engine's speed (the min round is the one
+    // that ran unstolen).
     val bmQueries = Seq("spark join", "window merge batch vector", "the a value")
+    val rounds = 7
+    def minRoundSec(body: => Unit): Double = {
+      var best = Double.MaxValue
+      for (_ <- 1 to rounds) {
+        val t0 = System.nanoTime()
+        body
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      best
+    }
     bmQueries.foreach(q => DocumentsIndex.bm25(spark, sfDir, q, 10).count()) // warm
-    val tq = System.nanoTime()
-    val rounds = 5
-    for (_ <- 1 to rounds; q <- bmQueries) DocumentsIndex.bm25(spark, sfDir, q, 10).count()
-    val qps = (rounds * bmQueries.size) / ((System.nanoTime() - tq) / 1e9)
+    val qps = bmQueries.size / minRoundSec(
+      bmQueries.foreach(q => DocumentsIndex.bm25(spark, sfDir, q, 10).count()))
 
     // batch mode: all queries in one job per round
     val reader = DocumentsIndex.reader(spark, sfDir)
     reader.searchBmwBatch(bmQueries, 10) // warm
-    val tb2 = System.nanoTime()
-    for (_ <- 1 to rounds) reader.searchBmwBatch(bmQueries, 10)
-    val qpsBatch = (rounds * bmQueries.size) / ((System.nanoTime() - tb2) / 1e9)
+    val qpsBatch = bmQueries.size / minRoundSec(reader.searchBmwBatch(bmQueries, 10))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

@@ -325,17 +325,21 @@ object SparkEntry {
     "b08_bm25_topk" -> bm25Sql(Seq("join", "spark"), 10),
     "b08_bm25_topk_multi" -> bm25Sql(Seq("batch", "merge", "vector", "window"), 10),
     "b09_bm25_rank_all" -> bm25Sql(Seq("a", "the", "value"), -1),
-    // fielded match: BM25 over the tags field (lang || ' ' || source) under
-    // the FIELD's own df/N/avgdl — the twin of the tags sub-index
+    // fielded match: BM25 over the tags field under the FIELD's own
+    // df/N/avgdl — the twin of the tags sub-index. concat_ws (NOT ||):
+    // the engine side builds the field with concat_ws(" ", lang, source),
+    // which SKIPS nulls, while `||` would yield NULL (zero tokens) if
+    // either column were null — a single null-lang doc would silently
+    // break oracle parity for the whole query family.
     "b13_field_match" ->
-      s"""WITH ${fieldBm25Ctes("lang || ' ' || source", "g", Seq("de", "src18"))}
+      s"""WITH ${fieldBm25Ctes("concat_ws(' ', lang, source)", "g", Seq("de", "src18"))}
          |SELECT doc_id, round(score, 6) AS score FROM gsc
          |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
     // multi_match OR across text + tags: Lucene BooleanQuery SHOULD = sum of
     // the per-field BM25 scores, each under its own field stats
     "b14_multi_match" ->
       s"""WITH ${fieldBm25Ctes("text", "x", Seq("de", "spark", "src18"))},
-         |${fieldBm25Ctes("lang || ' ' || source", "g", Seq("de", "spark", "src18"))}
+         |${fieldBm25Ctes("concat_ws(' ', lang, source)", "g", Seq("de", "spark", "src18"))}
          |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
          |       round(coalesce(a.score, 0) + coalesce(b.score, 0), 6) AS score
          |FROM xsc a FULL OUTER JOIN gsc b ON a.doc_id = b.doc_id

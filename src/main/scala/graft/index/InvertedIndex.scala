@@ -185,6 +185,40 @@ object InvertedIndex {
     new String(b, 0, n, "UTF-8").trim.toInt
   }
 
+  private def planGeometryPath(indexDir: String) = new org.apache.hadoop.fs.Path(s"$indexDir/PLAN_GEOMETRY")
+
+  /** Persist the docId plan's geometry (partitions, idBase, total, key-set
+    * fingerprint) next to the registry it was committed with. The postings
+    * stage requires EQUALITY with its own recomputed plan: a resumed build
+    * with a different cfg.partitions, or a delta retry with a different
+    * same-count batch, recomputes a DIFFERENT assignment than the committed
+    * registry and must fail loudly, not commit mispaired (docId, content)
+    * postings.
+    */
+  private def writePlanGeometry(spark: SparkSession, indexDir: String, plan: DocIdPlan): Unit = {
+    val p = planGeometryPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(s"${plan.partitions};${plan.idBase};${plan.total};${plan.fingerprint}".getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** (partitions, idBase, total, fingerprint) the registry stage committed
+    * with, or None for an index predating the sidecar (pre-v5).
+    */
+  def readPlanGeometry(spark: SparkSession, indexDir: String): Option[(Int, Long, Long, Long)] = {
+    val p = planGeometryPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val b = new Array[Byte](128)
+    val n = in.read(b)
+    in.close()
+    if (n <= 0) return None // torn sidecar (kill between create and write)
+    val parts = new String(b, 0, n, "UTF-8").trim.split(';')
+    Some((parts(0).toInt, parts(1).toLong, parts(2).toLong, parts(3).toLong))
+  }
+
   def writeFormatVersion(spark: SparkSession, indexDir: String): Unit = {
     val p = versionPath(indexDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -216,7 +250,8 @@ object InvertedIndex {
     * source-drift cross-check all consume the same plan — round 2 recomputed
     * it per call, one redundant keys-only scan per stage/slice).
     */
-  final case class DocIdPlan(counts: Array[Long], offsets: Array[Long], idBase: Long) {
+  final case class DocIdPlan(counts: Array[Long], offsets: Array[Long], idBase: Long,
+      fingerprint: Long = 0L) {
     def partitions: Int = counts.length
     def total: Long = counts.sum
   }
@@ -229,24 +264,35 @@ object InvertedIndex {
     * other's content — fail loudly instead), then reduces the key groups to
     * per-pid counts (a tiny partial aggregate). `idBase` offsets every
     * assigned docId — non-zero for delta segments.
+    *
+    * `fingerprint` is an order-independent digest of the KEY SET
+    * (bit_xor of per-key xxhash64 — overflow-free, same estimator the
+    * lineage manifests use): the registry stage persists it, and the
+    * postings stage requires equality, so a resumed or delta-retried build
+    * whose source keys changed — even with an EQUAL row count — fails
+    * loudly instead of silently mispairing (docId, content).
     */
   def docIdPlan(spark: SparkSession, keysOnly: DataFrame, p: Int, idBase: Long = 0L): DocIdPlan = {
     val pidExpr = pmod(hash(col("repo"), col("path"), col("commit")), lit(p))
     val rows = keysOnly.select(col("repo"), col("path"), col("commit"))
       .groupBy("repo", "path", "commit").agg(count(lit(1)).as("c"))
-      .groupBy(pidExpr.as("pid")).agg(sum("c").as("c"), max("c").as("mx"))
+      .groupBy(pidExpr.as("pid"))
+      .agg(sum("c").as("c"), max("c").as("mx"),
+        expr("bit_xor(xxhash64(repo, path, commit))").as("fp"))
       .collect()
     val counts = new Array[Long](p)
+    var fp = 0L
     rows.foreach { r =>
       require(r.getLong(2) <= 1L,
         s"duplicate (repo, path, commit) key in the source table (pid=${r.getInt(0)}) — the key must be unique")
       counts(r.getInt(0)) = r.getLong(1)
+      fp ^= r.getLong(3)
     }
     val offsets = new Array[Long](p)
     var acc = idBase
     var i = 0
     while (i < p) { offsets(i) = acc; acc += counts(i); i += 1 }
-    DocIdPlan(counts, offsets, idBase)
+    DocIdPlan(counts, offsets, idBase, fp)
   }
 
   /** Deterministic, dense, partition-layout-independent docId assignment
@@ -535,6 +581,20 @@ object InvertedIndex {
     import spark.implicits._
     val results = Seq.newBuilder[Manifests.StageResult]
 
+    // A committed index of a DIFFERENT format version must not be silently
+    // "resumed": all its stage manifests are complete, so every stage below
+    // would be skipped and build() would return success while the index
+    // keeps the old layout — the failure then surfaces later, at read time,
+    // as a confusing schema error. Wipe and rebuild instead. (A directory
+    // with manifests but NO version file is an in-flight build of THIS
+    // version — the final stage stamps the version — and resumes normally.)
+    {
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (rfs.exists(versionPath(indexDir)) && !formatVersionOk(spark, indexDir))
+        rfs.delete(root, true)
+    }
+
     // ONE keys-only scan per build serves the uniqueness check, the registry
     // pass, every postings slice's pass, and the postings-stage source-drift
     // cross-check. Lazy: a fully-resumed build (all stages committed) never
@@ -544,6 +604,10 @@ object InvertedIndex {
     results += Manifests.runStage(spark, indexDir, "registry", runId, Seq(DocsTable)) {
       val docs = buildRegistry(spark, src, cfg, plan)
       Tables.write(docs.toDF(), indexDir, DocsTable)
+      // geometry sidecar INSIDE the stage body (same rationale as
+      // TERM_BUCKETS): it describes the assignment these docs were written
+      // with; a resumed build that skips the stage must never restamp it.
+      writePlanGeometry(spark, indexDir, plan)
       // input rows = the plan's total (already computed; withDocIds asserts
       // per-pid counts during the write, and the manifest commit re-counts
       // the output per file — a third read-back count added nothing)
@@ -580,6 +644,21 @@ object InvertedIndex {
 
     val sliceResults = Seq.newBuilder[Manifests.StageResult]
     results += Manifests.runStage(spark, indexDir, "postings", runId, Seq(PostingsTable)) {
+      // Geometry cross-check: the committed registry's docId assignment and
+      // this stage's recomputed plan must agree on partitions, idBase, AND
+      // the key-set fingerprint — a row-count match alone would let a
+      // resumed build with different cfg.partitions (or an equal-count but
+      // different key set) silently mispair (docId, content) postings.
+      readPlanGeometry(spark, indexDir) match {
+        case Some(g) =>
+          require(g == ((plan.partitions, plan.idBase, plan.total, plan.fingerprint)),
+            s"postings stage geometry drift for $indexDir: committed registry has " +
+              s"(partitions, idBase, total, keyFp) = $g but this build computes " +
+              s"(${plan.partitions}, ${plan.idBase}, ${plan.total}, ${plan.fingerprint}) — " +
+              "the source keys or the build geometry changed since the registry committed; rebuild from scratch")
+        case None => require(false,
+          s"index at $indexDir has a committed registry but no PLAN_GEOMETRY sidecar — rebuild it")
+      }
       if (cfg.resumeSlices <= 1) {
         val blocks = buildPostingsSlice(spark, src, stats, cfg,
           heavyTerms(spark, src, cfg), 0, 1, plan)

@@ -1,8 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{JoinedRow, SpecificInternalRow}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Page-batched scan (SURVEY.md §2.1 A2): the reference's `esfatgenerator`
   * yields whole scroll PAGES (fixed-size batches of documents) so a worker
@@ -22,6 +25,16 @@ import org.apache.spark.sql.types.LongType
 object PageScan {
   /** Append a `page` column: the 0-based page index of the row within its
     * group under `orderCols`, pages of `pageSize` rows.
+    *
+    * The stamping pass runs at the InternalRow level (`queryExecution.toRdd`
+    * in, graftshim.InternalDf out) — the page counter needs only the group
+    * column's ordinal, so the per-row cost is one field read and a mutable
+    * JoinedRow wrap: zero external-row serde, zero per-row allocation on the
+    * steady path (the group value is copied only when the group CHANGES —
+    * the sorter reuses its row buffer, so a retained value must be cloned).
+    * A window `row_number()` would express the same arithmetic declaratively
+    * but WindowExec buffers each partitionBy group (spilling at scale) —
+    * here a scroll group is export-sized, and this pass streams in O(1).
     */
   def withPages(df: DataFrame, groupCol: String, orderCols: Seq[String], pageSize: Int): DataFrame = {
     require(pageSize > 0, s"pageSize must be positive, got $pageSize")
@@ -30,20 +43,33 @@ object PageScan {
     val p = spark.sessionState.conf.numShufflePartitions
     val outSchema = df.schema.add("page", LongType, nullable = false)
     val gi = df.schema.fieldIndex(groupCol)
-    df.repartition(p, col(groupCol))
+    val gdt = df.schema(gi).dataType
+    val ps = pageSize.toLong
+    val sorted = df.repartition(p, col(groupCol))
       .sortWithinPartitions((groupCol +: orderCols).map(col): _*)
-      .mapPartitions { it =>
-        var curGroup: Any = null
-        var started = false
-        var inGroup = 0L
-        it.map { r =>
-          val g = r.get(gi)
-          if (!started || g != curGroup) { curGroup = g; started = true; inGroup = 0L }
-          val page = inGroup / pageSize
+    val stamped = sorted.queryExecution.toRdd.mapPartitions { it =>
+      new Iterator[InternalRow] {
+        private var curGroup: Any = null
+        private var started = false
+        private var inGroup = 0L
+        private val pageRow = new SpecificInternalRow(Seq(LongType))
+        private val joined = new JoinedRow
+        def hasNext: Boolean = it.hasNext
+        def next(): InternalRow = {
+          val r = it.next()
+          val g = r.get(gi, gdt)
+          if (!started || !java.util.Objects.equals(g, curGroup)) {
+            curGroup = g match { case u: UTF8String => u.clone(); case x => x }
+            started = true
+            inGroup = 0L
+          }
+          pageRow.setLong(0, inGroup / ps)
           inGroup += 1
-          Row.fromSeq(r.toSeq :+ page)
+          joined(r, pageRow)
         }
-      }(Encoders.row(outSchema))
+      }
+    }
+    org.apache.spark.sql.graftshim.InternalDf(spark, stamped, outSchema)
   }
 
   /** Per-page stats over a long key column — the batched-export shape (one

@@ -39,13 +39,18 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   /** Base + committed delta segments, each a full index directory. */
   val segments: Seq[String] = DeltaIndex.segmentDirs(spark, indexDir)
 
+  // Version check at CONSTRUCTION, not lazily inside stats: termMeta reads
+  // version-specific dictionary columns before anything forces stats, so a
+  // reader pointed at an old-format index would otherwise die with a
+  // confusing missing-column AnalysisException instead of this diagnostic.
+  segments.foreach(InvertedIndex.assertFormatVersion(spark, _))
+
   /** Single-segment readers use the exact stored block bounds; composite
     * readers recompute bounds under the merged avgdl.
     */
   private val exactStats: Boolean = segments.size == 1
 
   lazy val stats: CorpusStats = {
-    segments.foreach(InvertedIndex.assertFormatVersion(spark, _))
     val per = segments.map(InvertedIndex.readStats(spark, _))
     val n = per.map(_.numDocs).sum
     val sumDl = per.map(_.sumDl).sum
