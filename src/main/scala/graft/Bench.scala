@@ -30,8 +30,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // fresh, timed engine build (docs -> registry/stats/postings/dictionary)
+    // fresh, timed engine build (docs -> registry/stats/postings/dictionary);
+    // the delta-served pair (b15's base + delta segment) is timed apart so
+    // build_sec stays the comparable text+tags figure across rounds
     val buildSec = DocumentsIndex.rebuild(spark, sfDir)
+    val buildDeltaSec = DocumentsIndex.rebuildDelta(spark, sfDir)
 
     // A failing entry must be loudly visible: its timing is the sentinel
     // -1.0 (never a plausible wall-clock) and it lands in `failed`.
@@ -76,7 +79,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","build_sec":$buildSec,"bm25_qps":$qps,"bm25_qps_batch":$qpsBatch,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","build_sec":$buildSec,"build_delta_sec":$buildDeltaSec,"bm25_qps":$qps,"bm25_qps_batch":$qpsBatch,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -47,6 +47,16 @@ object SparkEntry {
     // fielded match + boolean OR across fields (Lucene SHOULD = score sum).
     "b13_field_match" -> ((s, d) => DocumentsIndex.bm25Tags(s, d, "de src18")),
     "b14_multi_match" -> ((s, d) => DocumentsIndex.multiMatch(s, d, "spark src18 de", 20)),
+    // B14 delta serving against the EXTERNAL oracle: the same BM25 top-k,
+    // but through a base segment (doc_id % 17 != 0) plus one delta segment
+    // (the rest, DeltaIndex.addDocuments) — the oracle scores the FULL
+    // table, so a green row proves composite serving (merged df/N/avgdl,
+    // recomputed bounds, cross-segment doc mapping) is indistinguishable
+    // from a full rebuild.
+    "b15_delta_match" -> ((s, d) => DocumentsIndex.bm25Delta(s, d, "batch vector", 10)),
+    // B15 positional phrase (ES match_phrase): docs where the analyzed
+    // tokens are consecutive, with the occurrence count.
+    "b16_phrase" -> ((s, d) => DocumentsIndex.phraseMatch(s, d, "hash join")),
 
     // -- Layer A: toolchain operators (SURVEY.md §2.1/2.2) -----------------
     "a01_scan_projection" -> ((s, d) =>
@@ -325,6 +335,23 @@ object SparkEntry {
     "b08_bm25_topk" -> bm25Sql(Seq("join", "spark"), 10),
     "b08_bm25_topk_multi" -> bm25Sql(Seq("batch", "merge", "vector", "window"), 10),
     "b09_bm25_rank_all" -> bm25Sql(Seq("a", "the", "value"), -1),
+    // delta serving twin = the ORDINARY full-table BM25: base ∪ delta must
+    // be indistinguishable from one index over everything
+    "b15_delta_match" -> bm25Sql(Seq("batch", "vector"), 10),
+    // phrase twin: reconstruct the analyzer's token stream WITH positions
+    // (zipped unnests keep list order; substr-to-64 applies after empty
+    // filtering, exactly like the engine tokenizer) and join adjacency
+    "b16_phrase" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS a
+        |  FROM documents),
+        |t0 AS (SELECT doc_id, unnest(a) AS term0, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |toks AS (SELECT doc_id, substr(term0, 1, 64) AS term, pos FROM t0)
+        |SELECT p0.doc_id, count(*) AS phrase_tf
+        |FROM toks p0 JOIN toks p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+        |WHERE p0.term = 'hash' AND p1.term = 'join'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // fielded match: BM25 over the tags field under the FIELD's own
     // df/N/avgdl — the twin of the tags sub-index. concat_ws (NOT ||):
     // the engine side builds the field with concat_ws(" ", lang, source),

@@ -190,4 +190,51 @@ object PostingsCodec extends Serializable {
   def encodeDls(dls: Array[Int]): Array[Byte] = encodeTfs(dls)
 
   def decodeDls(count: Int, bytes: Array[Byte]): Array[Int] = decodeTfs(count, bytes)
+
+  // ---- Positions (v5) ----------------------------------------------------
+
+  /** Encode one posting's term positions (strictly increasing, 0-based) as a
+    * raw VByte stream: first position absolute, then successive gaps minus 1.
+    * NO tag byte — per-posting streams are CONCATENATED into a block's `pos`
+    * payload in docId order and split back by tf at decode (the analog of
+    * Lucene's .pos file, except stored as a parquet column so queries that
+    * don't select it never read it). The build normally produces this
+    * encoding incrementally (CodeTokenizer.TfPosCounter); this form exists
+    * for tests and tools.
+    */
+  def encodePositions(positions: Array[Int]): Array[Byte] = {
+    val out = ArrayBuilder.make[Byte]
+    var i = 0
+    while (i < positions.length) {
+      val v = if (i == 0) positions(0).toLong else (positions(i) - positions(i - 1) - 1).toLong
+      writeVLong(out, v)
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Split a block's concatenated `pos` payload into per-posting position
+    * arrays using the block's decoded tfs (posting i owns tfs(i) values).
+    */
+  def decodePositions(tfs: Array[Int], bytes: Array[Byte]): Array[Array[Int]] = {
+    val out = new Array[Array[Int]](tfs.length)
+    var p = 0
+    var i = 0
+    while (i < tfs.length) {
+      val n = tfs(i)
+      val ps = new Array[Int](n)
+      var j = 0
+      var last = -1
+      while (j < n) {
+        val (v, np) = readVLong(bytes, p)
+        p = np
+        last = if (j == 0) v.toInt else last + v.toInt + 1
+        ps(j) = last
+        j += 1
+      }
+      out(i) = ps
+      i += 1
+    }
+    out
+  }
 }

@@ -1,11 +1,11 @@
 package graft.driver
 
 import graft.fixtures.CodeFile
-import graft.index.{IndexConfig, InvertedIndex}
+import graft.index.{DeltaIndex, IndexConfig, InvertedIndex}
 import graft.io.Tables
 import graft.lineage.Manifests
 import graft.query.IndexReader
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Engine facade over the driver's `documents` parquet table: builds (once
@@ -46,6 +46,37 @@ object DocumentsIndex {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Drop and rebuild the delta-served index pair (base + one delta
+    * segment), timed separately from [[rebuild]] so the bench's `build_sec`
+    * stays comparable across rounds.
+    */
+  def rebuildDelta(spark: SparkSession, sfDir: String): Double = synchronized {
+    val idx = dirFor(sfDir) + "_delta"
+    val p = new org.apache.hadoop.fs.Path(idx)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    readers.remove(idx)
+    cache.remove(s"$sfDir#delta")
+    val t0 = System.nanoTime()
+    deltaIndexDir(spark, sfDir)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The documents table as the engine's `code_files` source shape (doc_id
+    * carried through path AND commit — the registry locator).
+    */
+  private def docsSource(spark: SparkSession, sfDir: String): Dataset[CodeFile] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(lit("corpus").as("repo"), col("doc_id").cast("string").as("path"),
+        col("doc_id").cast("string").as("commit"), col("lang"), col("text").as("content"))
+      .as[CodeFile]
+  }
+
+  private def driverCfg(spark: SparkSession, storePositions: Boolean = true): IndexConfig =
+    IndexConfig(partitions = spark.sessionState.conf.numShufflePartitions,
+      heavyDfThreshold = 1000L, saltRunDocs = 1000L, storePositions = storePositions)
+
   def indexDir(spark: SparkSession, sfDir: String): String = synchronized {
     cache.getOrElseUpdate(sfDir, {
       val idx = dirFor(sfDir)
@@ -54,15 +85,37 @@ object DocumentsIndex {
         val p = new org.apache.hadoop.fs.Path(idx)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(p)) fs.delete(p, true)
-        import spark.implicits._
-        val src = spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(lit("corpus").as("repo"), col("doc_id").cast("string").as("path"),
-            col("doc_id").cast("string").as("commit"), col("lang"), col("text").as("content"))
-          .as[CodeFile]
-        val parts = spark.sessionState.conf.numShufflePartitions
-        InvertedIndex.build(spark, src, idx,
-          IndexConfig(partitions = parts, heavyDfThreshold = 1000L, saltRunDocs = 1000L),
+        InvertedIndex.build(spark, docsSource(spark, sfDir), idx, driverCfg(spark),
           runId = "driver")
+      }
+      idx
+    })
+  }
+
+  /** The same corpus served THROUGH the segment model (SURVEY.md §2.3 B14):
+    * a base segment over all docs with doc_id % 17 != 0, plus one delta
+    * segment (DeltaIndex.addDocuments) holding the doc_id % 17 == 0 rest —
+    * so the driver's DuckDB oracle (which scores the FULL table) checks the
+    * composite base-∪-delta read path: merged df/N/avgdl at query compile
+    * and recomputed block bounds. Frequency-only (positions off): this pair
+    * exists to exercise delta serving, not phrase.
+    */
+  def deltaIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    cache.getOrElseUpdate(s"$sfDir#delta", {
+      val idx = dirFor(sfDir) + "_delta"
+      val served = Manifests.isComplete(spark, idx, "dictionary") &&
+        InvertedIndex.formatVersionOk(spark, idx) &&
+        DeltaIndex.deltaDirs(spark, idx).nonEmpty
+      if (!served) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val all = docsSource(spark, sfDir)
+        val cfg = driverCfg(spark, storePositions = false)
+        InvertedIndex.build(spark, all.where(col("path").cast("long") % 17 =!= 0), idx,
+          cfg, runId = "driver-delta-base")
+        DeltaIndex.addDocuments(spark, idx,
+          all.where(col("path").cast("long") % 17 === 0), cfg, runId = "driver-delta-add")
       }
       idx
     })
@@ -73,16 +126,31 @@ object DocumentsIndex {
     readers.getOrElseUpdate(idx, new IndexReader(spark, idx))
   }
 
+  def deltaReader(spark: SparkSession, sfDir: String): IndexReader = synchronized {
+    val idx = deltaIndexDir(spark, sfDir)
+    readers.getOrElseUpdate(idx, new IndexReader(spark, idx))
+  }
+
   /** Engine stats table in oracle-comparable form. */
   def statsDf(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, indexDir(spark, sfDir), InvertedIndex.StatsTable)
       .select(col("numDocs").as("num_docs"), col("sumDl").as("sum_dl"),
         round(col("avgDl"), 6).as("avg_dl"))
 
+  /** docId -> doc_id mapping across ALL committed segments of `idx` (a
+    * delta-served index registers new docs in each delta's OWN docs table —
+    * a base-only read would silently drop every delta doc from the output
+    * join; for a single-segment index the union is just the base).
+    */
+  private def docIdMapOf(spark: SparkSession, idx: String): DataFrame =
+    DeltaIndex.segmentDirs(spark, idx)
+      .map(seg => Tables.read(spark, seg, InvertedIndex.DocsTable)
+        .select(col("docId"), col("path").cast("long").as("doc_id")))
+      .reduce(_ unionByName _)
+
   /** docId -> doc_id mapping (registry path column carries the doc_id). */
   private def docIdMap(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.read(spark, indexDir(spark, sfDir), InvertedIndex.DocsTable)
-      .select(col("docId"), col("path").cast("long").as("doc_id"))
+    docIdMapOf(spark, indexDir(spark, sfDir))
 
   /** The cross-engine output protocol, in ONE place (it must stay identical
     * for every BM25-family driver entry or oracle parity silently breaks
@@ -90,22 +158,30 @@ object DocumentsIndex {
     * index's registry, round scores to 6 dp, order (rounded desc, doc_id).
     */
   private def rankedByDocId(spark: SparkSession, scores: DataFrame, idx: String): DataFrame =
-    scores.join(
-        Tables.read(spark, idx, InvertedIndex.DocsTable)
-          .select(col("docId"), col("path").cast("long").as("doc_id")), Seq("docId"))
+    scores.join(docIdMapOf(spark, idx), Seq("docId"))
       .select(col("doc_id"), round(col("score"), 6).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
 
   /** BM25 search via the Block-Max WAND path, output keyed by doc_id.
     * k <= 0 means "all matching docs".
     */
-  def bm25(spark: SparkSession, sfDir: String, query: String, k: Int): DataFrame = {
+  def bm25(spark: SparkSession, sfDir: String, query: String, k: Int): DataFrame =
+    bm25Of(spark, reader(spark, sfDir), indexDir(spark, sfDir), query, k)
+
+  /** Same query path THROUGH the delta-served (base ∪ delta) index — the
+    * oracle twin is the ordinary full-table BM25 SQL, because composite
+    * serving is contractually indistinguishable from a full rebuild.
+    */
+  def bm25Delta(spark: SparkSession, sfDir: String, query: String, k: Int): DataFrame =
+    bm25Of(spark, deltaReader(spark, sfDir), deltaIndexDir(spark, sfDir), query, k)
+
+  private def bm25Of(spark: SparkSession, r: IndexReader, idx: String,
+      query: String, k: Int): DataFrame = {
     import spark.implicits._
-    val r = reader(spark, sfDir)
     if (k <= 0) {
       // rank-all: fully distributed — the hit set is corpus-sized for
       // stopword queries, so it must never land on the driver.
-      rankedByDocId(spark, r.scoreAllDf(query), indexDir(spark, sfDir))
+      rankedByDocId(spark, r.scoreAllDf(query), idx)
     } else {
       // top-k: BMW with over-fetch by exact score, GROWN until the rounded
       // boundary is provably stable: rounding is monotone, so every doc
@@ -126,12 +202,21 @@ object DocumentsIndex {
         .map(f => (r.searchBmw(query, f), f))
       val hits = attempts.collectFirst { case (h, f) if stable(h, f) => h }
         .getOrElse {
-          return rankedByDocId(spark, r.scoreAllDf(query), indexDir(spark, sfDir)).limit(k)
+          return rankedByDocId(spark, r.scoreAllDf(query), idx).limit(k)
         }
       val hitsDf = spark.createDataset(hits.toSeq).toDF()
-      rankedByDocId(spark, broadcast(hitsDf), indexDir(spark, sfDir)).limit(k)
+      rankedByDocId(spark, broadcast(hitsDf), idx).limit(k)
     }
   }
+
+  /** Positional phrase match over the text index, keyed by doc_id (the
+    * phrase_tf count is integer-exact — no float protocol needed).
+    */
+  def phraseMatch(spark: SparkSession, sfDir: String, phrase: String): DataFrame =
+    reader(spark, sfDir).matchPhraseDf(phrase)
+      .join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("doc_id"), col("phrase_tf").cast("long").as("phrase_tf"))
+      .orderBy("doc_id")
 
   /** Second-field index over the documents table: `tags` =
     * concat(lang, ' ', source) — the driver table's categorical metadata as
@@ -153,9 +238,9 @@ object DocumentsIndex {
             col("doc_id").cast("string").as("commit"), col("lang"),
             concat_ws(" ", col("lang"), col("source")).as("content"))
           .as[graft.fixtures.CodeFile]
-        val parts = spark.sessionState.conf.numShufflePartitions
-        InvertedIndex.build(spark, src, idx,
-          IndexConfig(partitions = parts, heavyDfThreshold = 1000L, saltRunDocs = 1000L),
+        // categorical field: frequency queries only — skip positions (the
+        // IndexConfig scaladoc's canonical storePositions = false case)
+        InvertedIndex.build(spark, src, idx, driverCfg(spark, storePositions = false),
           runId = "driver-tags")
       }
       idx
@@ -166,10 +251,6 @@ object DocumentsIndex {
     val idx = tagsIndexDir(spark, sfDir)
     readers.getOrElseUpdate(idx, new IndexReader(spark, idx))
   }
-
-  private def docIdMapOf(spark: SparkSession, idx: String): DataFrame =
-    Tables.read(spark, idx, InvertedIndex.DocsTable)
-      .select(col("docId"), col("path").cast("long").as("doc_id"))
 
   /** Fielded match on the tags field — rank-all (fielded queries over
     * categorical metadata produce huge tie groups, so the exact distributed

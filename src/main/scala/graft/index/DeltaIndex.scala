@@ -97,6 +97,31 @@ object DeltaIndex {
     dir
   }
 
+  /** The segment-merge POLICY the class scaladoc promises ("compact when
+    * the delta doc share grows past a few percent"), enforced: compacts iff
+    * committed delta docs exceed `maxDeltaShare` of the total. Costs only
+    * the per-segment stats reads (tiny single-row tables) when below the
+    * threshold, so refresh loops can call it after every [[addDocuments]]
+    * and segment count stays bounded — without it nothing stops a
+    * refresh-heavy workload from accumulating an unbounded segment list,
+    * each adding a dictionary lookup and a scan branch to every query.
+    * Returns true iff compaction ran.
+    */
+  def maybeCompact(spark: SparkSession, indexDir: String, allDocs: Dataset[CodeFile],
+      cfg: IndexConfig, maxDeltaShare: Double = 0.05, runId: String = "compact"): Boolean = {
+    require(maxDeltaShare > 0.0, s"maxDeltaShare must be positive, got $maxDeltaShare")
+    val deltas = deltaDirs(spark, indexDir)
+    if (deltas.isEmpty) return false
+    val deltaDocs = deltas.map(InvertedIndex.readStats(spark, _).numDocs).sum
+    val baseDocs = InvertedIndex.readStats(spark, indexDir).numDocs
+    val share = deltaDocs.toDouble / math.max(1L, baseDocs + deltaDocs)
+    if (share <= maxDeltaShare) false
+    else {
+      compact(spark, indexDir, allDocs, cfg, runId)
+      true
+    }
+  }
+
   /** Background compaction: the ordinary full build over `allDocs` (the
     * caller's source of truth for base + added documents) into a fresh
     * generation, swapped in with the crash-recoverable rename protocol

@@ -46,9 +46,17 @@ final case class DocMeta(repo: String, path: String, commit: String,
   */
 final case class PostingBlock(term: String, blockId: Long, firstDocId: Long, lastDocId: Long,
     count: Int, tfSum: Long, blockMaxTfn: Double, maxTf: Int, minDl: Int,
-    docDeltas: Array[Byte], tfs: Array[Byte], dls: Array[Byte])
+    docDeltas: Array[Byte], tfs: Array[Byte], dls: Array[Byte],
+    /** v5: concatenated per-posting position streams (PostingsCodec
+      * .decodePositions splits by tf), empty when the index was built with
+      * storePositions = false. Lucene's .pos file as a parquet COLUMN:
+      * match/BMW queries never select it, so column pruning keeps the
+      * frequency-only scan exactly as narrow as it was pre-positions.
+      */
+    pos: Array[Byte])
 
-final case class TermPosting(term: String, salt: Int, docId: Long, tf: Int, dl: Int)
+final case class TermPosting(term: String, salt: Int, docId: Long, tf: Int, dl: Int,
+    pos: Array[Byte])
 
 final case class CorpusStats(numDocs: Long, sumDl: Long, avgDl: Double)
 
@@ -100,6 +108,15 @@ final case class IndexConfig(
       * bucket-range query sharding works over their union unchanged.
       */
     docIdBase: Long = 0L,
+    /** Store per-occurrence token positions (phrase/positional queries).
+      * Default ON — ES indexes positions for text fields by default, and a
+      * user of the reference gets `match_phrase` on every text field without
+      * opting in. Cost: ~1 byte per token occurrence of postings storage and
+      * token-exchange payload; queries that don't use positions never read
+      * them (parquet column pruning). Turn off for fields that will only
+      * ever serve frequency queries (e.g. categorical tag fields).
+      */
+    storePositions: Boolean = true,
     bm25: Bm25Params = Bm25.Default)
 
 object IndexConfig {
@@ -143,9 +160,11 @@ object InvertedIndex {
     * reader refuses indexes of another version instead of misdecoding
     * (codec payloads are tagged binary — an old index read with a new
     * decoder would be silent garbage). v4: term-bucket partitioned postings
-    * + per-block/per-term (maxTf, minDl) impact material.
+    * + per-block/per-term (maxTf, minDl) impact material. v5: per-posting
+    * position payloads (`pos` column + POSITIONS sidecar) and the
+    * PLAN_GEOMETRY registry sidecar.
     */
-  val FormatVersion = 4
+  val FormatVersion = 5
 
   private def versionPath(indexDir: String) = new org.apache.hadoop.fs.Path(s"$indexDir/FORMAT_VERSION")
 
@@ -183,6 +202,33 @@ object InvertedIndex {
     // not throw StringIndexOutOfBounds from a negative read length
     require(n > 0, s"index at $indexDir has an empty TERM_BUCKETS sidecar — rebuild it")
     new String(b, 0, n, "UTF-8").trim.toInt
+  }
+
+  private def positionsPath(indexDir: String) = new org.apache.hadoop.fs.Path(s"$indexDir/POSITIONS")
+
+  private def writePositionsFlag(spark: SparkSession, indexDir: String, stored: Boolean): Unit = {
+    val p = positionsPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write((if (stored) "1" else "0").getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Whether the postings at `indexDir` carry position payloads. A phrase
+    * query against a frequency-only index must fail loudly here — its `pos`
+    * payloads are EMPTY, so without this check it would return zero matches
+    * and look like a correct empty result.
+    */
+  def hasPositions(spark: SparkSession, indexDir: String): Boolean = {
+    val p = positionsPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val in = fs.open(p)
+      val b = new Array[Byte](8)
+      val n = in.read(b)
+      in.close()
+      n > 0 && new String(b, 0, n, "UTF-8").trim == "1"
+    }
   }
 
   private def planGeometryPath(indexDir: String) = new org.apache.hadoop.fs.Path(s"$indexDir/PLAN_GEOMETRY")
@@ -451,19 +497,28 @@ object InvertedIndex {
     val blockSize = cfg.blockSize
     val sliceL = sliceIdx.toLong
 
+    val storePos = cfg.storePositions
     val salted = withDocIds(spark, sliced, plan, pidRange)((id, f) => (id, f.content))
       .flatMap { case (docId, content) =>
-        val m = CodeTokenizer.tfCount(content)
-        val dl = m.dl
         val h = heavyB.value
-        m.iterator.map { case (t, tf) =>
-          val s = h.get(t) match {
-            // docId-range bucket, monotone; ranged over THIS segment's dense
-            // id span [idBase, idBase + numDocs)
-            case Some(n) => math.min(n - 1L, (docId - idBase) * n / numDocs).toInt
-            case None => 0
+        @inline def saltOf(t: String): Int = h.get(t) match {
+          // docId-range bucket, monotone; ranged over THIS segment's dense
+          // id span [idBase, idBase + numDocs)
+          case Some(n) => math.min(n - 1L, (docId - idBase) * n / numDocs).toInt
+          case None => 0
+        }
+        if (storePos) {
+          // positions arrive already VByte-encoded from the counter — the
+          // payload is final here and merely concatenates downstream
+          val m = CodeTokenizer.tfPos(content)
+          val dl = m.dl
+          m.iterator.map { case (t, tf, pos) => TermPosting(t, saltOf(t), docId, tf, dl, pos) }
+        } else {
+          val m = CodeTokenizer.tfCount(content)
+          val dl = m.dl
+          m.iterator.map { case (t, tf) =>
+            TermPosting(t, saltOf(t), docId, tf, dl, Array.emptyByteArray)
           }
-          TermPosting(t, s, docId, tf, dl)
         }
       }
 
@@ -486,12 +541,13 @@ object InvertedIndex {
     val sorted = salted
       .repartition(cfg.partitions, $"term", $"salt")
       .sortWithinPartitions($"term", $"salt", $"docId")
-      .toDF() // columns: term(0), salt(1), docId(2), tf(3), dl(4)
+      .toDF() // columns: term(0), salt(1), docId(2), tf(3), dl(4), pos(5)
     val blocksRdd = sorted.queryExecution.toRdd.mapPartitions { rows =>
       new Iterator[PostingBlock] {
         private val ids = new Array[Long](blockSize)
         private val tfs = new Array[Int](blockSize)
         private val dls = new Array[Int](blockSize)
+        private val poss = new Array[Array[Byte]](blockSize)
         private var curTerm: org.apache.spark.unsafe.types.UTF8String = null
         private var curTermStr: String = null
         private var curSalt = -1
@@ -504,9 +560,11 @@ object InvertedIndex {
         private var cDoc = 0L
         private var cTf = 0
         private var cDl = 0
+        private var cPos: Array[Byte] = null
         private def stash(r: org.apache.spark.sql.catalyst.InternalRow): Unit = {
           cTerm = r.getUTF8String(0).clone()
           cSalt = r.getInt(1); cDoc = r.getLong(2); cTf = r.getInt(3); cDl = r.getInt(4)
+          cPos = r.getBinary(5) // UnsafeRow.getBinary copies — safe to retain
         }
         def hasNext: Boolean = carried || rows.hasNext
         def next(): PostingBlock = {
@@ -515,12 +573,13 @@ object InvertedIndex {
           if (curTerm == null || cSalt != curSalt || !cTerm.equals(curTerm)) {
             curTerm = cTerm; curTermStr = curTerm.toString; curSalt = cSalt; localBlock = 0L
           }
-          ids(0) = cDoc; tfs(0) = cTf; dls(0) = cDl
+          ids(0) = cDoc; tfs(0) = cTf; dls(0) = cDl; poss(0) = cPos
           var n = 1
           var tfSum = cTf.toLong
           var maxTfn = Bm25.tfNorm(cTf.toLong, cDl.toLong, avgDl, p)
           var maxTf = cTf
           var minDl = cDl
+          var posBytes = cPos.length
           var open = true
           while (open && n < blockSize && rows.hasNext) {
             val r = rows.next()
@@ -528,6 +587,9 @@ object InvertedIndex {
             if (s == curSalt && r.getUTF8String(0).equals(curTerm)) {
               val tf = r.getInt(3); val dl = r.getInt(4)
               ids(n) = r.getLong(2); tfs(n) = tf; dls(n) = dl
+              val pb = r.getBinary(5)
+              poss(n) = pb
+              posBytes += pb.length
               tfSum += tf
               val tfn = Bm25.tfNorm(tf.toLong, dl.toLong, avgDl, p)
               if (tfn > maxTfn) maxTfn = tfn
@@ -539,6 +601,17 @@ object InvertedIndex {
           val blockIds = java.util.Arrays.copyOf(ids, n)
           val blockTfs = java.util.Arrays.copyOf(tfs, n)
           val blockDls = java.util.Arrays.copyOf(dls, n)
+          // per-posting position streams concatenate in docId order — the
+          // payloads are already encoded, so the block's pos column is a
+          // straight byte copy (no re-encode at the block level)
+          val blockPos = new Array[Byte](posBytes)
+          var off = 0
+          var pi = 0
+          while (pi < n) {
+            System.arraycopy(poss(pi), 0, blockPos, off, poss(pi).length)
+            off += poss(pi).length
+            pi += 1
+          }
           // blockId = salt(31b) | slice(10b) | localBlock(22b): ascending
           // blockId == ascending docId within a term (salt buckets, then
           // slices, then positions are all docId-monotone)
@@ -547,7 +620,7 @@ object InvertedIndex {
           val b = PostingBlock(curTermStr, (curSalt.toLong << 32) | (sliceL << 22) | localBlock,
             blockIds(0), blockIds(n - 1), n, tfSum, maxTfn, maxTf, minDl,
             PostingsCodec.encodeDocIds(blockIds), PostingsCodec.encodeTfs(blockTfs),
-            PostingsCodec.encodeDls(blockDls))
+            PostingsCodec.encodeDls(blockDls), blockPos)
           localBlock += 1
           b
         }
@@ -713,12 +786,14 @@ object InvertedIndex {
           (0 until s).map(i => Tables.tablePath(indexDir, s"postings_slices/$geom/s$i")): _*)
         commitSorted(all)
       }
-      // sidecar written INSIDE the stage body: it describes the layout this
+      // sidecars written INSIDE the stage body: they describe the layout this
       // stage just wrote. A resumed build that SKIPS the stage must never
-      // restamp the sidecar from its own (possibly different) cfg — readers
+      // restamp them from its own (possibly different) cfg — readers
       // would prune scans by a bucket function the files were not written
-      // with, silently losing every mis-routed term.
+      // with (silently losing every mis-routed term), or serve a phrase
+      // query against postings whose pos payloads were never stored.
       writeTermBuckets(spark, indexDir, cfg.termBuckets)
+      writePositionsFlag(spark, indexDir, cfg.storePositions)
       stats.numDocs
     }
     results ++= sliceResults.result()

@@ -96,9 +96,18 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     }.toMap
   }
 
-  private def postingsFor(terms: Seq[String]): Dataset[PostingBlock] = {
-    val cols = Seq("term", "blockId", "firstDocId", "lastDocId", "count", "tfSum",
+  /** Query-term block scan (catalog-level tbucket pruning + term row-group
+    * pruning). `withPositions = false` substitutes an empty LITERAL for the
+    * pos column, so frequency-only queries (match/BMW/rank-all) never read
+    * the position bytes from parquet — column pruning keeps their scan as
+    * narrow as a positionless index's.
+    */
+  private[graft] def postingsFor(terms: Seq[String],
+      withPositions: Boolean = false): Dataset[PostingBlock] = {
+    val baseCols = Seq("term", "blockId", "firstDocId", "lastDocId", "count", "tfSum",
       "blockMaxTfn", "maxTf", "minDl", "docDeltas", "tfs", "dls").map(col)
+    val cols = baseCols :+ (if (withPositions) col("pos")
+      else lit(Array.emptyByteArray).as("pos"))
     val scans = segments.zip(segBuckets).map { case (seg, b) =>
       val tb = terms.map(t => InvertedIndex.termBucket(t, b)).distinct
       Tables.read(spark, seg, InvertedIndex.PostingsTable)
@@ -270,6 +279,51 @@ final class IndexReader(spark: SparkSession, indexDir: String,
         .sortBy(h => (-h.score, h.docId))
       q -> hits
     }.toMap
+  }
+
+  /** Positional phrase match (SURVEY.md §2.3 B15; ES `match_phrase`, exact
+    * positions): every doc where the analyzed phrase's tokens occur at
+    * consecutive positions, with `phrase_tf` = the occurrence count —
+    * distributed end-to-end (no top-k cut: phrase hit sets are small by
+    * nature, and callers compose scoring/limits relationally).
+    *
+    * Plan shape: ONLY the phrase terms' blocks are scanned (tbucket + term
+    * pruning), WITH their `pos` column — the one path that reads it; blocks
+    * re-bucket by docId range exactly like BMW; each bucket intersects
+    * docIds first and decodes positions lazily per candidate block
+    * (PhraseMatcher). A term absent from every segment short-circuits to
+    * empty — phrase is conjunctive.
+    */
+  def matchPhraseDf(phrase: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    segments.foreach { seg =>
+      require(InvertedIndex.hasPositions(spark, seg),
+        s"phrase query needs positions but segment $seg was built with storePositions = false — rebuild it")
+    }
+    val emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("docId", LongType), StructField("phrase_tf", IntegerType))))
+    val tokens = CodeTokenizer.tokenize(phrase)
+    if (tokens.isEmpty) return emptyOut
+    val distinct = tokens.distinct.toSeq.sorted
+    val meta = termMeta(distinct.toArray)
+    if (distinct.exists(t => !meta.contains(t))) return emptyOut
+    val buckets = spark.sessionState.conf.numShufflePartitions
+    val w = math.max(1L, (stats.numDocs + buckets - 1) / buckets)
+    val tokensB = spark.sparkContext.broadcast(tokens)
+    postingsFor(distinct, withPositions = true)
+      .flatMap(b => ((b.firstDocId / w) to (b.lastDocId / w)).iterator.map(g => (g, b)))
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val lo = g * w
+        val hi = lo + w
+        val byTerm = it.map(_._2).toArray.groupBy(_.term)
+          .map { case (t, bs) => t -> bs.sortBy(_.firstDocId) }
+        // a bucket missing any distinct term can't host a conjunctive match
+        if (tokensB.value.exists(t => !byTerm.contains(t))) Iterator.empty
+        else PhraseMatcher.matchBucket(byTerm, tokensB.value, lo, hi).iterator
+      }
+      .toDF("docId", "phrase_tf")
   }
 
   /** Distributed rank-all: score EVERY matching document with the result

@@ -1,0 +1,132 @@
+package graft.query
+
+import graft.codec.PostingsCodec
+import graft.index.PostingBlock
+
+/** Positional phrase matching over one docId-range bucket (SURVEY.md §2.3
+  * B15; ES `match_phrase` / Lucene PhraseQuery, exact positions, no slop).
+  *
+  * Shape: conjunctive docId intersection FIRST (decoded id arrays only),
+  * position verification SECOND — and a block's `pos` payload is decoded
+  * lazily, only when some candidate doc inside that block survives the
+  * intersection. A phrase over one rare + one common term therefore decodes
+  * the common term's positions for only the handful of blocks containing
+  * candidates, which is the property that makes phrase queries affordable
+  * at corpus scale (the same economics as Lucene: .doc is read list-wide,
+  * .pos only at verified candidates).
+  */
+object PhraseMatcher {
+  /** One term's postings in this bucket: eager docId decode (needed by the
+    * intersection), lazy per-block tf + position decode.
+    */
+  final class TermView(blocks: Array[PostingBlock]) {
+    val ids: Array[Array[Long]] = blocks.map(b =>
+      PostingsCodec.decodeDocIds(b.firstDocId, b.count, b.docDeltas))
+    val total: Long = blocks.map(_.count.toLong).sum
+    private val posCache = new Array[Array[Array[Int]]](blocks.length)
+
+    /** (blockIdx, idxInBlock) of docId d, or null. Blocks are sorted by
+      * firstDocId and non-overlapping; both searches are binary.
+      */
+    def find(d: Long): (Int, Int) = {
+      var lo = 0
+      var hi = blocks.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (blocks(mid).lastDocId < d) lo = mid + 1
+        else if (blocks(mid).firstDocId > d) hi = mid - 1
+        else {
+          val a = ids(mid)
+          val j = java.util.Arrays.binarySearch(a, d)
+          return if (j >= 0) (mid, j) else null
+        }
+      }
+      null
+    }
+
+    /** The positions of posting (blockIdx, idx); decodes the whole block's
+      * pos payload on first touch and caches it for the bucket's lifetime.
+      */
+    def positionsOf(bi: Int, idx: Int): Array[Int] = {
+      if (posCache(bi) == null) {
+        val b = blocks(bi)
+        posCache(bi) = PostingsCodec.decodePositions(
+          PostingsCodec.decodeTfs(b.count, b.tfs), b.pos)
+      }
+      posCache(bi)(idx)
+    }
+  }
+
+  @inline private def contains(a: Array[Int], v: Int): Boolean =
+    java.util.Arrays.binarySearch(a, v) >= 0
+
+  /** Match the analyzed phrase `tokens` (order and duplicates preserved)
+    * against this bucket's blocks; returns (docId, phraseTf) for every doc
+    * in [lo, hi) where the tokens occur at consecutive positions, with
+    * phraseTf = the number of such occurrences. `termBlocks` must cover
+    * every distinct token (callers return early on any absent term — a
+    * conjunctive query with a df=0 term matches nothing) with blocks sorted
+    * by firstDocId.
+    */
+  def matchBucket(termBlocks: Map[String, Array[PostingBlock]], tokens: Array[String],
+      lo: Long, hi: Long): Array[(Long, Int)] = {
+    val distinct = tokens.distinct
+    val views = distinct.map(t => t -> new TermView(termBlocks(t))).toMap
+    // anchor the chain walk on the RAREST term in this bucket, offset back
+    // to token slot 0: fewest candidate docs AND fewest start positions
+    val anchorTerm = distinct.minBy(t => views(t).total)
+    val anchorSlot = tokens.indexOf(anchorTerm)
+    val anchor = views(anchorTerm)
+    // every NON-anchor slot gets its own check — filter by SLOT, not term:
+    // a phrase repeating the anchor term ("join x join") must still verify
+    // the repeat's position
+    val others: Array[(TermView, Int)] = tokens.zipWithIndex
+      .filter(_._2 != anchorSlot)
+      .map { case (t, slot) => (views(t), slot - anchorSlot) }
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var bi = 0
+    while (bi < anchor.ids.length) {
+      val idArr = anchor.ids(bi)
+      var i = 0
+      while (i < idArr.length) {
+        val d = idArr(i)
+        if (d >= lo && d < hi) {
+          // phase 1: conjunctive membership of every non-anchor slot's term
+          // (ids only — no position decode unless the doc qualifies)
+          var ok = true
+          var oi = 0
+          val slots = new Array[Array[Int]](others.length)
+          while (ok && oi < others.length) {
+            val h = others(oi)._1.find(d)
+            if (h == null) ok = false
+            else slots(oi) = others(oi)._1.positionsOf(h._1, h._2)
+            oi += 1
+          }
+          // phase 2: position-chain verify anchored on the rare term
+          if (ok) {
+            val base = anchor.positionsOf(bi, i)
+            var cnt = 0
+            var pi = 0
+            while (pi < base.length) {
+              if (base(pi) >= anchorSlot) { // phrase start can't be negative
+                var all = true
+                var oj = 0
+                while (all && oj < others.length) {
+                  if (!contains(slots(oj), base(pi) + others(oj)._2)) all = false
+                  oj += 1
+                }
+                if (all) cnt += 1
+              }
+              pi += 1
+            }
+            if (cnt > 0) out += ((d, cnt))
+          }
+        }
+        i += 1
+      }
+      bi += 1
+    }
+    out.toArray
+  }
+}

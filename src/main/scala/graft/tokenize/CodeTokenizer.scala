@@ -128,6 +128,95 @@ object CodeTokenizer extends Serializable {
     }
   }
 
+  /** tf + POSITIONS counter (the positional sibling of [[TfCounter]], same
+    * open-addressing layout): each occurrence's 0-based token position is
+    * appended DIRECTLY as its final on-disk encoding — a raw VByte stream of
+    * (first position absolute, then successive gaps minus 1), the per-posting
+    * payload [[graft.codec.PostingsCodec.decodePositions]] splits by tf. No
+    * intermediate Int arrays: the narrow tokenize map emits postings whose
+    * position bytes travel the token exchange and concatenate into block
+    * payloads untouched.
+    */
+  final class TfPosCounter(initialCapacity: Int = 256) {
+    private var cap = Integer.highestOneBit(math.max(16, initialCapacity) * 2 - 1) << 1
+    private var keys = new Array[String](cap)
+    private var counts = new Array[Int](cap)
+    private var lastPos = new Array[Int](cap)
+    private var bufs = new Array[mutable.ArrayBuilder[Byte]](cap)
+    private var used = 0
+    var dl = 0
+
+    def size: Int = used
+
+    private def grow(): Unit = {
+      val ok = keys; val oc = counts; val ol = lastPos; val ob = bufs
+      cap <<= 1
+      keys = new Array[String](cap)
+      counts = new Array[Int](cap)
+      lastPos = new Array[Int](cap)
+      bufs = new Array[mutable.ArrayBuilder[Byte]](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != null) {
+          var j = ok(i).hashCode & (cap - 1)
+          while (keys(j) != null) j = (j + 1) & (cap - 1)
+          keys(j) = ok(i); counts(j) = oc(i); lastPos(j) = ol(i); bufs(j) = ob(i)
+        }
+        i += 1
+      }
+    }
+
+    def add(t: String, pos: Int): Unit = {
+      if (used * 4 >= cap * 3) grow()
+      var i = t.hashCode & (cap - 1)
+      while (keys(i) != null && !keys(i).equals(t)) i = (i + 1) & (cap - 1)
+      if (keys(i) == null) {
+        keys(i) = t; counts(i) = 1; used += 1
+        val b = mutable.ArrayBuilder.make[Byte]
+        bufs(i) = b
+        graft.codec.PostingsCodec.writeVLong(b, pos.toLong)
+      } else {
+        counts(i) += 1
+        graft.codec.PostingsCodec.writeVLong(bufs(i), (pos - lastPos(i) - 1).toLong)
+      }
+      lastPos(i) = pos
+    }
+
+    /** Iterator over (term, tf, encoded positions). */
+    def iterator: Iterator[(String, Int, Array[Byte])] = new Iterator[(String, Int, Array[Byte])] {
+      private var i = 0
+      private def skip(): Unit = { while (i < keys.length && keys(i) == null) i += 1 }
+      skip()
+      def hasNext: Boolean = i < keys.length
+      def next(): (String, Int, Array[Byte]) = {
+        val r = (keys(i), counts(i), bufs(i).result())
+        i += 1; skip(); r
+      }
+    }
+  }
+
+  /** Per-document invert WITH positions — the build hot path when
+    * IndexConfig.storePositions is on.
+    */
+  def tfPos(content: String): TfPosCounter = {
+    val m = new TfPosCounter()
+    if (content == null || content.isEmpty) return m
+    val s = content.toLowerCase(java.util.Locale.ROOT)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      while (i < n && !isWordChar(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && isWordChar(s.charAt(i))) i += 1
+        val len = math.min(i - start, MaxTermLen)
+        m.add(s.substring(start, start + len), m.dl)
+        m.dl += 1
+      }
+    }
+    m
+  }
+
   /** Hot-path per-document invert: tf counts + dl with minimal garbage. */
   def tfCount(content: String): TfCounter = {
     val m = new TfCounter()

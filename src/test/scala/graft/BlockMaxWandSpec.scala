@@ -22,7 +22,8 @@ class BlockMaxWandSpec extends AnyFunSuite {
       val maxTfn = grp.map(e => Bm25.tfNorm(e._2.toLong, e._3.toLong, avgDl, p)).max
       PostingBlock(term, bi.toLong, ids.head, ids.last, ids.length, tfs.map(_.toLong).sum,
         maxTfn, tfs.max, dls.min,
-        PostingsCodec.encodeDocIds(ids), PostingsCodec.encodeTfs(tfs), PostingsCodec.encodeDls(dls))
+        PostingsCodec.encodeDocIds(ids), PostingsCodec.encodeTfs(tfs), PostingsCodec.encodeDls(dls),
+        Array.emptyByteArray)
     }.toArray
   }
 

@@ -1,0 +1,157 @@
+package graft
+
+import graft.codec.PostingsCodec
+import graft.fixtures.CorpusGen
+import graft.index.{DeltaIndex, IndexConfig, InvertedIndex}
+import graft.io.Tables
+import graft.query.IndexReader
+import graft.tokenize.CodeTokenizer
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+/** Positional phrase matching (B15) against an exhaustive oracle: the
+  * reference result is computed by tokenizing every document directly and
+  * sliding the phrase window over the token stream — no index involved. The
+  * engine path (positions through the salted SPIMI build, block pos
+  * payloads, bucketed intersect + lazy position decode) must agree exactly
+  * on (docId, phraseTf) for every phrase, including duplicate-token and
+  * absent-term phrases.
+  */
+class PhraseSpec extends SparkSpec with BeforeAndAfterAll {
+  val N = 800L
+  val dir = "/tmp/graft_test_phrase"
+  // salting forced on (low threshold) so phrase terms cross salted runs
+  val cfg: IndexConfig = IndexConfig(partitions = 8, heavyDfThreshold = 200L, saltRunDocs = 200L)
+
+  lazy val corpus = CorpusGen.dataset(spark, N, 8)
+  lazy val reader = new IndexReader(spark, dir)
+
+  // docId -> token stream, via the registry locator join (the docs table
+  // stores no content)
+  lazy val tokensById: Map[Long, Array[String]] = {
+    import spark.implicits._
+    corpus.toDF()
+      .join(Tables.read(spark, dir, InvertedIndex.DocsTable)
+        .select("docId", "repo", "path", "commit"), Seq("repo", "path", "commit"))
+      .select(col("docId"), col("content")).as[(Long, String)]
+      .collect().map { case (id, c) => id -> CodeTokenizer.tokenize(c) }.toMap
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Tables.delete(spark, "/tmp", "graft_test_phrase")
+    InvertedIndex.build(spark, corpus, dir, cfg, runId = "phrase")
+    ()
+  }
+
+  def slideCount(tokens: Array[String], phrase: Array[String]): Int = {
+    var c = 0
+    var i = 0
+    while (i + phrase.length <= tokens.length) {
+      var j = 0
+      var ok = true
+      while (ok && j < phrase.length) {
+        if (tokens(i + j) != phrase(j)) ok = false
+        j += 1
+      }
+      if (ok) c += 1
+      i += 1
+    }
+    c
+  }
+
+  def oracle(phrase: String): Map[Long, Int] = {
+    val p = CodeTokenizer.tokenize(phrase)
+    tokensById.iterator
+      .map { case (id, ts) => id -> slideCount(ts, p) }
+      .filter(_._2 > 0).toMap
+  }
+
+  def engine(phrase: String): Map[Long, Int] = {
+    import spark.implicits._
+    reader.matchPhraseDf(phrase).as[(Long, Int)].collect().toMap
+  }
+
+  val phrases = Seq(
+    "def val",                 // stopword-scale pair
+    "return if",               // stopword-scale pair
+    "def def",                 // duplicate-token phrase
+    "def val class",           // 3-token
+    "val qqqzzznotfound",      // absent term -> conjunctive empty
+    "buf_buf",                 // single token: phraseTf == tf
+    "Def VAL")                 // case folding in the phrase analyzer
+
+  test("phrase engine == exhaustive slide oracle on every phrase") {
+    var nonEmpty = 0
+    for (ph <- phrases) {
+      val exp = oracle(ph)
+      val got = engine(ph)
+      assert(got == exp, s"phrase '$ph': engine $got vs oracle $exp")
+      if (exp.nonEmpty) nonEmpty += 1
+    }
+    // the gate must not pass vacuously on an all-empty phrase set
+    assert(nonEmpty >= 4, s"only $nonEmpty phrases matched anything — fixture too sparse")
+  }
+
+  test("phrase across base ∪ delta segments (positions in composite serving)") {
+    import spark.implicits._
+    val ddir = "/tmp/graft_test_phrase_delta"
+    Tables.delete(spark, "/tmp", "graft_test_phrase_delta")
+    val base = corpus.filter(f => math.abs(f.path.hashCode % 5) != 0)
+    val extra = corpus.filter(f => math.abs(f.path.hashCode % 5) == 0)
+    InvertedIndex.build(spark, base, ddir, cfg, runId = "phrase-base")
+    DeltaIndex.addDocuments(spark, ddir, extra, cfg, runId = "phrase-delta")
+    val r = new IndexReader(spark, ddir)
+    // compare doc SETS via the stable (repo,path,commit)-independent count
+    // per phrase: composite docIds differ from the single build's, so
+    // compare multisets of phraseTf joined back through the registries
+    for (ph <- Seq("def val", "def def", "val class")) {
+      val exp = oracle(ph).toSeq.map(_._2).sorted
+      val got = r.matchPhraseDf(ph).as[(Long, Int)].collect().toSeq.map(_._2).sorted
+      assert(got == exp, s"composite phrase '$ph' multiset mismatch")
+    }
+  }
+
+  test("positions codec round-trip (per-posting VByte streams split by tf)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val nPostings = 1 + rnd.nextInt(8)
+      val perDoc = Array.fill(nPostings) {
+        val tf = 1 + rnd.nextInt(6)
+        val ps = scala.collection.mutable.SortedSet.empty[Int]
+        while (ps.size < tf) ps += rnd.nextInt(100000)
+        ps.toArray
+      }
+      val tfs = perDoc.map(_.length)
+      val concat = perDoc.flatMap(PostingsCodec.encodePositions)
+      val back = PostingsCodec.decodePositions(tfs, concat)
+      assert(back.map(_.toSeq).toSeq == perDoc.map(_.toSeq).toSeq)
+    }
+  }
+
+  test("TfPosCounter positions == tokenize-stream positions (differential)") {
+    val docs = (0L until 50L).map(CorpusGen.row).map(_.content) :+ "" :+ "a b a b a"
+    for (c <- docs) {
+      val toks = CodeTokenizer.tokenize(c)
+      val expected = toks.zipWithIndex.groupBy(_._1)
+        .map { case (t, xs) => t -> xs.map(_._2).toSeq }
+      val m = CodeTokenizer.tfPos(c)
+      assert(m.dl == toks.length)
+      val got = m.iterator.map { case (t, tf, bytes) =>
+        val ps = PostingsCodec.decodePositions(Array(tf), bytes)(0)
+        t -> ps.toSeq
+      }.toMap
+      assert(got == expected)
+    }
+  }
+
+  test("phrase query against a frequency-only index fails loudly") {
+    val fdir = "/tmp/graft_test_phrase_nopos"
+    Tables.delete(spark, "/tmp", "graft_test_phrase_nopos")
+    InvertedIndex.build(spark, corpus.limit(50), fdir,
+      cfg.copy(storePositions = false), runId = "nopos")
+    val r = new IndexReader(spark, fdir)
+    val e = intercept[IllegalArgumentException](r.matchPhraseDf("def val"))
+    assert(e.getMessage.contains("storePositions"))
+  }
+}
