@@ -70,4 +70,72 @@ object MultiFieldIndex {
     val total = fields.map(f => coalesce(col(s"score_$f"), lit(0.0))).reduce(_ + _)
     joined.select(col("docId"), total.as("score"))
   }
+
+  /** Cross-field `multi_match` TOP-K without rank-all (SURVEY.md §2.3 B13,
+    * the bounded form): ONE Block-Max WAND runs per docId bucket over
+    * cursors from EVERY field — each (field, term) cursor scores and bounds
+    * under its own field's idf/avgdl, and the WAND pivot bound is the sum
+    * of per-cursor upper bounds across fields, so a doc is skipped only
+    * when even the cross-field SUM of its best-case contributions cannot
+    * reach the local threshold. This is exact (a per-field top-k' + merge
+    * is NOT: a doc can lose every per-field top-k' yet win the sum) and
+    * bounded: a text×text multi_match at corpus scale prunes instead of
+    * scoring the full match union the way [[multiMatchScoreAll]] must.
+    * docId alignment across fields makes the cross-field cursor walk sound
+    * with no key mapping.
+    *
+    * Result-identical (bit-exact, sbt-gated) to
+    * `multiMatchScoreAll.orderBy(score desc, docId).limit(k)`: cursors
+    * order and per-FIELD partial summation reproduce the relational form's
+    * float association (BlockMaxWand.scoreCursors groupOf).
+    */
+  def multiMatchTopK(spark: SparkSession, dir: String, fields: Seq[String],
+      query: String, k: Int): Array[graft.query.SearchHit] = {
+    import spark.implicits._
+    require(fields.nonEmpty, "multiMatch needs at least one field")
+    val readers = fields.map(f => reader(spark, dir, f))
+    val qterms = readers.head.analyze(query)
+    val metas = readers.map(_.termMeta(qterms))
+    if (metas.forall(_.isEmpty)) return Array.empty
+    val perDocCounts = readers.map(_.stats.numDocs)
+    require(perDocCounts.distinct.size == 1,
+      s"fields must index the same aligned doc set, got counts $perDocCounts")
+    val numDocs = perDocCounts.head
+    val buckets = spark.sessionState.conf.numShufflePartitions
+    val w = math.max(1L, (numDocs + buckets - 1) / buckets)
+    val fieldAvgDlB = spark.sparkContext.broadcast(readers.map(_.stats.avgDl).toArray)
+    val metaByFieldB = spark.sparkContext.broadcast(metas.toArray)
+    val pp = graft.query.Bm25.Default
+    val kk = k
+
+    val tagged = readers.zipWithIndex.map { case (r, i) =>
+      val terms = metas(i).keys.toSeq.sorted
+      if (terms.isEmpty) spark.emptyDataset[(Int, PostingBlock)]
+      else r.postingsFor(terms).map(b => (i, b))
+    }.reduce(_ union _)
+
+    tagged
+      .flatMap { case (i, b) =>
+        ((b.firstDocId / w) to (b.lastDocId / w)).iterator.map(g => (g, i, b))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val lo = g * w
+        val hi = lo + w
+        // (field, term) ascending = the pinned cursor/summation order
+        val byFieldTerm = it.map(t => ((t._2, t._3.term), t._3)).toArray
+          .groupBy(_._1)
+          .map { case (key, arr) => (key, arr.map(_._2).sortBy(_.firstDocId)) }
+          .toArray.sortBy(_._1)
+        val cursors = byFieldTerm.map { case ((fi, t), bs) =>
+          val m = metaByFieldB.value(fi)(t)
+          new graft.query.TermCursor(t, m.idf, m.maxImpact, bs, lo, hi,
+            fieldAvgDlB.value(fi), pp)
+        }
+        val groupOf = byFieldTerm.map(_._1._1)
+        graft.query.BlockMaxWand.scoreCursors(cursors, kk, groupOf = groupOf).iterator
+      }
+      .orderBy(desc("score"), asc("docId")).limit(k)
+      .collect()
+  }
 }

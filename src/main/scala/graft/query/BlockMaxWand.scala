@@ -179,6 +179,23 @@ object BlockMaxWand {
       val sorted = if (presorted) bs else bs.sortBy(_.firstDocId)
       new TermCursor(t, m.idf, m.maxImpact, sorted, lo, hi, avgDl, p, cache)
     }
+    scoreCursors(cursors, k, stats)
+  }
+
+  /** The WAND core over PRE-BUILT cursors — what lets one heap span cursors
+    * with DIFFERENT per-cursor stats (idf under a field's own df, bound and
+    * score under the field's own avgdl): cross-field `multi_match` top-k is
+    * this, with one cursor per (field, term). `cursors` array order IS the
+    * pinned summation order (single-field callers sort by term; multi-field
+    * by (field, term)). `groupOf(i)`, ascending and aligned with `cursors`,
+    * optionally partitions cursors into summation groups: a doc's score is
+    * then the GROUP sums added in group order — exactly the float
+    * association the relational form produces (per-field fold joined by
+    * coalesce-sum), so the WAND path is bit-identical to it, not just
+    * mathematically equal.
+    */
+  def scoreCursors(cursors: Array[TermCursor], k: Int,
+      stats: BucketStats = BucketStats(), groupOf: Array[Int] = null): Array[SearchHit] = {
     val heap = new TopKHeap(k)
     var active = cursors.filter(!_.exhausted)
 
@@ -211,14 +228,27 @@ object BlockMaxWand {
 
         if (bms > theta) {
           if (sorted(0).curDoc == pivotDoc) {
-            // all prefix cursors aligned: score pivotDoc (ascending term
-            // order = `cursors` order, the pinned summation order)
+            // all prefix cursors aligned: score pivotDoc in `cursors` order
+            // (the pinned summation order), with optional per-group partial
+            // sums (see scaladoc)
             var s = 0.0
             var c = 0
-            while (c < cursors.length) {
-              val cur = cursors(c)
-              if (!cur.exhausted && cur.curDoc == pivotDoc) s += cur.score
-              c += 1
+            if (groupOf == null) {
+              while (c < cursors.length) {
+                val cur = cursors(c)
+                if (!cur.exhausted && cur.curDoc == pivotDoc) s += cur.score
+                c += 1
+              }
+            } else {
+              var gs = 0.0
+              var curG = groupOf(0)
+              while (c < cursors.length) {
+                if (groupOf(c) != curG) { s += gs; gs = 0.0; curG = groupOf(c) }
+                val cur = cursors(c)
+                if (!cur.exhausted && cur.curDoc == pivotDoc) gs += cur.score
+                c += 1
+              }
+              s += gs
             }
             heap.offer(pivotDoc, s)
             stats.scoredDocs += 1

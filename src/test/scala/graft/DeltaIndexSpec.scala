@@ -103,6 +103,60 @@ class DeltaIndexSpec extends SparkSpec {
     } finally { f.delete(junk, true); () }
   }
 
+  test("maybeCompact bounds segment count under a refresh loop, results identical") {
+    built
+    val dir = "/tmp/graft_delta_policy"
+    Tables.delete(spark, "/tmp", "graft_delta_policy")
+    val batch = 60L
+    val rounds = 6
+    InvertedIndex.build(spark, docsRange(0, N), dir, cfg, "base")
+    val rf = new IndexReader(spark, dirFull)
+    val kf = keyOf(rf, rf.segments)
+    var compactions = 0
+    for (i <- 0 until rounds) {
+      val hi = N + batch * (i + 1)
+      DeltaIndex.addDocuments(spark, dir, docsRange(N + batch * i, hi), cfg, s"d$i")
+      // threshold 0.10: with 60-doc batches on a 900-doc base, every other
+      // add crosses it, so the loop alternates grow/compact — segment count
+      // can never exceed 1 base + 2 deltas
+      if (DeltaIndex.maybeCompact(spark, dir, docsRange(0, hi), cfg, maxDeltaShare = 0.10,
+          runId = s"c$i")) compactions += 1
+      val r = new IndexReader(spark, dir)
+      assert(r.segments.size <= 3,
+        s"round $i: ${r.segments.size} segments — the policy is not bounding growth")
+      // results stay identical to a full index at every intermediate state
+      // (compare by stable key against the rebuild's scores for docs < hi)
+      val kd = keyOf(r, r.segments)
+      val got = r.searchBmw("def z100_id", QuerySet.K).map(h => (kd(h.docId), h.score)).toSeq
+      val rfHi = new IndexReader(spark, dirFull)
+      // the full rebuild covers N+M docs; restrict comparison to rounds
+      // whose doc set matches it exactly
+      if (hi == N + M) {
+        val want = rfHi.searchBmw("def z100_id", QuerySet.K).map(h => (kf(h.docId), h.score)).toSeq
+        assert(got == want, s"round $i: policy-maintained index diverges from rebuild")
+      }
+    }
+    assert(compactions >= 2, s"only $compactions compactions in $rounds rounds — threshold never tripped")
+    // below-threshold calls must be no-ops
+    assert(!DeltaIndex.maybeCompact(spark, dir, docsRange(0, N + batch * rounds), cfg,
+      maxDeltaShare = 0.99, runId = "noop"))
+    // final state: identical to a from-scratch rebuild of the same doc set
+    val dirEnd = "/tmp/graft_delta_policy_full"
+    Tables.delete(spark, "/tmp", "graft_delta_policy_full")
+    InvertedIndex.build(spark, docsRange(0, N + batch * rounds), dirEnd, cfg, "endfull")
+    val re = new IndexReader(spark, dir)
+    val rEnd = new IndexReader(spark, dirEnd)
+    val ke = keyOf(re, re.segments)
+    val kEnd = keyOf(rEnd, rEnd.segments)
+    for (q <- Seq("def z100_id", "val buf_buf", "def val class")) {
+      val got = re.searchBmw(q, QuerySet.K).map(h => (ke(h.docId), h.score))
+        .sortBy { case (k, s) => (-s, k) }.toSeq
+      val want = rEnd.searchBmw(q, QuerySet.K).map(h => (kEnd(h.docId), h.score))
+        .sortBy { case (k, s) => (-s, k) }.toSeq
+      assert(got == want, s"policy-maintained final state diverges from rebuild for '$q'")
+    }
+  }
+
   test("compact absorbs deltas and equals the direct rebuild byte-for-byte") {
     built
     val dir = "/tmp/graft_delta_compact"

@@ -82,4 +82,22 @@ class MultiFieldSpec extends SparkSpec {
       }
     }
   }
+
+  test("multiMatchTopK == rank-all + limit, bit-exact (cross-field WAND gate)") {
+    built
+    for (q <- Seq("def scala", "rust z100_id", "val repo0001", "scala repo0001 buf_buf",
+        "qqqzzznotfound", "def val class scala java")) {
+      for (k <- Seq(1, 5, 10, 25)) {
+        val want = MultiFieldIndex.multiMatchScoreAll(spark, dir, Seq("content", "meta"), q)
+          .orderBy(desc("score"), asc("docId")).limit(k)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val got = MultiFieldIndex.multiMatchTopK(spark, dir, Seq("content", "meta"), q, k)
+          .map(h => (h.docId, h.score)).toSeq
+        // BIT-exact: the groupOf per-field partial summation reproduces the
+        // relational form's float association, so == (not tolerance) is the
+        // assertion — any drift means the orders diverged
+        assert(got == want, s"multiMatchTopK differs from rank-all+limit for '$q' k=$k")
+      }
+    }
+  }
 }
