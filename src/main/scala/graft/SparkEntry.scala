@@ -131,6 +131,22 @@ object SparkEntry {
       tbl(s, d, "customer").select(col("c_nationkey").as("nationkey"))
         .intersect(tbl(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
         .orderBy("nationkey")),
+    // A4: LDJ (line-delimited JSON) source + sink — the es2json/esmarc I/O
+    // format: write the documents table as gzip LDJ, read it back, and
+    // return a content digest per row. The oracle is a plain SELECT over
+    // the original table — round-trip identity IS the contract, so any
+    // encode/decode corruption (escaping, unicode, compression) breaks the
+    // hash compare.
+    "a04_ldj_roundtrip" -> ((s, d) => {
+      val src = tbl(s, d, "documents").select(col("doc_id"), col("lang"), col("text"))
+      // unique dir per invocation: a fixed name would let a concurrent
+      // re-invocation's overwrite delete files under this one's lazy read
+      val dir = s"/tmp/graft_ldj_${java.util.UUID.randomUUID().toString.take(8)}"
+      src.write.option("compression", "gzip").json(dir)
+      s.read.schema(src.schema).json(dir)
+        .select(col("doc_id"), col("lang"), sha2(col("text"), 256).as("text_sha"))
+        .orderBy("doc_id")
+    }),
     // A2: page-batched scan — deterministic (group, page) batching of a
     // keyed export (the esfatgenerator shape), stats per page.
     "a02_page_scan" -> ((s, d) =>
@@ -417,6 +433,9 @@ object SparkEntry {
     "a18_set_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin,
+    "a04_ldj_roundtrip" ->
+      """SELECT doc_id, lang, sha256(text) AS text_sha FROM documents
+        |ORDER BY doc_id""".stripMargin,
     "a02_page_scan" ->
       """WITH pg AS (
         |  SELECT l_orderkey % 8 AS grp, l_orderkey,

@@ -168,6 +168,32 @@ object InvertedIndex {
 
   private def versionPath(indexDir: String) = new org.apache.hadoop.fs.Path(s"$indexDir/FORMAT_VERSION")
 
+  /** Tiny text sidecars (FORMAT_VERSION, TERM_BUCKETS, POSITIONS,
+    * PLAN_GEOMETRY) share ONE write/read ritual so the torn-file handling
+    * lives in one place: the read loops to EOF (a single InputStream.read
+    * is not guaranteed to fill the buffer) and maps empty/unreadable
+    * content to None — every caller treats None as "rebuild it".
+    */
+  private def writeSidecar(spark: SparkSession, p: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(content.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readSidecar(spark: SparkSession, p: org.apache.hadoop.fs.Path): Option[String] = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val buf = new java.io.ByteArrayOutputStream()
+    val b = new Array[Byte](256)
+    var n = in.read(b)
+    while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+    in.close()
+    val s = new String(buf.toByteArray, "UTF-8").trim
+    if (s.isEmpty) None else Some(s)
+  }
+
   /** The postings partition bucket of a term — MUST agree between the write
     * path (Catalyst `pmod(crc32(encode(term, 'UTF-8')), B)` in commitSorted)
     * and this driver-side form used at query compile (both are CRC-32 over
@@ -181,55 +207,28 @@ object InvertedIndex {
 
   private def termBucketsPath(indexDir: String) = new org.apache.hadoop.fs.Path(s"$indexDir/TERM_BUCKETS")
 
-  private def writeTermBuckets(spark: SparkSession, indexDir: String, buckets: Int): Unit = {
-    val p = termBucketsPath(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    out.write(buckets.toString.getBytes("UTF-8"))
-    out.close()
-  }
+  private def writeTermBuckets(spark: SparkSession, indexDir: String, buckets: Int): Unit =
+    writeSidecar(spark, termBucketsPath(indexDir), buckets.toString)
 
   /** Bucket count the postings table at `indexDir` was written with. */
   def readTermBuckets(spark: SparkSession, indexDir: String): Int = {
-    val p = termBucketsPath(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"index at $indexDir has no TERM_BUCKETS sidecar — rebuild it")
-    val in = fs.open(p)
-    val b = new Array[Byte](16)
-    val n = in.read(b)
-    in.close()
-    // a torn/empty sidecar (kill between create and write) must diagnose,
-    // not throw StringIndexOutOfBounds from a negative read length
-    require(n > 0, s"index at $indexDir has an empty TERM_BUCKETS sidecar — rebuild it")
-    new String(b, 0, n, "UTF-8").trim.toInt
+    val s = readSidecar(spark, termBucketsPath(indexDir))
+    require(s.isDefined, s"index at $indexDir has a missing or torn TERM_BUCKETS sidecar — rebuild it")
+    s.get.toInt
   }
 
   private def positionsPath(indexDir: String) = new org.apache.hadoop.fs.Path(s"$indexDir/POSITIONS")
 
-  private def writePositionsFlag(spark: SparkSession, indexDir: String, stored: Boolean): Unit = {
-    val p = positionsPath(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    out.write((if (stored) "1" else "0").getBytes("UTF-8"))
-    out.close()
-  }
+  private def writePositionsFlag(spark: SparkSession, indexDir: String, stored: Boolean): Unit =
+    writeSidecar(spark, positionsPath(indexDir), if (stored) "1" else "0")
 
   /** Whether the postings at `indexDir` carry position payloads. A phrase
     * query against a frequency-only index must fail loudly here — its `pos`
     * payloads are EMPTY, so without this check it would return zero matches
     * and look like a correct empty result.
     */
-  def hasPositions(spark: SparkSession, indexDir: String): Boolean = {
-    val p = positionsPath(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && {
-      val in = fs.open(p)
-      val b = new Array[Byte](8)
-      val n = in.read(b)
-      in.close()
-      n > 0 && new String(b, 0, n, "UTF-8").trim == "1"
-    }
-  }
+  def hasPositions(spark: SparkSession, indexDir: String): Boolean =
+    readSidecar(spark, positionsPath(indexDir)).contains("1")
 
   private def planGeometryPath(indexDir: String) = new org.apache.hadoop.fs.Path(s"$indexDir/PLAN_GEOMETRY")
 
@@ -241,49 +240,30 @@ object InvertedIndex {
     * registry and must fail loudly, not commit mispaired (docId, content)
     * postings.
     */
-  private def writePlanGeometry(spark: SparkSession, indexDir: String, plan: DocIdPlan): Unit = {
-    val p = planGeometryPath(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    out.write(s"${plan.partitions};${plan.idBase};${plan.total};${plan.fingerprint}".getBytes("UTF-8"))
-    out.close()
-  }
+  private def writePlanGeometry(spark: SparkSession, indexDir: String, plan: DocIdPlan): Unit =
+    writeSidecar(spark, planGeometryPath(indexDir),
+      s"${plan.partitions};${plan.idBase};${plan.total};${plan.fingerprint}")
 
   /** (partitions, idBase, total, fingerprint) the registry stage committed
-    * with, or None for an index predating the sidecar (pre-v5).
+    * with, or None for a missing, torn, or malformed sidecar (all three
+    * route to the caller's "rebuild it" diagnostic — a half-written
+    * fingerprint must not parse into a spurious 'geometry drift' story).
     */
-  def readPlanGeometry(spark: SparkSession, indexDir: String): Option[(Int, Long, Long, Long)] = {
-    val p = planGeometryPath(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val b = new Array[Byte](128)
-    val n = in.read(b)
-    in.close()
-    if (n <= 0) return None // torn sidecar (kill between create and write)
-    val parts = new String(b, 0, n, "UTF-8").trim.split(';')
-    Some((parts(0).toInt, parts(1).toLong, parts(2).toLong, parts(3).toLong))
-  }
-
-  def writeFormatVersion(spark: SparkSession, indexDir: String): Unit = {
-    val p = versionPath(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    out.write(FormatVersion.toString.getBytes("UTF-8"))
-    out.close()
-  }
-
-  def formatVersionOk(spark: SparkSession, indexDir: String): Boolean = {
-    val p = versionPath(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && {
-      val in = fs.open(p)
-      val b = new Array[Byte](16)
-      val n = in.read(b)
-      in.close()
-      n > 0 && new String(b, 0, n, "UTF-8").trim == FormatVersion.toString
+  def readPlanGeometry(spark: SparkSession, indexDir: String): Option[(Int, Long, Long, Long)] =
+    readSidecar(spark, planGeometryPath(indexDir)).flatMap { s =>
+      s.split(';') match {
+        case Array(p, b, t, f) =>
+          try Some((p.toInt, b.toLong, t.toLong, f.toLong))
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
     }
-  }
+
+  def writeFormatVersion(spark: SparkSession, indexDir: String): Unit =
+    writeSidecar(spark, versionPath(indexDir), FormatVersion.toString)
+
+  def formatVersionOk(spark: SparkSession, indexDir: String): Boolean =
+    readSidecar(spark, versionPath(indexDir)).contains(FormatVersion.toString)
 
   def assertFormatVersion(spark: SparkSession, indexDir: String): Unit =
     require(formatVersionOk(spark, indexDir),

@@ -28,10 +28,11 @@ object PageScan {
     *
     * The stamping pass runs at the InternalRow level (`queryExecution.toRdd`
     * in, graftshim.InternalDf out) — the page counter needs only the group
-    * column's ordinal, so the per-row cost is one field read and a mutable
-    * JoinedRow wrap: zero external-row serde, zero per-row allocation on the
-    * steady path (the group value is copied only when the group CHANGES —
-    * the sorter reuses its row buffer, so a retained value must be cloned).
+    * column's ordinal, so the per-row cost is one (boxed) field read and a
+    * mutable JoinedRow wrap: zero external-row serde, no per-row Row/Seq
+    * construction (the group value is deep-copied only when the group
+    * CHANGES — the sorter reuses its row buffer, so a retained value must
+    * be cloned).
     * A window `row_number()` would express the same arithmetic declaratively
     * but WindowExec buffers each partitionBy group (spilling at scale) —
     * here a scroll group is export-sized, and this pass streams in O(1).
@@ -44,6 +45,18 @@ object PageScan {
     val outSchema = df.schema.add("page", LongType, nullable = false)
     val gi = df.schema.fieldIndex(groupCol)
     val gdt = df.schema(gi).dataType
+    // group-change detection below compares the incoming row's value to a
+    // RETAINED previous value, which is only sound for types we know how to
+    // deep-copy out of the sorter's reused buffer (UTF8String.clone, byte[]
+    // copy) and compare by value. Struct/array/map group keys would alias
+    // the buffer (boundaries silently missed) — reject them up front; the
+    // documented contract is a scalar group key anyway.
+    require(gdt match {
+      case _: org.apache.spark.sql.types.StructType => false
+      case _: org.apache.spark.sql.types.ArrayType => false
+      case _: org.apache.spark.sql.types.MapType => false
+      case _ => true
+    }, s"groupCol '$groupCol' must be a scalar type, got $gdt")
     val ps = pageSize.toLong
     val sorted = df.repartition(p, col(groupCol))
       .sortWithinPartitions((groupCol +: orderCols).map(col): _*)
@@ -55,11 +68,21 @@ object PageScan {
         private val pageRow = new SpecificInternalRow(Seq(LongType))
         private val joined = new JoinedRow
         def hasNext: Boolean = it.hasNext
+        private def sameGroup(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+          case _ => java.util.Objects.equals(a, b)
+        }
         def next(): InternalRow = {
           val r = it.next()
           val g = r.get(gi, gdt)
-          if (!started || !java.util.Objects.equals(g, curGroup)) {
-            curGroup = g match { case u: UTF8String => u.clone(); case x => x }
+          if (!started || !sameGroup(g, curGroup)) {
+            // deep-copy buffer-backed values — the sorter reuses its row
+            // buffer, so a retained UTF8String/byte[] view would mutate
+            curGroup = g match {
+              case u: UTF8String => u.clone()
+              case a: Array[Byte] => java.util.Arrays.copyOf(a, a.length)
+              case x => x
+            }
             started = true
             inGroup = 0L
           }

@@ -60,6 +60,10 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   private lazy val segBuckets: Seq[Int] =
     segments.map(InvertedIndex.readTermBuckets(spark, _))
 
+  // immutable once a segment commits — read once per reader, not per query
+  private lazy val segHasPositions: Seq[Boolean] =
+    segments.map(InvertedIndex.hasPositions(spark, _))
+
   // registered once per reader for BMW skip-evidence (BASELINE.md rule 4)
   val decodedBlocksAcc: LongAccumulator = spark.sparkContext.longAccumulator("graft.bmw.decodedBlocks")
   val skippedBlocksAcc: LongAccumulator = spark.sparkContext.longAccumulator("graft.bmw.skippedBlocks")
@@ -296,8 +300,8 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     */
   def matchPhraseDf(phrase: String): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-    segments.foreach { seg =>
-      require(InvertedIndex.hasPositions(spark, seg),
+    segments.zip(segHasPositions).foreach { case (seg, has) =>
+      require(has,
         s"phrase query needs positions but segment $seg was built with storePositions = false — rebuild it")
     }
     val emptyOut = spark.createDataFrame(

@@ -92,19 +92,26 @@ object PhraseMatcher {
       while (i < idArr.length) {
         val d = idArr(i)
         if (d >= lo && d < hi) {
-          // phase 1: conjunctive membership of every non-anchor slot's term
-          // (ids only — no position decode unless the doc qualifies)
+          // phase 1: conjunctive membership of EVERY non-anchor slot's term
+          // — ids only; no slot's positions are decoded until the whole
+          // membership test passes (decoding on a partial pass would pay
+          // full-block position decodes for docs a later slot rejects)
           var ok = true
           var oi = 0
-          val slots = new Array[Array[Int]](others.length)
+          val hits = new Array[(Int, Int)](others.length)
           while (ok && oi < others.length) {
             val h = others(oi)._1.find(d)
-            if (h == null) ok = false
-            else slots(oi) = others(oi)._1.positionsOf(h._1, h._2)
+            if (h == null) ok = false else hits(oi) = h
             oi += 1
           }
           // phase 2: position-chain verify anchored on the rare term
           if (ok) {
+            val slots = new Array[Array[Int]](others.length)
+            oi = 0
+            while (oi < others.length) {
+              slots(oi) = others(oi)._1.positionsOf(hits(oi)._1, hits(oi)._2)
+              oi += 1
+            }
             val base = anchor.positionsOf(bi, i)
             var cnt = 0
             var pi = 0
