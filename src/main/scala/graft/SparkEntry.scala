@@ -57,6 +57,11 @@ object SparkEntry {
     // B15 positional phrase (ES match_phrase): docs where the analyzed
     // tokens are consecutive, with the occurrence count.
     "b16_phrase" -> ((s, d) => DocumentsIndex.phraseMatch(s, d, "hash join")),
+    // B16 boolean query (ES bool / Lucene BooleanQuery): 2-term MUST
+    // conjunction + SHOULD boost + MUST_NOT exclusion, scored under the
+    // pinned Σ idf·tfNorm over the present (must ∪ should) terms.
+    "b17_bool" -> ((s, d) =>
+      DocumentsIndex.bm25Bool(s, d, Seq("hash", "vector"), Seq("join"), Seq("window"))),
 
     // -- Layer A: toolchain operators (SURVEY.md §2.1/2.2) -----------------
     "a01_scan_projection" -> ((s, d) =>
@@ -354,6 +359,27 @@ object SparkEntry {
     // delta serving twin = the ORDINARY full-table BM25: base ∪ delta must
     // be indistinguishable from one index over everything
     "b15_delta_match" -> bm25Sql(Seq("batch", "vector"), 10),
+    // bool twin: score over the present (must ∪ should) terms; must
+    // presence enforced with a conditional distinct count; must_not via
+    // NOT IN over the excluded doc set — all under the field's global stats
+    "b17_bool" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+         |             * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score,
+         |         count(DISTINCT CASE WHEN tf.term IN ('hash', 'vector') THEN tf.term END) AS mcnt
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
+         |  WHERE tf.term IN ('hash', 'join', 'vector')
+         |  GROUP BY tf.doc_id),
+         |excl AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('window'))
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |WHERE mcnt = 2 AND doc_id NOT IN (SELECT doc_id FROM excl)
+         |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
     // phrase twin: reconstruct the analyzer's token stream WITH positions
     // (zipped unnests keep list order; substr-to-64 applies after empty
     // filtering, exactly like the engine tokenizer) and join adjacency

@@ -209,6 +209,16 @@ object DocumentsIndex {
     }
   }
 
+  /** ES bool query over the text index — rank-all form (exact, distributed;
+    * conjunctive must clauses shrink the match set, so there is no
+    * corpus-sized result to cut), keyed by doc_id under the shared output
+    * protocol.
+    */
+  def bm25Bool(spark: SparkSession, sfDir: String, must: Seq[String],
+      should: Seq[String], mustNot: Seq[String]): DataFrame =
+    rankedByDocId(spark, reader(spark, sfDir).searchBoolDf(must, should, mustNot),
+      indexDir(spark, sfDir))
+
   /** Positional phrase match over the text index, keyed by doc_id (the
     * phrase_tf count is integer-exact — no float protocol needed).
     */

@@ -30,6 +30,38 @@ object ExhaustiveScorer {
       val n: Long, val avgDl: Double, p: Bm25Params) extends Serializable {
     import spark.implicits._
 
+    /** Bool-query reference: must = conjunction, should contributes when
+      * present, mustNot excludes; score = Σ over (must ∪ should) terms
+      * present, ascending term order — all recomputed from raw rows.
+      */
+    def topKBool(must: Seq[String], should: Seq[String], mustNot: Seq[String],
+        k: Int): Array[Scored] = {
+      val mustT = must.flatMap(CodeTokenizer.tokenize).distinct.sorted
+      val notT = mustNot.flatMap(CodeTokenizer.tokenize).distinct.sorted
+      val shouldT = should.flatMap(CodeTokenizer.tokenize).distinct.sorted
+        .filterNot(t => mustT.contains(t) || notT.contains(t))
+      if (mustT.exists(notT.contains)) return Array.empty
+      val scoring = (mustT ++ shouldT).distinct.sorted
+      if (scoring.isEmpty || n == 0) return Array.empty
+      val all = (scoring ++ notT).distinct
+      val hit = rows.filter(r => all.contains(r._2)).collect()
+      val byDoc = hit.groupBy(_._1)
+      val dfMap = hit.filter(r => scoring.contains(r._2)).groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+      if (mustT.exists(t => !dfMap.contains(t))) return Array.empty
+      val idf = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
+      byDoc.iterator.flatMap { case (d, rs) =>
+        val terms = rs.map(_._2).toSet
+        if (mustT.forall(terms.contains) && !notT.exists(terms.contains) &&
+            scoring.exists(terms.contains)) {
+          var s = 0.0
+          rs.sortBy(_._2).foreach { case (_, t, tf, dl) =>
+            if (scoring.contains(t)) s += idf(t) * Bm25.tfNorm(tf.toLong, dl.toLong, avgDl, p)
+          }
+          Some(Scored(d, s))
+        } else None
+      }.toArray.sortBy(h => (-h.score, h.docId)).take(k)
+    }
+
     def topK(query: String, k: Int): Array[Scored] = {
       val qterms = CodeTokenizer.tokenize(query).distinct.sorted
       if (qterms.isEmpty || n == 0) return Array.empty

@@ -285,6 +285,100 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     }.toMap
   }
 
+  /** Clause analysis shared by both bool paths: (mustT, shouldT, notT,
+    * scoring meta), or None when the query is unsatisfiable / empty —
+    * a must term absent from every segment (df = 0) matches nothing, as
+    * does must ∩ must_not; should terms that are excluded or absent just
+    * drop (they could never contribute).
+    */
+  private def boolClauses(must: Seq[String], should: Seq[String], mustNot: Seq[String])
+      : Option[(Array[String], Array[String], Array[String], Map[String, BlockMaxWand.TermMeta])] = {
+    val mustT = must.flatMap(CodeTokenizer.tokenize).distinct.sorted.toArray
+    val notT = mustNot.flatMap(CodeTokenizer.tokenize).distinct.sorted.toArray
+    val shouldT = should.flatMap(CodeTokenizer.tokenize).distinct.sorted
+      .filterNot(t => mustT.contains(t) || notT.contains(t)).toArray
+    if (mustT.exists(notT.contains)) return None // must ∧ must_not = never
+    val scoringTerms = (mustT ++ shouldT).distinct.sorted
+    if (scoringTerms.isEmpty) return None
+    val meta = termMeta(scoringTerms)
+    if (mustT.exists(t => !meta.contains(t))) return None
+    if (meta.isEmpty) return None
+    Some((mustT, shouldT.filter(meta.contains), notT, meta))
+  }
+
+  private def emptyHits: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+
+  /** ES `bool` query top-k (SURVEY.md §2.3 B16): must = conjunction, should
+    * contributes when present, must_not excludes; score = Σ idf·tfNorm over
+    * (must ∪ should) terms present, pinned ascending-term order. Bucketed
+    * like BMW; within a bucket the conjunction drives candidate generation
+    * and payloads decode lazily (BoolMatcher). Only the clause terms'
+    * postings are scanned.
+    */
+  def searchBool(must: Seq[String], should: Seq[String] = Nil,
+      mustNot: Seq[String] = Nil, k: Int = 10): Array[SearchHit] = {
+    val clauses = boolClauses(must, should, mustNot).getOrElse(return Array.empty)
+    val (mustT, shouldT, notT, meta) = clauses
+    val scoring = (mustT ++ shouldT).distinct.sorted.map(t => (t, meta(t).idf))
+    val buckets = spark.sessionState.conf.numShufflePartitions
+    val w = math.max(1L, (stats.numDocs + buckets - 1) / buckets)
+    val scanTerms = ((mustT ++ shouldT).toSeq ++ notT.toSeq).distinct.sorted
+    val (scoringB, mustB, notB) =
+      (spark.sparkContext.broadcast(scoring), spark.sparkContext.broadcast(mustT),
+        spark.sparkContext.broadcast(notT))
+    val avgDl = stats.avgDl
+    val pp = p
+    val kk = k
+    postingsFor(scanTerms)
+      .flatMap(b => ((b.firstDocId / w) to (b.lastDocId / w)).iterator.map(g => (g, b)))
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val lo = g * w
+        val hi = lo + w
+        val byTerm = it.map(_._2).toArray.groupBy(_.term)
+          .map { case (t, bs) => t -> bs.sortBy(_.firstDocId) }
+        BoolMatcher.scoreBucket(byTerm, scoringB.value, mustB.value, notB.value,
+          lo, hi, kk, avgDl, pp).iterator
+      }
+      .orderBy(desc("score"), asc("docId")).limit(k)
+      .collect()
+  }
+
+  /** Bool query rank-all, fully relational and distributed: per-doc pinned
+    * fold over the scoring terms' contributions, must-presence enforced by
+    * a conditional distinct count in the same aggregate, must_not by an
+    * anti-join against the excluded docId set (ids decoded in a narrow
+    * flatMap — must_not postings never carry payloads anywhere).
+    */
+  def searchBoolDf(must: Seq[String], should: Seq[String] = Nil,
+      mustNot: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    val clauses = boolClauses(must, should, mustNot).getOrElse(return emptyHits)
+    val (mustT, _, notT, meta) = clauses
+    val scored = contribs(meta)
+      .groupBy("docId")
+      .agg(
+        aggregate(
+          sort_array(collect_list(struct(col("term"), col("contrib")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("contrib")).as("score"),
+        countDistinct(when(col("term").isin(mustT.toSeq: _*), col("term"))).as("mcnt"))
+      .where(col("mcnt") === mustT.length)
+      .select("docId", "score")
+    val present = notT.filter(t => termMeta(Array(t)).contains(t))
+    if (present.isEmpty) scored
+    else {
+      val excl = postingsFor(present.toSeq)
+        .flatMap(b => PostingsCodec.decodeDocIds(b.firstDocId, b.count, b.docDeltas))
+        .distinct().toDF("docId")
+      scored.join(excl, Seq("docId"), "left_anti")
+    }
+  }
+
   /** Positional phrase match (SURVEY.md §2.3 B15; ES `match_phrase`, exact
     * positions): every doc where the analyzed phrase's tokens occur at
     * consecutive positions, with `phrase_tf` = the occurrence count —

@@ -1,6 +1,6 @@
 package graft.query
 
-import graft.codec.PostingsCodec
+
 import graft.index.PostingBlock
 
 /** Positional phrase matching over one docId-range bucket (SURVEY.md §2.3
@@ -16,47 +16,6 @@ import graft.index.PostingBlock
   * .pos only at verified candidates).
   */
 object PhraseMatcher {
-  /** One term's postings in this bucket: eager docId decode (needed by the
-    * intersection), lazy per-block tf + position decode.
-    */
-  final class TermView(blocks: Array[PostingBlock]) {
-    val ids: Array[Array[Long]] = blocks.map(b =>
-      PostingsCodec.decodeDocIds(b.firstDocId, b.count, b.docDeltas))
-    val total: Long = blocks.map(_.count.toLong).sum
-    private val posCache = new Array[Array[Array[Int]]](blocks.length)
-
-    /** (blockIdx, idxInBlock) of docId d, or null. Blocks are sorted by
-      * firstDocId and non-overlapping; both searches are binary.
-      */
-    def find(d: Long): (Int, Int) = {
-      var lo = 0
-      var hi = blocks.length - 1
-      while (lo <= hi) {
-        val mid = (lo + hi) >>> 1
-        if (blocks(mid).lastDocId < d) lo = mid + 1
-        else if (blocks(mid).firstDocId > d) hi = mid - 1
-        else {
-          val a = ids(mid)
-          val j = java.util.Arrays.binarySearch(a, d)
-          return if (j >= 0) (mid, j) else null
-        }
-      }
-      null
-    }
-
-    /** The positions of posting (blockIdx, idx); decodes the whole block's
-      * pos payload on first touch and caches it for the bucket's lifetime.
-      */
-    def positionsOf(bi: Int, idx: Int): Array[Int] = {
-      if (posCache(bi) == null) {
-        val b = blocks(bi)
-        posCache(bi) = PostingsCodec.decodePositions(
-          PostingsCodec.decodeTfs(b.count, b.tfs), b.pos)
-      }
-      posCache(bi)(idx)
-    }
-  }
-
   @inline private def contains(a: Array[Int], v: Int): Boolean =
     java.util.Arrays.binarySearch(a, v) >= 0
 
@@ -71,7 +30,7 @@ object PhraseMatcher {
   def matchBucket(termBlocks: Map[String, Array[PostingBlock]], tokens: Array[String],
       lo: Long, hi: Long): Array[(Long, Int)] = {
     val distinct = tokens.distinct
-    val views = distinct.map(t => t -> new TermView(termBlocks(t))).toMap
+    val views = distinct.map(t => t -> new PostingsView(termBlocks(t))).toMap
     // anchor the chain walk on the RAREST term in this bucket, offset back
     // to token slot 0: fewest candidate docs AND fewest start positions
     val anchorTerm = distinct.minBy(t => views(t).total)
@@ -80,7 +39,7 @@ object PhraseMatcher {
     // every NON-anchor slot gets its own check — filter by SLOT, not term:
     // a phrase repeating the anchor term ("join x join") must still verify
     // the repeat's position
-    val others: Array[(TermView, Int)] = tokens.zipWithIndex
+    val others: Array[(PostingsView, Int)] = tokens.zipWithIndex
       .filter(_._2 != anchorSlot)
       .map { case (t, slot) => (views(t), slot - anchorSlot) }
 

@@ -1,0 +1,104 @@
+package graft
+
+import graft.fixtures.CorpusGen
+import graft.index.{IndexConfig, InvertedIndex}
+import graft.io.Tables
+import graft.oracle.ExhaustiveScorer
+import graft.query.IndexReader
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+/** Bool-query gate (B16): the bucketed conjunction-driven top-k and the
+  * relational rank-all must both equal the exhaustive from-raw-text oracle
+  * across must/should/must_not combinations, including the degenerate ones
+  * (should-only, unsatisfiable, absent terms).
+  */
+class BoolQuerySpec extends SparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  val N = 800L
+  val dir = "/tmp/graft_test_bool"
+  val cfg: IndexConfig = IndexConfig(partitions = 8, heavyDfThreshold = 200L, saltRunDocs = 200L)
+
+  lazy val corpus = CorpusGen.dataset(spark, N, 8)
+  lazy val reader = new IndexReader(spark, dir)
+
+  lazy val oracle: ExhaustiveScorer.Prepared = {
+    val docs = corpus.toDF()
+      .join(Tables.read(spark, dir, InvertedIndex.DocsTable)
+        .select("docId", "repo", "path", "commit"), Seq("repo", "path", "commit"))
+      .select(col("docId"), col("content")).as[ExhaustiveScorer.OracleDoc]
+    val p = ExhaustiveScorer.prepare(spark, docs)
+    p.rows.persist()
+    p
+  }
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Tables.delete(spark, "/tmp", "graft_test_bool")
+    InvertedIndex.build(spark, corpus, dir, cfg, runId = "bool")
+    ()
+  }
+
+  val cases: Seq[(Seq[String], Seq[String], Seq[String])] = Seq(
+    (Seq("def"), Nil, Nil),                          // single must
+    (Seq("def", "val"), Nil, Nil),                   // 2-must conjunction
+    (Seq("buf_buf"), Seq("def", "val"), Nil),        // must + should boost
+    (Seq("def"), Nil, Seq("val")),                   // must + exclusion
+    (Seq("def", "buf_buf"), Seq("z100_id"), Seq("class")), // all three clauses
+    (Nil, Seq("z100_id", "z101_id"), Nil),           // should-only (min 1)
+    (Nil, Seq("buf_buf"), Seq("def")),               // should-only + exclusion
+    (Seq("def val"), Seq("class import"), Seq("return")), // multi-token clause strings
+    (Seq("qqqzzznotfound"), Seq("def"), Nil),        // absent must -> empty
+    (Seq("def"), Nil, Seq("def")),                   // must ∩ must_not -> empty
+    (Nil, Nil, Seq("def")))                          // no scoring clause -> empty
+
+  test("bool top-k == exhaustive oracle on every clause combination") {
+    var nonEmpty = 0
+    for ((m, sh, n) <- cases) {
+      val got = reader.searchBool(m, sh, n, 10).map(h => (h.docId, h.score)).toSeq
+      val want = oracle.topKBool(m, sh, n, 10).map(h => (h.docId, h.score)).toSeq
+      assert(got.map(_._1) == want.map(_._1), s"bool ranks for ($m, $sh, $n): $got vs $want")
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g._2 - w._2) <= 1e-9 * math.max(1.0, math.abs(w._2)),
+          s"bool score drift for ($m, $sh, $n)")
+      }
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 6, s"only $nonEmpty non-empty cases — fixture too sparse for the gate")
+  }
+
+  test("bool rank-all == bool top-k at k = corpus size (the two paths agree)") {
+    for ((m, sh, n) <- cases.take(8)) {
+      val all = reader.searchBoolDf(m, sh, n)
+        .orderBy(desc("score"), asc("docId"))
+        .as[(Long, Double)].collect().toSeq
+      val topAll = reader.searchBool(m, sh, n, N.toInt + 1).map(h => (h.docId, h.score)).toSeq
+      assert(all.map(_._1) == topAll.map(_._1), s"rank-all vs top-k doc order for ($m, $sh, $n)")
+      all.zip(topAll).foreach { case (a, b) =>
+        assert(math.abs(a._2 - b._2) <= 1e-12 * math.max(1.0, math.abs(b._2)))
+      }
+    }
+  }
+
+  test("bool across base ∪ delta segments") {
+    val ddir = "/tmp/graft_test_bool_delta"
+    Tables.delete(spark, "/tmp", "graft_test_bool_delta")
+    val base = corpus.filter(f => math.abs(f.path.hashCode % 4) != 0)
+    val extra = corpus.filter(f => math.abs(f.path.hashCode % 4) == 0)
+    InvertedIndex.build(spark, base, ddir, cfg, runId = "bool-base")
+    graft.index.DeltaIndex.addDocuments(spark, ddir, extra, cfg, runId = "bool-delta")
+    val r = new IndexReader(spark, ddir)
+    for ((m, sh, n) <- Seq((Seq("def", "val"), Seq("buf_buf"), Seq("class")))) {
+      // composite docIds differ from the oracle's single-build ids, so
+      // compare score multisets (scores are key-independent)
+      val got = r.searchBool(m, sh, n, 10).map(_.score).toSeq
+      val want = oracle.topKBool(m, sh, n, 10).map(_.score).toSeq
+      assert(got.size == want.size)
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) <= 1e-9 * math.max(1.0, math.abs(w)),
+          s"composite bool scores for ($m, $sh, $n)")
+      }
+    }
+  }
+}
