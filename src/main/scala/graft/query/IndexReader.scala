@@ -170,8 +170,11 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * each bucket runs exact BMW with a local threshold (= one ES shard);
     * the global merge is Catalyst's TakeOrderedAndProject.
     */
-  def searchBmw(query: String, k: Int, nBuckets: Int = 0): Array[SearchHit] = {
-    val meta = termMeta(analyze(query))
+  def searchBmw(query: String, k: Int, nBuckets: Int = 0): Array[SearchHit] =
+    bmwTopK(termMeta(analyze(query)), k, nBuckets)
+
+  private def bmwTopK(meta: Map[String, BlockMaxWand.TermMeta], k: Int,
+      nBuckets: Int = 0): Array[SearchHit] = {
     if (meta.isEmpty) return Array.empty
     val buckets = if (nBuckets > 0) nBuckets else spark.sessionState.conf.numShufflePartitions
     val w = math.max(1L, (stats.numDocs + buckets - 1) / buckets)
@@ -323,6 +326,10 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       mustNot: Seq[String] = Nil, k: Int = 10): Array[SearchHit] = {
     val clauses = boolClauses(must, should, mustNot).getOrElse(return Array.empty)
     val (mustT, shouldT, notT, meta) = clauses
+    // a bool with no must and no must_not IS a `match` (pure SHOULD-OR with
+    // identical scoring) — serve it through Block-Max WAND so it gets
+    // θ-pruning instead of the union walk below
+    if (mustT.isEmpty && notT.isEmpty) return bmwTopK(meta, k)
     val scoring = (mustT ++ shouldT).distinct.sorted.map(t => (t, meta(t).idf))
     val buckets = spark.sessionState.conf.numShufflePartitions
     val w = math.max(1L, (stats.numDocs + buckets - 1) / buckets)
@@ -359,21 +366,29 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     import spark.implicits._
     val clauses = boolClauses(must, should, mustNot).getOrElse(return emptyHits)
     val (mustT, _, notT, meta) = clauses
+    // ONE aggregate, ONE exchange: the sorted (term, contrib) array is
+    // collected once and yields BOTH the pinned score fold and the distinct
+    // must-presence count (array_intersect dedups) — a countDistinct(when)
+    // would plan a second expand+exchange for the distinct phase
     val scored = contribs(meta)
       .groupBy("docId")
-      .agg(
-        aggregate(
-          sort_array(collect_list(struct(col("term"), col("contrib")))),
-          lit(0.0),
-          (acc, x) => acc + x.getField("contrib")).as("score"),
-        countDistinct(when(col("term").isin(mustT.toSeq: _*), col("term"))).as("mcnt"))
+      .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("arr"))
+      .select(col("docId"),
+        aggregate(col("arr"), lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"),
+        size(array_intersect(transform(col("arr"), x => x.getField("term")),
+          lit(mustT))).as("mcnt"))
       .where(col("mcnt") === mustT.length)
       .select("docId", "score")
-    val present = notT.filter(t => termMeta(Array(t)).contains(t))
+    val present = { val nm = termMeta(notT); notT.filter(nm.contains) }
     if (present.isEmpty) scored
     else {
+      // ids-only at the SCAN level too: selecting just the three docId
+      // columns before the decode lets parquet pruning skip tf/dl/pos for
+      // the exclusion branch entirely
       val excl = postingsFor(present.toSeq)
-        .flatMap(b => PostingsCodec.decodeDocIds(b.firstDocId, b.count, b.docDeltas))
+        .select(col("firstDocId"), col("count"), col("docDeltas"))
+        .as[(Long, Int, Array[Byte])]
+        .flatMap { case (f, c, d) => PostingsCodec.decodeDocIds(f, c, d) }
         .distinct().toDF("docId")
       scored.join(excl, Seq("docId"), "left_anti")
     }
