@@ -11,9 +11,12 @@ import graft.index.PostingBlock
   * Shape: the conjunction DRIVES — candidates are walked off the bucket's
   * rarest must term and every other clause is a binary find against its
   * decoded id arrays; tf/dl payloads decode lazily per block only for docs
-  * that survive must + must_not filtering (PostingsView). With no must
-  * clause the candidate stream is the merged union of the should terms'
-  * ids (ES `minimum_should_match = 1` default for a should-only bool).
+  * that survive must + must_not filtering (PostingsView), and the handles
+  * located during the must-membership pass are REUSED by the scoring loop
+  * (no second binary search per must term). With no must clause the
+  * candidate stream is the deduplicated merge of the should terms' ids
+  * (ES `minimum_should_match = 1` default for a should-only bool), built
+  * as one primitive long-array sort — no boxing.
   */
 object BoolMatcher {
   /** Bucket-local top-k. `scoring` = (term, idf) for must ∪ should terms,
@@ -35,8 +38,12 @@ object BoolMatcher {
     val notViews = notT.map(viewOf)
     val scoringViews: Array[(String, Double, PostingsView)] =
       scoring.map { case (t, idf) => (t, idf, viewOf(t)) }
+    val scoringIdx: Map[String, Int] = scoring.iterator.map(_._1).zipWithIndex.toMap
 
     val heap = new TopKHeap(k)
+    // per-candidate handle slots aligned with scoringViews: the must pass
+    // deposits what it finds so scoring never re-searches a must term
+    val pre = new Array[(Int, Int)](scoringViews.length)
 
     @inline def excluded(d: Long): Boolean = {
       var i = 0
@@ -53,7 +60,7 @@ object BoolMatcher {
         var i = 0
         while (i < scoringViews.length) {
           val v = scoringViews(i)._3
-          val h = v.find(d)
+          val h = if (pre(i) != null) pre(i) else v.find(d)
           if (h != null)
             s += scoringViews(i)._2 *
               Bm25.tfNorm(v.tfAt(h._1, h._2).toLong, v.dlAt(h._1, h._2).toLong, avgDl, p)
@@ -66,8 +73,11 @@ object BoolMatcher {
     if (mustT.nonEmpty) {
       // conjunction drives: walk the rarest must term's candidates, filter
       // by the other musts before any payload decode
-      val driver = mustViews.minBy(_.total)
-      val otherMusts = mustViews.filter(_ ne driver)
+      val driverIdx = mustT.indices.minBy(j => mustViews(j).total)
+      val driver = mustViews(driverIdx)
+      val driverSlot = scoringIdx(mustT(driverIdx))
+      val otherMusts: Array[(PostingsView, Int)] = mustT.indices
+        .filter(_ != driverIdx).map(j => (mustViews(j), scoringIdx(mustT(j)))).toArray
       var bi = 0
       while (bi < driver.ids.length) {
         val arr = driver.ids(bi)
@@ -75,10 +85,13 @@ object BoolMatcher {
         while (i < arr.length) {
           val d = arr(i)
           if (d >= lo && d < hi) {
+            java.util.Arrays.fill(pre.asInstanceOf[Array[AnyRef]], null)
+            pre(driverSlot) = (bi, i)
             var ok = true
             var m = 0
             while (ok && m < otherMusts.length) {
-              if (otherMusts(m).find(d) == null) ok = false
+              val h = otherMusts(m)._1.find(d)
+              if (h == null) ok = false else pre(otherMusts(m)._2) = h
               m += 1
             }
             if (ok) scoreDoc(d)
@@ -88,9 +101,9 @@ object BoolMatcher {
         bi += 1
       }
     } else {
-      // should-only: candidates = union of should ids (each doc visited
-      // once — dedup via ascending merge over the per-term id streams)
-      val seen = new java.util.TreeSet[java.lang.Long]()
+      // should-only (+ exclusions): candidates = dedup of all should ids —
+      // one primitive collect + sort + adjacent-dup skip, zero boxing
+      val ab = new scala.collection.mutable.ArrayBuilder.ofLong
       scoringViews.foreach { case (_, _, v) =>
         var bi = 0
         while (bi < v.ids.length) {
@@ -98,14 +111,19 @@ object BoolMatcher {
           var i = 0
           while (i < arr.length) {
             val d = arr(i)
-            if (d >= lo && d < hi) seen.add(d)
+            if (d >= lo && d < hi) ab += d
             i += 1
           }
           bi += 1
         }
       }
-      val it = seen.iterator()
-      while (it.hasNext) scoreDoc(it.next())
+      val cand = ab.result()
+      java.util.Arrays.sort(cand)
+      var i = 0
+      while (i < cand.length) {
+        if (i == 0 || cand(i) != cand(i - 1)) scoreDoc(cand(i))
+        i += 1
+      }
     }
     heap.results
   }

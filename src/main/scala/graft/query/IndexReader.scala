@@ -148,6 +148,25 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     }.toDF("docId", "term", "contrib")
   }
 
+  /** The bucketize skeleton every distributed query path shares (BMW,
+    * batch, phrase, bool): query-term blocks re-bucket by docId range —
+    * a block spanning bucket boundaries is replicated and masked by the
+    * [lo, hi) the scorer receives — and each bucket scores locally. The
+    * group-span arithmetic is correctness-critical and lives ONLY here.
+    */
+  private def bucketedBlocks[T: org.apache.spark.sql.Encoder](terms: Seq[String],
+      nBuckets: Int = 0, withPositions: Boolean = false)(
+      score: (Long, Long, Map[String, Array[PostingBlock]]) => Iterator[T]): Dataset[T] = {
+    val buckets = if (nBuckets > 0) nBuckets else spark.sessionState.conf.numShufflePartitions
+    val w = math.max(1L, (stats.numDocs + buckets - 1) / buckets)
+    postingsFor(terms, withPositions)
+      .flatMap(b => ((b.firstDocId / w) to (b.lastDocId / w)).iterator.map(g => (g, b)))
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        score(g * w, g * w + w, it.map(_._2).toArray.groupBy(_.term))
+      }
+  }
+
   /** Naive document-at-a-time baseline: decode ALL blocks of the query
     * terms, aggregate per doc (contributions sorted by term before summing —
     * the pinned order), global top-k. The regression target BMW must equal.
@@ -176,26 +195,18 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   private def bmwTopK(meta: Map[String, BlockMaxWand.TermMeta], k: Int,
       nBuckets: Int = 0): Array[SearchHit] = {
     if (meta.isEmpty) return Array.empty
-    val buckets = if (nBuckets > 0) nBuckets else spark.sessionState.conf.numShufflePartitions
-    val w = math.max(1L, (stats.numDocs + buckets - 1) / buckets)
     val metaB = spark.sparkContext.broadcast(meta)
     val avgDl = stats.avgDl
     val pp = p
     val kk = k
     val (decAcc, skipAcc, scoredAcc) = (decodedBlocksAcc, skippedBlocksAcc, scoredDocsAcc)
 
-    postingsFor(meta.keys.toSeq.sorted)
-      .flatMap(b => ((b.firstDocId / w) to (b.lastDocId / w)).iterator.map(g => (g, b)))
-      .groupByKey(_._1)
-      .flatMapGroups { (g, it) =>
-        val lo = g * w
-        val hi = lo + w
-        val byTerm = it.map(_._2).toArray.groupBy(_.term)
-        val st = BlockMaxWand.BucketStats()
-        val hits = BlockMaxWand.scoreBucket(byTerm, metaB.value, lo, hi, kk, avgDl, pp, st)
-        decAcc.add(st.decoded); skipAcc.add(st.skipped); scoredAcc.add(st.scoredDocs)
-        hits.iterator
-      }
+    bucketedBlocks[SearchHit](meta.keys.toSeq.sorted, nBuckets) { (lo, hi, byTerm) =>
+      val st = BlockMaxWand.BucketStats()
+      val hits = BlockMaxWand.scoreBucket(byTerm, metaB.value, lo, hi, kk, avgDl, pp, st)
+      decAcc.add(st.decoded); skipAcc.add(st.skipped); scoredAcc.add(st.scoredDocs)
+      hits.iterator
+    }
       .orderBy(desc("score"), asc("docId")).limit(k)
       .collect()
   }
@@ -227,7 +238,6 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     if (perQuery.isEmpty) return queriesIn.map(_ -> Array.empty[SearchHit]).toMap
 
     val buckets = if (nBuckets > 0) nBuckets else spark.sessionState.conf.numShufflePartitions
-    val w = math.max(1L, (stats.numDocs + buckets - 1) / buckets)
     val metaB = spark.sparkContext.broadcast(meta)
     val perQueryB = spark.sparkContext.broadcast(perQuery)
     val avgDl = stats.avgDl
@@ -236,13 +246,9 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     val (decAcc, skipAcc, scoredAcc) = (decodedBlocksAcc, skippedBlocksAcc, scoredDocsAcc)
 
     val presentTerms = perQuery.flatMap(_._2).distinct.sorted
-    val perBucketTops = postingsFor(presentTerms.toSeq)
-      .flatMap(b => ((b.firstDocId / w) to (b.lastDocId / w)).iterator.map(g => (g, b)))
-      .groupByKey(_._1)
-      .flatMapGroups { (g, it) =>
-        val lo = g * w
-        val hi = lo + w
-        val byTerm = it.map(_._2).toArray.groupBy(_.term)
+    val perBucketTops = bucketedBlocks[(Int, Long, Double)](presentTerms.toSeq, nBuckets) {
+      (lo, hi, byTerm0) =>
+        val byTerm = byTerm0
           .map { case (t, bs) => t -> bs.sortBy(_.firstDocId) } // sort ONCE per bucket, shared by all queries
         val st = BlockMaxWand.BucketStats()
         val cache = new BlockCache() // queries share block decodes
@@ -291,8 +297,10 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   /** Clause analysis shared by both bool paths: (mustT, shouldT, notT,
     * scoring meta), or None when the query is unsatisfiable / empty —
     * a must term absent from every segment (df = 0) matches nothing, as
-    * does must ∩ must_not; should terms that are excluded or absent just
-    * drop (they could never contribute).
+    * does must ∩ must_not; should and must_not terms that are absent just
+    * drop (they could never contribute / exclude). ONE dictionary lookup
+    * covers all clauses — the returned notT is already filtered to
+    * index-present terms, so neither caller re-consults the dictionary.
     */
   private def boolClauses(must: Seq[String], should: Seq[String], mustNot: Seq[String])
       : Option[(Array[String], Array[String], Array[String], Map[String, BlockMaxWand.TermMeta])] = {
@@ -303,10 +311,11 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     if (mustT.exists(notT.contains)) return None // must ∧ must_not = never
     val scoringTerms = (mustT ++ shouldT).distinct.sorted
     if (scoringTerms.isEmpty) return None
-    val meta = termMeta(scoringTerms)
+    val allMeta = termMeta((scoringTerms ++ notT).distinct.sorted)
+    val meta = allMeta.view.filterKeys(scoringTerms.contains).toMap
     if (mustT.exists(t => !meta.contains(t))) return None
     if (meta.isEmpty) return None
-    Some((mustT, shouldT.filter(meta.contains), notT, meta))
+    Some((mustT, shouldT.filter(meta.contains), notT.filter(allMeta.contains), meta))
   }
 
   private def emptyHits: DataFrame =
@@ -331,8 +340,6 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     // θ-pruning instead of the union walk below
     if (mustT.isEmpty && notT.isEmpty) return bmwTopK(meta, k)
     val scoring = (mustT ++ shouldT).distinct.sorted.map(t => (t, meta(t).idf))
-    val buckets = spark.sessionState.conf.numShufflePartitions
-    val w = math.max(1L, (stats.numDocs + buckets - 1) / buckets)
     val scanTerms = ((mustT ++ shouldT).toSeq ++ notT.toSeq).distinct.sorted
     val (scoringB, mustB, notB) =
       (spark.sparkContext.broadcast(scoring), spark.sparkContext.broadcast(mustT),
@@ -340,17 +347,11 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     val avgDl = stats.avgDl
     val pp = p
     val kk = k
-    postingsFor(scanTerms)
-      .flatMap(b => ((b.firstDocId / w) to (b.lastDocId / w)).iterator.map(g => (g, b)))
-      .groupByKey(_._1)
-      .flatMapGroups { (g, it) =>
-        val lo = g * w
-        val hi = lo + w
-        val byTerm = it.map(_._2).toArray.groupBy(_.term)
-          .map { case (t, bs) => t -> bs.sortBy(_.firstDocId) }
-        BoolMatcher.scoreBucket(byTerm, scoringB.value, mustB.value, notB.value,
-          lo, hi, kk, avgDl, pp).iterator
-      }
+    bucketedBlocks[SearchHit](scanTerms) { (lo, hi, byTerm0) =>
+      val byTerm = byTerm0.map { case (t, bs) => t -> bs.sortBy(_.firstDocId) }
+      BoolMatcher.scoreBucket(byTerm, scoringB.value, mustB.value, notB.value,
+        lo, hi, kk, avgDl, pp).iterator
+    }
       .orderBy(desc("score"), asc("docId")).limit(k)
       .collect()
   }
@@ -379,13 +380,12 @@ final class IndexReader(spark: SparkSession, indexDir: String,
           lit(mustT))).as("mcnt"))
       .where(col("mcnt") === mustT.length)
       .select("docId", "score")
-    val present = { val nm = termMeta(notT); notT.filter(nm.contains) }
-    if (present.isEmpty) scored
+    if (notT.isEmpty) scored // boolClauses already dropped absent not-terms
     else {
       // ids-only at the SCAN level too: selecting just the three docId
       // columns before the decode lets parquet pruning skip tf/dl/pos for
       // the exclusion branch entirely
-      val excl = postingsFor(present.toSeq)
+      val excl = postingsFor(notT.toSeq)
         .select(col("firstDocId"), col("count"), col("docDeltas"))
         .as[(Long, Int, Array[Byte])]
         .flatMap { case (f, c, d) => PostingsCodec.decodeDocIds(f, c, d) }
@@ -421,21 +421,13 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     val distinct = tokens.distinct.toSeq.sorted
     val meta = termMeta(distinct.toArray)
     if (distinct.exists(t => !meta.contains(t))) return emptyOut
-    val buckets = spark.sessionState.conf.numShufflePartitions
-    val w = math.max(1L, (stats.numDocs + buckets - 1) / buckets)
     val tokensB = spark.sparkContext.broadcast(tokens)
-    postingsFor(distinct, withPositions = true)
-      .flatMap(b => ((b.firstDocId / w) to (b.lastDocId / w)).iterator.map(g => (g, b)))
-      .groupByKey(_._1)
-      .flatMapGroups { (g, it) =>
-        val lo = g * w
-        val hi = lo + w
-        val byTerm = it.map(_._2).toArray.groupBy(_.term)
-          .map { case (t, bs) => t -> bs.sortBy(_.firstDocId) }
-        // a bucket missing any distinct term can't host a conjunctive match
-        if (tokensB.value.exists(t => !byTerm.contains(t))) Iterator.empty
-        else PhraseMatcher.matchBucket(byTerm, tokensB.value, lo, hi).iterator
-      }
+    bucketedBlocks[(Long, Int)](distinct, withPositions = true) { (lo, hi, byTerm0) =>
+      val byTerm = byTerm0.map { case (t, bs) => t -> bs.sortBy(_.firstDocId) }
+      // a bucket missing any distinct term can't host a conjunctive match
+      if (tokensB.value.exists(t => !byTerm.contains(t))) Iterator.empty
+      else PhraseMatcher.matchBucket(byTerm, tokensB.value, lo, hi).iterator
+    }
       .toDF("docId", "phrase_tf")
   }
 
@@ -451,11 +443,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     */
   def scoreAllDf(query: String): DataFrame = {
     val meta = termMeta(analyze(query))
-    if (meta.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+    if (meta.isEmpty) return emptyHits
     contribs(meta)
       .groupBy("docId")
       .agg(aggregate(

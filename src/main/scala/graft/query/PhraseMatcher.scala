@@ -1,6 +1,5 @@
 package graft.query
 
-
 import graft.index.PostingBlock
 
 /** Positional phrase matching over one docId-range bucket (SURVEY.md §2.3
