@@ -83,6 +83,43 @@ class MultiFieldSpec extends SparkSpec {
     }
   }
 
+  test("per-field DELTA segments stay docId-aligned across fields (B13 × B14)") {
+    import graft.index.DeltaIndex
+    import graft.fixtures.CodeFile
+    built
+    val dir2 = "/tmp/graft_mf_delta"
+    Tables.delete(spark, "/tmp", "graft_mf_delta")
+    val isExtra = abs(hash(col("path")) % 5) === 0
+    MultiFieldIndex.build(spark, src.where(!isExtra), Seq("content", "meta"), dir2, cfg, "mfd")
+    for (f <- Seq("content", "meta")) {
+      val cf = src.where(isExtra)
+        .select(col("repo"), col("path"), col("commit"), col("lang"),
+          coalesce(col(f).cast("string"), lit("")).as("content")).as[CodeFile]
+      DeltaIndex.addDocuments(spark, MultiFieldIndex.fieldDir(dir2, f), cf, cfg, s"mfd-$f")
+      ()
+    }
+    // both fields' delta builds saw the same key set, cfg, and docIdBase,
+    // so composite docIds stay ALIGNED across fields — multi_match over the
+    // delta-maintained pair must equal the suite's full build, compared by
+    // the stable document key
+    def keyed(d: String): Map[String, Double] = {
+      val r = MultiFieldIndex.multiMatchScoreAll(spark, d, Seq("content", "meta"), "def scala")
+      val regs = DeltaIndex.segmentDirs(spark, MultiFieldIndex.fieldDir(d, "content"))
+        .map(s => Tables.read(spark, s, InvertedIndex.DocsTable)
+          .select(col("docId"), concat_ws("|", col("repo"), col("path"), col("commit")).as("k")))
+        .reduce(_ unionByName _)
+      r.join(regs, Seq("docId")).select("k", "score")
+        .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    }
+    val got = keyed(dir2)
+    val want = keyed(dir)
+    assert(got.keySet == want.keySet, "delta-maintained multi-field doc set diverges from full build")
+    got.foreach { case (key, s) =>
+      assert(math.abs(s - want(key)) <= 1e-9 * math.max(1.0, math.abs(want(key))),
+        s"score for $key")
+    }
+  }
+
   test("multiMatchTopK == rank-all + limit, bit-exact (cross-field WAND gate)") {
     built
     for (q <- Seq("def scala", "rust z100_id", "val repo0001", "scala repo0001 buf_buf",
