@@ -670,7 +670,9 @@ object InvertedIndex {
     results += Manifests.runStage(spark, indexDir, "stats", runId, Seq(StatsTable)) {
       val agg = Tables.read(spark, indexDir, DocsTable)
         .agg(count(lit(1)).as("numDocs"), sum("dl").as("sumDl")).collect()(0)
-      val n = agg.getLong(0); val sumDl = agg.getLong(1)
+      // sum over zero rows is NULL, not 0 — an empty corpus is a legal
+      // (if degenerate) build and must commit stats, not crash
+      val n = agg.getLong(0); val sumDl = if (agg.isNullAt(1)) 0L else agg.getLong(1)
       val stats = CorpusStats(n, sumDl, if (n == 0) 0.0 else sumDl.toDouble / n)
       Tables.write(Seq(stats).toDF(), indexDir, StatsTable)
       n

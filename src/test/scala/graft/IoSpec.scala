@@ -119,4 +119,26 @@ class IoSpec extends SparkSpec {
     assert(pagesA == pagesB)
     assert(pagesA(0L) == 0L && pagesA(996L) == 2L) // key 996 = grp 0, rank 249
   }
+
+  test("empty corpus: build commits a readable index, every query path returns empty") {
+    import graft.index.{IndexConfig, InvertedIndex}
+    import graft.query.IndexReader
+    val dir = "/tmp/graft_empty_test"
+    Tables.delete(spark, "/tmp", "graft_empty_test")
+    val rep = InvertedIndex.build(spark, spark.emptyDataset[graft.fixtures.CodeFile], dir,
+      IndexConfig(partitions = 4), "empty")
+    assert(rep.numDocs == 0)
+    // degenerate but legal: every table readable, stats zeroed (sum over
+    // zero rows is NULL — must commit as 0, not crash), and a reader over
+    // the empty index answers every query shape with empty, never an error
+    assert(InvertedIndex.readStats(spark, dir).numDocs == 0)
+    assert(Tables.read(spark, dir, InvertedIndex.PostingsTable).count() == 0)
+    val r = new IndexReader(spark, dir)
+    assert(r.searchBmw("def", 5).isEmpty)
+    assert(r.searchNaive("def", 5).isEmpty)
+    assert(r.scoreAllDf("def").count() == 0)
+    assert(r.matchPhraseDf("def val").count() == 0)
+    assert(r.searchBool(Seq("def"), Seq("val"), Seq("class"), 5).isEmpty)
+    assert(r.searchBmwBatch(Seq("def", "val"), 5).values.forall(_.isEmpty))
+  }
 }
