@@ -691,7 +691,13 @@ object InvertedIndex {
     def commitSorted(blocks: DataFrame): Unit = {
       val bucketed = blocks.withColumn("tbucket",
         pmod(crc32(encode(col("term"), "UTF-8")), lit(cfg.termBuckets)).cast("int"))
-      Tables.writePartitioned(
+      // emptiness probed on the INPUT (a limit-1 over the persisted blocks
+      // or committed slice parquet — no range sampling): an all-separator
+      // corpus legally produces zero postings even with numDocs > 0, and a
+      // zero-row partitionBy write would leave a schema-less table; the
+      // plain write keeps the schema with tbucket as an ordinary column
+      if (blocks.isEmpty) Tables.write(bucketed, indexDir, PostingsTable)
+      else Tables.writePartitioned(
         bucketed.repartitionByRange(cfg.partitions, col("tbucket"), col("term"), col("blockId"))
           .sortWithinPartitions("tbucket", "term", "blockId"),
         indexDir, PostingsTable, Seq("tbucket"))

@@ -30,14 +30,14 @@ object Tables {
     */
   def writePartitioned(df: DataFrame, base: String, name: String,
       partitionCols: Seq[String]): Unit =
-    // a zero-row dynamic-partition write produces NO part files (partition
-    // dirs are derived from data), so the table would have no parquet
-    // footer and every later read would fail schema inference; fall back
-    // to a plain write — an empty unpartitioned table carries the schema,
-    // and predicates on the would-be partition columns still apply (they
-    // are ordinary columns of the empty table)
-    if (df.isEmpty) df.write.mode("overwrite").parquet(tablePath(base, name))
-    else df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tablePath(base, name))
+    // action-free by design (an emptiness probe here would re-execute the
+    // caller's full write plan — range sampling included — once per
+    // commit). CALLER CONTRACT: df must be non-empty; a zero-row
+    // dynamic-partition write produces no part files, leaving a table
+    // without parquet footers that fails schema inference on read — empty
+    // producers must route to the plain [[write]] (see
+    // InvertedIndex.commitSorted, the one partitioned-write call site).
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tablePath(base, name))
 
   def exists(spark: SparkSession, base: String, name: String): Boolean = {
     val p = new Path(tablePath(base, name))

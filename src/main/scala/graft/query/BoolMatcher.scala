@@ -78,6 +78,11 @@ object BoolMatcher {
       val driverSlot = scoringIdx(mustT(driverIdx))
       val otherMusts: Array[(PostingsView, Int)] = mustT.indices
         .filter(_ != driverIdx).map(j => (mustViews(j), scoringIdx(mustT(j)))).toArray
+      // handles parked here during membership; pre is written only AFTER
+      // the conjunction passes — a rejected candidate (the common case for
+      // selective musts) pays exactly its failed binary searches, not an
+      // O(|scoring|) slot clear
+      val mustHandles = new Array[(Int, Int)](otherMusts.length)
       var bi = 0
       while (bi < driver.ids.length) {
         val arr = driver.ids(bi)
@@ -85,16 +90,23 @@ object BoolMatcher {
         while (i < arr.length) {
           val d = arr(i)
           if (d >= lo && d < hi) {
-            java.util.Arrays.fill(pre.asInstanceOf[Array[AnyRef]], null)
-            pre(driverSlot) = (bi, i)
             var ok = true
             var m = 0
             while (ok && m < otherMusts.length) {
               val h = otherMusts(m)._1.find(d)
-              if (h == null) ok = false else pre(otherMusts(m)._2) = h
+              if (h == null) ok = false else mustHandles(m) = h
               m += 1
             }
-            if (ok) scoreDoc(d)
+            if (ok) {
+              java.util.Arrays.fill(pre.asInstanceOf[Array[AnyRef]], null)
+              pre(driverSlot) = (bi, i)
+              m = 0
+              while (m < otherMusts.length) {
+                pre(otherMusts(m)._2) = mustHandles(m)
+                m += 1
+              }
+              scoreDoc(d)
+            }
           }
           i += 1
         }

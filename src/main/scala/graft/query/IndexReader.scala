@@ -152,10 +152,13 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * batch, phrase, bool): query-term blocks re-bucket by docId range —
     * a block spanning bucket boundaries is replicated and masked by the
     * [lo, hi) the scorer receives — and each bucket scores locally. The
-    * group-span arithmetic is correctness-critical and lives ONLY here.
+    * group-span arithmetic is correctness-critical and lives ONLY here;
+    * so does the per-term firstDocId block sort (`sortBlocks`) that every
+    * presorted-contract consumer (batch BMW, PhraseMatcher, BoolMatcher)
+    * depends on — a call site must opt out, never remember to opt in.
     */
   private def bucketedBlocks[T: org.apache.spark.sql.Encoder](terms: Seq[String],
-      nBuckets: Int = 0, withPositions: Boolean = false)(
+      nBuckets: Int = 0, withPositions: Boolean = false, sortBlocks: Boolean = true)(
       score: (Long, Long, Map[String, Array[PostingBlock]]) => Iterator[T]): Dataset[T] = {
     val buckets = if (nBuckets > 0) nBuckets else spark.sessionState.conf.numShufflePartitions
     val w = math.max(1L, (stats.numDocs + buckets - 1) / buckets)
@@ -163,7 +166,11 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       .flatMap(b => ((b.firstDocId / w) to (b.lastDocId / w)).iterator.map(g => (g, b)))
       .groupByKey(_._1)
       .flatMapGroups { (g, it) =>
-        score(g * w, g * w + w, it.map(_._2).toArray.groupBy(_.term))
+        val byTerm0 = it.map(_._2).toArray.groupBy(_.term)
+        val byTerm = if (sortBlocks)
+          byTerm0.map { case (t, bs) => t -> bs.sortBy(_.firstDocId) }
+        else byTerm0
+        score(g * w, g * w + w, byTerm)
       }
   }
 
@@ -203,7 +210,8 @@ final class IndexReader(spark: SparkSession, indexDir: String,
 
     bucketedBlocks[SearchHit](meta.keys.toSeq.sorted, nBuckets) { (lo, hi, byTerm) =>
       val st = BlockMaxWand.BucketStats()
-      val hits = BlockMaxWand.scoreBucket(byTerm, metaB.value, lo, hi, kk, avgDl, pp, st)
+      val hits = BlockMaxWand.scoreBucket(byTerm, metaB.value, lo, hi, kk, avgDl, pp, st,
+        presorted = true)
       decAcc.add(st.decoded); skipAcc.add(st.skipped); scoredAcc.add(st.scoredDocs)
       hits.iterator
     }
@@ -247,9 +255,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
 
     val presentTerms = perQuery.flatMap(_._2).distinct.sorted
     val perBucketTops = bucketedBlocks[(Int, Long, Double)](presentTerms.toSeq, nBuckets) {
-      (lo, hi, byTerm0) =>
-        val byTerm = byTerm0
-          .map { case (t, bs) => t -> bs.sortBy(_.firstDocId) } // sort ONCE per bucket, shared by all queries
+      (lo, hi, byTerm) => // blocks pre-sorted once per bucket, shared by all queries
         val st = BlockMaxWand.BucketStats()
         val cache = new BlockCache() // queries share block decodes
         val out = perQueryB.value.iterator.flatMap { case (qi, terms) =>
@@ -347,8 +353,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     val avgDl = stats.avgDl
     val pp = p
     val kk = k
-    bucketedBlocks[SearchHit](scanTerms) { (lo, hi, byTerm0) =>
-      val byTerm = byTerm0.map { case (t, bs) => t -> bs.sortBy(_.firstDocId) }
+    bucketedBlocks[SearchHit](scanTerms) { (lo, hi, byTerm) =>
       BoolMatcher.scoreBucket(byTerm, scoringB.value, mustB.value, notB.value,
         lo, hi, kk, avgDl, pp).iterator
     }
@@ -382,17 +387,30 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       .select("docId", "score")
     if (notT.isEmpty) scored // boolClauses already dropped absent not-terms
     else {
-      // ids-only at the SCAN level too: selecting just the three docId
-      // columns before the decode lets parquet pruning skip tf/dl/pos for
-      // the exclusion branch entirely
-      val excl = postingsFor(notT.toSeq)
-        .select(col("firstDocId"), col("count"), col("docDeltas"))
+      // ids-only at the SCAN level too: the raw per-segment scan (NOT
+      // postingsFor — its composite branch runs a typed map over full
+      // PostingBlock rows, which defeats column pruning) selects just the
+      // three docId columns, so parquet skips tf/dl/pos bytes for the
+      // exclusion branch in single-segment AND delta-serving modes alike
+      val excl = idScan(notT.toSeq)
         .as[(Long, Int, Array[Byte])]
         .flatMap { case (f, c, d) => PostingsCodec.decodeDocIds(f, c, d) }
         .distinct().toDF("docId")
       scored.join(excl, Seq("docId"), "left_anti")
     }
   }
+
+  /** Membership-only postings scan: (firstDocId, count, docDeltas) of the
+    * terms' blocks across all segments — no payload columns, no composite
+    * bound recompute (bounds are meaningless to a membership probe).
+    */
+  private def idScan(terms: Seq[String]): DataFrame =
+    segments.zip(segBuckets).map { case (seg, b) =>
+      val tb = terms.map(t => InvertedIndex.termBucket(t, b)).distinct
+      Tables.read(spark, seg, InvertedIndex.PostingsTable)
+        .where(col("tbucket").isin(tb: _*) && col("term").isin(terms: _*))
+        .select(col("firstDocId"), col("count"), col("docDeltas"))
+    }.reduce(_ unionByName _)
 
   /** Positional phrase match (SURVEY.md §2.3 B15; ES `match_phrase`, exact
     * positions): every doc where the analyzed phrase's tokens occur at
@@ -422,8 +440,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     val meta = termMeta(distinct.toArray)
     if (distinct.exists(t => !meta.contains(t))) return emptyOut
     val tokensB = spark.sparkContext.broadcast(tokens)
-    bucketedBlocks[(Long, Int)](distinct, withPositions = true) { (lo, hi, byTerm0) =>
-      val byTerm = byTerm0.map { case (t, bs) => t -> bs.sortBy(_.firstDocId) }
+    bucketedBlocks[(Long, Int)](distinct, withPositions = true) { (lo, hi, byTerm) =>
       // a bucket missing any distinct term can't host a conjunctive match
       if (tokensB.value.exists(t => !byTerm.contains(t))) Iterator.empty
       else PhraseMatcher.matchBucket(byTerm, tokensB.value, lo, hi).iterator
