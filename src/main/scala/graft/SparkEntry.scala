@@ -62,6 +62,10 @@ object SparkEntry {
     // pinned Σ idf·tfNorm over the present (must ∪ should) terms.
     "b17_bool" -> ((s, d) =>
       DocumentsIndex.bm25Bool(s, d, Seq("hash", "vector"), Seq("join"), Seq("window"))),
+    // B17 prefix query (ES prefix / wildcard family, anchored): docs with
+    // any term starting with "s" (expands to 6 terms in this corpus), with
+    // the distinct matched-term count per doc.
+    "b18_prefix" -> ((s, d) => DocumentsIndex.prefixMatch(s, d, "s")),
 
     // -- Layer A: toolchain operators (SURVEY.md §2.1/2.2) -----------------
     "a01_scan_projection" -> ((s, d) =>
@@ -380,6 +384,14 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score FROM sc
          |WHERE mcnt = 2 AND doc_id NOT IN (SELECT doc_id FROM excl)
          |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
+    // prefix twin: membership + distinct matched-term count over the
+    // tokenized stream (starts_with, not LIKE — underscore is a LIKE
+    // wildcard and a legal analyzer char)
+    "b18_prefix" ->
+      s"""WITH $TokCte
+         |SELECT doc_id, count(DISTINCT term) AS n_terms FROM tok
+         |WHERE starts_with(term, 's')
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // phrase twin: reconstruct the analyzer's token stream WITH positions
     // (zipped unnests keep list order; substr-to-64 applies after empty
     // filtering, exactly like the engine tokenizer) and join adjacency

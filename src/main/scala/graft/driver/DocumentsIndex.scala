@@ -219,6 +219,15 @@ object DocumentsIndex {
     rankedByDocId(spark, reader(spark, sfDir).searchBoolDf(must, should, mustNot),
       indexDir(spark, sfDir))
 
+  /** ES prefix query over the text index, keyed by doc_id (integer-exact
+    * matched-term counts — no float protocol needed).
+    */
+  def prefixMatch(spark: SparkSession, sfDir: String, prefix: String): DataFrame =
+    reader(spark, sfDir).matchPrefixDf(prefix)
+      .join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("doc_id"), col("n_terms"))
+      .orderBy("doc_id")
+
   /** Positional phrase match over the text index, keyed by doc_id (the
     * phrase_tf count is integer-exact — no float protocol needed).
     */

@@ -412,6 +412,62 @@ final class IndexReader(spark: SparkSession, indexDir: String,
         .select(col("firstDocId"), col("count"), col("docDeltas"))
     }.reduce(_ unionByName _)
 
+  /** The single analyzed term of a prefix string, plus its exclusive upper
+    * bound for range predicates: the analyzer charset is [a-z0-9_], so
+    * bumping the last char stays a valid string bound.
+    */
+  private def prefixBounds(prefix: String): (String, String) = {
+    val analyzed = CodeTokenizer.tokenize(prefix)
+    require(analyzed.length == 1,
+      s"prefix must analyze to exactly one term, got ${analyzed.toSeq} from '$prefix'")
+    val p0 = analyzed(0)
+    (p0, p0.init + (p0.last + 1).toChar)
+  }
+
+  /** Dictionary terms starting with `prefix`, across all segments — a RANGE
+    * scan of the term-sorted dictionary (row-group min/max pruning), the
+    * analog of Lucene's FST prefix walk. Building block for the wildcard /
+    * prefix query family; [[matchPrefixDf]] itself pushes the range straight
+    * into the postings scan and never materializes this list.
+    */
+  def expandPrefix(prefix: String): Array[String] = {
+    val (lo, hi) = prefixBounds(prefix)
+    segments.flatMap { seg =>
+      Tables.read(spark, seg, InvertedIndex.DictTable)
+        .where(col("term") >= lo && col("term") < hi)
+        .select("term").collect().map(_.getString(0))
+    }.distinct.sorted.toArray
+  }
+
+  /** ES `prefix` query (SURVEY.md §2.3 B17): docs containing at least one
+    * term starting with `prefix`, with `n_terms` = the distinct matching
+    * terms in the doc (ES's constant_score form is `lit(1.0)` over this
+    * membership set). The postings scan carries the RANGE predicate
+    * `lo <= term < hi` — NOT an expanded isin list, which at corpus scale
+    * could be thousands of terms — so row-group term min/max stats prune
+    * within each term-sorted bucket file. (Catalog-level tbucket pruning is
+    * inherently unavailable to prefix queries: hash bucketing scatters a
+    * term RANGE across all buckets — the documented trade of the v4 layout;
+    * the range rides the row-group stats instead.) One ids-only decode
+    * flatMap, one groupBy(docId) exchange, distributed end-to-end.
+    */
+  def matchPrefixDf(prefix: String): DataFrame = {
+    import spark.implicits._
+    val (lo, hi) = prefixBounds(prefix)
+    segments.map { seg =>
+      Tables.read(spark, seg, InvertedIndex.PostingsTable)
+        .where(col("term") >= lo && col("term") < hi)
+        .select(col("term"), col("firstDocId"), col("count"), col("docDeltas"))
+    }.reduce(_ unionByName _)
+      .as[(String, Long, Int, Array[Byte])]
+      .flatMap { case (t, f, c, d) =>
+        PostingsCodec.decodeDocIds(f, c, d).iterator.map(id => (id, t))
+      }
+      .toDF("docId", "term")
+      .groupBy("docId")
+      .agg(countDistinct("term").as("n_terms"))
+  }
+
   /** Positional phrase match (SURVEY.md §2.3 B15; ES `match_phrase`, exact
     * positions): every doc where the analyzed phrase's tokens occur at
     * consecutive positions, with `phrase_tf` = the occurrence count —

@@ -81,6 +81,25 @@ class BoolQuerySpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("prefix expansion == brute vocabulary scan; prefix match == raw-rows oracle") {
+    val rawRows = oracle.rows.collect() // (docId, term, tf, dl) from raw text
+    val vocab = rawRows.map(_._2).distinct
+    for (p <- Seq("de", "z10", "buf", "qqq", "x")) {
+      val expTerms = vocab.filter(_.startsWith(p)).sorted.toSeq
+      assert(reader.expandPrefix(p).toSeq == expTerms, s"expansion for '$p'")
+      val want = rawRows.filter(_._2.startsWith(p))
+        .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).distinct.length.toLong }
+      val got = reader.matchPrefixDf(p).as[(Long, Long)].collect().toMap
+      assert(got == want, s"prefix match for '$p': ${got.size} vs ${want.size} docs")
+    }
+    // charset edge: prefix ending in 'z' and in '_' must still bound the range
+    assert(reader.expandPrefix("z").toSeq == vocab.filter(_.startsWith("z")).sorted.toSeq)
+    val gotU = reader.matchPrefixDf("buf_").as[(Long, Long)].collect().toMap
+    val wantU = rawRows.filter(_._2.startsWith("buf_"))
+      .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).distinct.length.toLong }
+    assert(gotU == wantU, "prefix ending in underscore")
+  }
+
   test("bool across base ∪ delta segments") {
     val ddir = "/tmp/graft_test_bool_delta"
     Tables.delete(spark, "/tmp", "graft_test_bool_delta")
