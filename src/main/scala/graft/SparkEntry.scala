@@ -66,6 +66,20 @@ object SparkEntry {
     // any term starting with "s" (expands to 6 terms in this corpus), with
     // the distinct matched-term count per doc.
     "b18_prefix" -> ((s, d) => DocumentsIndex.prefixMatch(s, d, "s")),
+    // B15 sloppy phrase (ES match_phrase + slop): ordered, one position of
+    // slack — "hash join" plus "hash X join".
+    "b19_phrase_slop" -> ((s, d) => DocumentsIndex.phraseMatch(s, d, "hash join", slop = 1)),
+    // B18 fuzzy query (ES fuzzy / match fuzziness): dictionary expansion at
+    // edit distance <= 2 of "bag" ({a, agg, big} in this corpus), scored as
+    // a term OR with each expansion under its own idf.
+    "b20_fuzzy" -> ((s, d) => DocumentsIndex.fuzzyMatch(s, d, "bag", maxEdits = 2)),
+    // B19 terms aggregation (ES terms agg / the LOD API's facet counts):
+    // top-10 tags-field terms by df, straight off the sub-index dictionary.
+    "b21_terms_agg" -> ((s, d) => DocumentsIndex.termsAgg(s, d, 10)),
+    // B20 wildcard query (ES wildcard, non-anchored): any term containing
+    // "or" ({order, sort, vector} in this corpus), distinct matched-term
+    // count per doc.
+    "b22_wildcard" -> ((s, d) => DocumentsIndex.wildcardMatch(s, d, "*or*")),
 
     // -- Layer A: toolchain operators (SURVEY.md §2.1/2.2) -----------------
     "a01_scan_projection" -> ((s, d) =>
@@ -152,6 +166,12 @@ object SparkEntry {
       // re-invocation's overwrite delete files under this one's lazy read
       val dir = s"/tmp/graft_ldj_${java.util.UUID.randomUUID().toString.take(8)}"
       src.write.option("compression", "gzip").json(dir)
+      // the read below is lazy (may re-scan on every action), so the dir
+      // can't be deleted inline — register it for recursive deletion at
+      // FileSystem close (JVM exit) instead: repeated bench/verify runs no
+      // longer accumulate gzip corpus copies under /tmp
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).deleteOnExit(p)
       s.read.schema(src.schema).json(dir)
         .select(col("doc_id"), col("lang"), sha2(col("text"), 256).as("text_sha"))
         .orderBy("doc_id")
@@ -392,6 +412,55 @@ object SparkEntry {
          |SELECT doc_id, count(DISTINCT term) AS n_terms FROM tok
          |WHERE starts_with(term, 's')
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // wildcard twin: contains() over the token stream — same membership
+    // shape as prefix; the engine's glob "*or*" compiles to ^.*or.*$
+    "b22_wildcard" ->
+      s"""WITH $TokCte
+         |SELECT doc_id, count(DISTINCT term) AS n_terms FROM tok
+         |WHERE contains(term, 'or')
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // fuzzy twin: the expansion set comes from the same definition the
+    // engine pins — distinct corpus terms within levenshtein <= 2 (DuckDB's
+    // levenshtein IS classic edit distance, like Spark's built-in); scoring
+    // is the ordinary BM25 OR over that set, each term under its own idf
+    "b20_fuzzy" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |fz AS (SELECT term FROM dfx WHERE levenshtein(term, 'bag') <= 2),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+         |             * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
+         |  WHERE tf.term IN (SELECT term FROM fz)
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
+    // terms-agg twin: per-term distinct-doc counts over the tokenized tags
+    // field, top-10 by (df desc, term asc) — the deterministic tie-break
+    // both engines share (source-term dfs tie by construction)
+    "b21_terms_agg" ->
+      s"""WITH ${tokCteOver("concat_ws(' ', lang, source)", "gtok")},
+         |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM gtok GROUP BY 1)
+         |SELECT term, df FROM dfs ORDER BY df DESC, term LIMIT 10""".stripMargin,
+    // sloppy-phrase twin: a start counts when SOME second-token position
+    // lands in (pos, pos + 1 + slop] — count(DISTINCT p0.pos) mirrors the
+    // engine's per-start counting (several valid p1 picks = one start)
+    "b19_phrase_slop" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS a
+        |  FROM documents),
+        |t0 AS (SELECT doc_id, unnest(a) AS term0, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |toks AS (SELECT doc_id, substr(term0, 1, 64) AS term, pos FROM t0)
+        |SELECT p0.doc_id, count(DISTINCT p0.pos) AS phrase_tf
+        |FROM toks p0 JOIN toks p1 ON p1.doc_id = p0.doc_id
+        |  AND p1.pos > p0.pos AND p1.pos <= p0.pos + 2
+        |WHERE p0.term = 'hash' AND p1.term = 'join'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // phrase twin: reconstruct the analyzer's token stream WITH positions
     // (zipped unnests keep list order; substr-to-64 applies after empty
     // filtering, exactly like the engine tokenizer) and join adjacency

@@ -176,37 +176,42 @@ object DocumentsIndex {
     bm25Of(spark, deltaReader(spark, sfDir), deltaIndexDir(spark, sfDir), query, k)
 
   private def bm25Of(spark: SparkSession, r: IndexReader, idx: String,
-      query: String, k: Int): DataFrame = {
-    import spark.implicits._
+      query: String, k: Int): DataFrame =
     if (k <= 0) {
       // rank-all: fully distributed — the hit set is corpus-sized for
       // stopword queries, so it must never land on the driver.
       rankedByDocId(spark, r.scoreAllDf(query), idx)
-    } else {
-      // top-k: BMW with over-fetch by exact score, GROWN until the rounded
-      // boundary is provably stable: rounding is monotone, so every doc
-      // outside the fetch rounds to <= the last fetched hit's rounded score;
-      // if that is strictly below the rounded score at rank k, no outside
-      // doc can tie into the cut. A fetch that returns fewer hits than asked
-      // is the complete match set (trivially stable). Unstable after one
-      // growth -> exact rank-all fallback (tiny driver tables only; at
-      // corpus scale a detected tie on a 6-dp boundary is vanishingly rare).
-      def stable(hits: Array[graft.query.SearchHit], fetch: Int): Boolean =
-        hits.length < fetch || {
-          val rounded = hits.map(h => math.BigDecimal(h.score).setScale(6, BigDecimal.RoundingMode.HALF_UP))
-          rounded.sorted(Ordering[BigDecimal].reverse).lift(k - 1)
-            .forall(rk => rounded.last < rk)
-        }
-      val fetch0 = math.max(k * 20, 200)
-      val attempts = Iterator(fetch0, fetch0 * 8)
-        .map(f => (r.searchBmw(query, f), f))
-      val hits = attempts.collectFirst { case (h, f) if stable(h, f) => h }
-        .getOrElse {
-          return rankedByDocId(spark, r.scoreAllDf(query), idx).limit(k)
-        }
-      val hitsDf = spark.createDataset(hits.toSeq).toDF()
-      rankedByDocId(spark, broadcast(hitsDf), idx).limit(k)
-    }
+    } else stableTopK(spark, idx, k, f => r.searchBmw(query, f),
+      rankedByDocId(spark, r.scoreAllDf(query), idx).limit(k))
+
+  /** Top-k under the 6-dp output protocol, shared by every bounded serving
+    * path (single-field BMW, cross-field WAND): over-fetch by exact score,
+    * GROWN until the rounded boundary is provably stable — rounding is
+    * monotone, so every doc outside the fetch rounds to <= the last fetched
+    * hit's rounded score; if that is strictly below the rounded score at
+    * rank k, no outside doc can tie into the cut. A fetch that returns
+    * fewer hits than asked is the complete match set (trivially stable).
+    * Unstable after one growth -> the caller's exact rank-all `fallback`
+    * (tiny driver tables only; at corpus scale a detected tie on a 6-dp
+    * boundary is vanishingly rare).
+    */
+  private def stableTopK(spark: SparkSession, idx: String, k: Int,
+      fetchHits: Int => Array[graft.query.SearchHit],
+      fallback: => DataFrame): DataFrame = {
+    import spark.implicits._
+    def stable(hits: Array[graft.query.SearchHit], fetch: Int): Boolean =
+      hits.length < fetch || {
+        val rounded = hits.map(h => math.BigDecimal(h.score).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        rounded.sorted(Ordering[BigDecimal].reverse).lift(k - 1)
+          .forall(rk => rounded.last < rk)
+      }
+    val fetch0 = math.max(k * 20, 200)
+    val attempts = Iterator(fetch0, fetch0 * 8)
+      .map(f => (fetchHits(f), f))
+    val hits = attempts.collectFirst { case (h, f) if stable(h, f) => h }
+      .getOrElse { return fallback }
+    val hitsDf = spark.createDataset(hits.toSeq).toDF()
+    rankedByDocId(spark, broadcast(hitsDf), idx).limit(k)
   }
 
   /** ES bool query over the text index — rank-all form (exact, distributed;
@@ -230,12 +235,39 @@ object DocumentsIndex {
 
   /** Positional phrase match over the text index, keyed by doc_id (the
     * phrase_tf count is integer-exact — no float protocol needed).
+    * `slop` = ordered positional slack (PhraseMatcher semantics).
     */
-  def phraseMatch(spark: SparkSession, sfDir: String, phrase: String): DataFrame =
-    reader(spark, sfDir).matchPhraseDf(phrase)
+  def phraseMatch(spark: SparkSession, sfDir: String, phrase: String,
+      slop: Int = 0): DataFrame =
+    reader(spark, sfDir).matchPhraseDf(phrase, slop)
       .join(docIdMap(spark, sfDir), Seq("docId"))
       .select(col("doc_id"), col("phrase_tf").cast("long").as("phrase_tf"))
       .orderBy("doc_id")
+
+  /** ES fuzzy query over the text index — dictionary expansion by edit
+    * distance, scored rank-all (each expanded term under its own idf),
+    * keyed by doc_id under the shared output protocol.
+    */
+  def fuzzyMatch(spark: SparkSession, sfDir: String, term: String,
+      maxEdits: Int): DataFrame =
+    rankedByDocId(spark, reader(spark, sfDir).matchFuzzyDf(term, maxEdits),
+      indexDir(spark, sfDir))
+
+  /** ES wildcard query (non-anchored glob) over the text index, keyed by
+    * doc_id (integer-exact matched-term counts).
+    */
+  def wildcardMatch(spark: SparkSession, sfDir: String, pattern: String): DataFrame =
+    reader(spark, sfDir).matchWildcardDf(pattern)
+      .join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("doc_id"), col("n_terms"))
+      .orderBy("doc_id")
+
+  /** ES terms aggregation (facet counts) over the TAGS field's dictionary —
+    * the engine-side form: the sub-index dictionary IS the agg, no postings
+    * and no documents are scanned.
+    */
+  def termsAgg(spark: SparkSession, sfDir: String, size: Int): DataFrame =
+    tagsReader(spark, sfDir).termsAggDf(size).select(col("term"), col("df"))
 
   /** Second-field index over the documents table: `tags` =
     * concat(lang, ' ', source) — the driver table's categorical metadata as
@@ -282,22 +314,46 @@ object DocumentsIndex {
 
   /** Cross-field OR (multi_match) over text + tags: score = text-field BM25
     * (its own df/avgdl) + tags-field BM25 (its own df/avgdl) — Lucene
-    * BooleanQuery SHOULD across fielded clauses. The two sub-indexes may
-    * have been built in different sessions (different partition counts), so
-    * the combination joins on the STABLE doc_id key, not on docId; with
-    * rank-all on both sides the rounded re-sort + limit is globally exact.
+    * BooleanQuery SHOULD across fielded clauses.
+    *
+    * Serving path (top-k): when BOTH sub-indexes are single-segment and
+    * their PLAN_GEOMETRY sidecars are EQUAL — the docId assignment is a
+    * pure function of (key set, partitions, docIdBase), all three captured
+    * in the fingerprint, so equality PROVES docId alignment — the query
+    * runs through the exact bounded cross-field WAND
+    * (MultiFieldIndex.multiMatchTopKReaders): one job, θ-pruned, never
+    * scoring the full match union. The scores are bit-exact vs the rank-all
+    * form (per-field partial sums in cursor order — sbt-gated), so the
+    * shared 6-dp over-fetch stability protocol applies unchanged. Geometry
+    * mismatch (sub-indexes built in different sessions with different
+    * partition counts) or k <= 0 falls back to rank-all joined on the
+    * STABLE doc_id key, which needs no alignment.
     */
   def multiMatch(spark: SparkSession, sfDir: String, query: String, k: Int): DataFrame = {
-    val text = reader(spark, sfDir).scoreAllDf(query)
-      .join(docIdMap(spark, sfDir), Seq("docId")).select(col("doc_id"), col("score").as("s_text"))
-    val tags = tagsReader(spark, sfDir).scoreAllDf(query)
-      .join(docIdMapOf(spark, tagsIndexDir(spark, sfDir)), Seq("docId"))
-      .select(col("doc_id"), col("score").as("s_tags"))
-    val out = text.join(tags, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        round(coalesce(col("s_text"), lit(0.0)) + coalesce(col("s_tags"), lit(0.0)), 6).as("score"))
-      .orderBy(desc("score"), asc("doc_id"))
-    if (k > 0) out.limit(k) else out
+    val textIdx = indexDir(spark, sfDir)
+    val tagsIdx = tagsIndexDir(spark, sfDir)
+    def rankAll: DataFrame = {
+      val text = reader(spark, sfDir).scoreAllDf(query)
+        .join(docIdMap(spark, sfDir), Seq("docId")).select(col("doc_id"), col("score").as("s_text"))
+      val tags = tagsReader(spark, sfDir).scoreAllDf(query)
+        .join(docIdMapOf(spark, tagsIdx), Seq("docId"))
+        .select(col("doc_id"), col("score").as("s_tags"))
+      val out = text.join(tags, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(coalesce(col("s_text"), lit(0.0)) + coalesce(col("s_tags"), lit(0.0)), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+      if (k > 0) out.limit(k) else out
+    }
+    val rs = Seq(reader(spark, sfDir), tagsReader(spark, sfDir))
+    val aligned = rs.forall(_.segments.size == 1) && {
+      val geoms = Seq(textIdx, tagsIdx).map(InvertedIndex.readPlanGeometry(spark, _))
+      geoms.forall(_.isDefined) && geoms.distinct.size == 1
+    }
+    if (k > 0 && aligned)
+      stableTopK(spark, textIdx, k,
+        f => graft.index.MultiFieldIndex.multiMatchTopKReaders(spark, rs, query, f),
+        rankAll)
+    else rankAll
   }
 
   def dictionaryDf(spark: SparkSession, sfDir: String): DataFrame =

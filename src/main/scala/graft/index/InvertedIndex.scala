@@ -644,8 +644,18 @@ object InvertedIndex {
     {
       val root = new org.apache.hadoop.fs.Path(indexDir)
       val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (rfs.exists(versionPath(indexDir)) && !formatVersionOk(spark, indexDir))
+      if (rfs.exists(versionPath(indexDir)) && !formatVersionOk(spark, indexDir)) {
+        // loud, not silent: a caller pointing a build at a valuable
+        // old-format index should see the destruction in the log (every
+        // other mismatch path in this file fails with a "rebuild it"
+        // diagnostic; this one deliberately proceeds, because an old-format
+        // CACHE dir must self-heal — but it says so first)
+        System.err.println(
+          s"[graft] index at $indexDir has a different FORMAT_VERSION than this build " +
+            s"($FormatVersion) — wiping and rebuilding it")
         rfs.delete(root, true)
+        ()
+      }
     }
 
     // ONE keys-only scan per build serves the uniqueness check, the registry

@@ -90,10 +90,21 @@ object MultiFieldIndex {
     * float association (BlockMaxWand.scoreCursors groupOf).
     */
   def multiMatchTopK(spark: SparkSession, dir: String, fields: Seq[String],
+      query: String, k: Int): Array[graft.query.SearchHit] =
+    multiMatchTopKReaders(spark, fields.map(f => reader(spark, dir, f)), query, k)
+
+  /** The same exact cross-field WAND over ALREADY-CONSTRUCTED per-field
+    * readers — lets a caller whose sub-indexes live outside the
+    * `<dir>/fields/<f>` layout (e.g. the driver's text + tags pair) serve
+    * through the bounded path. Callers must guarantee docId alignment
+    * across the readers' indexes (same key set, partitions, docIdBase —
+    * check PLAN_GEOMETRY sidecar equality); the doc-count require below is
+    * a cheap necessary condition, not a proof.
+    */
+  def multiMatchTopKReaders(spark: SparkSession, readers: Seq[IndexReader],
       query: String, k: Int): Array[graft.query.SearchHit] = {
     import spark.implicits._
-    require(fields.nonEmpty, "multiMatch needs at least one field")
-    val readers = fields.map(f => reader(spark, dir, f))
+    require(readers.nonEmpty, "multiMatch needs at least one field")
     val qterms = readers.head.analyze(query)
     val metas = readers.map(_.termMeta(qterms))
     if (metas.forall(_.isEmpty)) return Array.empty

@@ -412,15 +412,30 @@ final class IndexReader(spark: SparkSession, indexDir: String,
         .select(col("firstDocId"), col("count"), col("docDeltas"))
     }.reduce(_ unionByName _)
 
-  /** The single analyzed term of a prefix string, plus its exclusive upper
-    * bound for range predicates: the analyzer charset is [a-z0-9_], so
-    * bumping the last char stays a valid string bound.
+  /** The single analyzed TERM a query string must reduce to (prefix / fuzzy
+    * / wildcard literals): lowercased, analyzer charset only, within
+    * MaxTermLen. Anything else fails loudly here instead of silently
+    * re-analyzing — a 65-char prefix would otherwise truncate and match
+    * every term sharing the truncation, and a punctuated "prefix" would
+    * silently match something the caller never asked for.
+    */
+  private def singleTerm(input: String, what: String): String = {
+    val analyzed = CodeTokenizer.tokenize(input)
+    require(analyzed.length == 1,
+      s"$what must analyze to exactly one term, got ${analyzed.toSeq} from '$input'")
+    val t = analyzed(0)
+    require(t == input.trim.toLowerCase(java.util.Locale.ROOT),
+      s"$what must be a single [a-z0-9_]{1,${CodeTokenizer.MaxTermLen}} term " +
+        s"(analyzer would rewrite '$input' to '$t')")
+    t
+  }
+
+  /** The analyzed prefix term plus its exclusive upper bound for range
+    * predicates: the analyzer charset is [a-z0-9_], so bumping the last
+    * char stays a valid string bound.
     */
   private def prefixBounds(prefix: String): (String, String) = {
-    val analyzed = CodeTokenizer.tokenize(prefix)
-    require(analyzed.length == 1,
-      s"prefix must analyze to exactly one term, got ${analyzed.toSeq} from '$prefix'")
-    val p0 = analyzed(0)
+    val p0 = singleTerm(prefix, "prefix")
     (p0, p0.init + (p0.last + 1).toChar)
   }
 
@@ -439,6 +454,72 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     }.distinct.sorted.toArray
   }
 
+  /** Dictionary terms within Levenshtein distance `maxEdits` of the query
+    * term, across all segments, capped at `maxExpansions` picked by
+    * (df desc, term asc) — ES `fuzzy` / `match` `fuzziness` with
+    * `max_expansions` (Lucene's LevenshteinAutomata walk re-expressed as a
+    * length-banded dictionary scan: edit distance >= length difference, so
+    * the band is a correct prefilter, and the levenshtein verify runs as
+    * Spark's codegen'd built-in ON THE EXECUTORS — only matching terms ever
+    * reach the driver; the dictionary is postings-scale smaller than the
+    * corpus, the same economics as [[expandPrefix]]).
+    */
+  def expandFuzzy(term: String, maxEdits: Int = 2, maxExpansions: Int = 50): Array[String] = {
+    val q = singleTerm(term, "fuzzy term")
+    require(maxEdits >= 0 && maxExpansions > 0, "maxEdits >= 0 and maxExpansions > 0")
+    val matched = segments.map { seg =>
+      Tables.read(spark, seg, InvertedIndex.DictTable)
+        .where(length(col("term")).between(q.length - maxEdits, q.length + maxEdits) &&
+          levenshtein(col("term"), lit(q)) <= maxEdits)
+        .select(col("term"), col("df"))
+    }.reduce(_ unionByName _)
+      .groupBy("term").agg(sum("df").as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    matched.sortBy { case (t, df) => (-df, t) }.take(maxExpansions).map(_._1).sorted
+  }
+
+  /** Dictionary terms matching a glob `pattern` over the analyzer charset
+    * (`*` = any run, including empty — ES `wildcard`, the non-anchored
+    * family `b18_prefix` can't serve), capped at `maxExpansions` by
+    * (df desc, term asc). The scan predicate is a compiled regex evaluated
+    * distributed over the dictionary — the honest v1; the 100 TB upgrade
+    * path is an n-gram index over dictionary terms (intersect the pattern's
+    * n-grams to a candidate set first), which changes only this expansion,
+    * not the query serving below it.
+    */
+  def expandWildcard(pattern: String, maxExpansions: Int = 128): Array[String] = {
+    val pat = pattern.trim.toLowerCase(java.util.Locale.ROOT)
+    require(pat.nonEmpty && pat.exists(_ != '*'), s"wildcard pattern needs at least one literal char: '$pattern'")
+    pat.filter(_ != '*').foreach(c => require(
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_',
+      s"wildcard literals must be analyzer charset [a-z0-9_], got '$c' in '$pattern'"))
+    val rx = pat.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString("^", ".*", "$")
+    val matched = segments.map { seg =>
+      Tables.read(spark, seg, InvertedIndex.DictTable)
+        .where(col("term").rlike(rx))
+        .select(col("term"), col("df"))
+    }.reduce(_ unionByName _)
+      .groupBy("term").agg(sum("df").as("df"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    matched.sortBy { case (t, df) => (-df, t) }.take(maxExpansions).map(_._1).sorted
+  }
+
+  /** ES `terms` aggregation over the indexed field (the LOD API's facet
+    * counts): top `size` dictionary terms by document frequency, df summed
+    * across segments. The dictionary IS the agg — no postings are touched,
+    * and the plan is a dictionary scan + TakeOrderedAndProject (single
+    * segment skips the merge agg entirely).
+    */
+  def termsAggDf(size: Int): DataFrame = {
+    require(size > 0, "size must be positive")
+    val scans = segments.map(seg =>
+      Tables.read(spark, seg, InvertedIndex.DictTable).select(col("term"), col("df")))
+    val merged =
+      if (segments.size == 1) scans.head
+      else scans.reduce(_ unionByName _).groupBy("term").agg(sum("df").as("df"))
+    merged.orderBy(desc("df"), asc("term")).limit(size)
+  }
+
   /** ES `prefix` query (SURVEY.md §2.3 B17): docs containing at least one
     * term starting with `prefix`, with `n_terms` = the distinct matching
     * terms in the doc (ES's constant_score form is `lit(1.0)` over this
@@ -451,15 +532,59 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * the range rides the row-group stats instead.) One ids-only decode
     * flatMap, one groupBy(docId) exchange, distributed end-to-end.
     */
-  def matchPrefixDf(prefix: String): DataFrame = {
-    import spark.implicits._
+  def matchPrefixDf(prefix: String, pruneCap: Int = 64): DataFrame = {
     val (lo, hi) = prefixBounds(prefix)
-    segments.map { seg =>
+    // ES maxExpansions analog as a PRUNING lever: when the dictionary says
+    // the range expands to <= pruneCap terms, those terms' tbuckets become a
+    // catalog-level partition filter next to the range (a selective prefix
+    // then reads a handful of bucket directories instead of paying
+    // O(buckets) footer reads); above the cap — or at pruneCap <= 0 — the
+    // pure range scan stands, pruned by row-group term stats only.
+    val expanded = if (pruneCap > 0) Some(expandPrefix(prefix)) else None
+    val scans = segments.zip(segBuckets).map { case (seg, b) =>
+      val rangePred = col("term") >= lo && col("term") < hi
+      val pred = expanded match {
+        case Some(terms) if terms.length <= pruneCap =>
+          val tbs = terms.map(t => InvertedIndex.termBucket(t, b)).distinct.toSeq
+          col("tbucket").isin(tbs: _*) && rangePred
+        case _ => rangePred
+      }
       Tables.read(spark, seg, InvertedIndex.PostingsTable)
-        .where(col("term") >= lo && col("term") < hi)
+        .where(pred)
+        .select(col("term"), col("firstDocId"), col("count"), col("docDeltas"))
+    }
+    membershipCounts(scans.reduce(_ unionByName _))
+  }
+
+  /** ES `wildcard` query (non-anchored — `*substr*` and friends): docs
+    * containing at least one dictionary term matching the glob, with the
+    * distinct matched-term count. Serving = dictionary expansion (capped)
+    * feeding the SAME tbucket-pruned membership scan as prefix — the
+    * expansion is the only wildcard-specific piece.
+    */
+  def matchWildcardDf(pattern: String, maxExpansions: Int = 128): DataFrame = {
+    val terms = expandWildcard(pattern, maxExpansions)
+    if (terms.isEmpty) return emptyMembership
+    membershipCounts(idScanWithTerm(terms.toSeq))
+  }
+
+  /** (term, firstDocId, count, docDeltas) blocks of an explicit term list,
+    * tbucket-pruned — membership scans never read payload columns.
+    */
+  private def idScanWithTerm(terms: Seq[String]): DataFrame =
+    segments.zip(segBuckets).map { case (seg, b) =>
+      val tb = terms.map(t => InvertedIndex.termBucket(t, b)).distinct
+      Tables.read(spark, seg, InvertedIndex.PostingsTable)
+        .where(col("tbucket").isin(tb: _*) && col("term").isin(terms: _*))
         .select(col("term"), col("firstDocId"), col("count"), col("docDeltas"))
     }.reduce(_ unionByName _)
-      .as[(String, Long, Int, Array[Byte])]
+
+  /** Shared membership tail of the prefix/wildcard family: ids-only decode
+    * flatMap, one groupBy(docId) exchange, distributed end-to-end.
+    */
+  private def membershipCounts(scan: DataFrame): DataFrame = {
+    import spark.implicits._
+    scan.as[(String, Long, Int, Array[Byte])]
       .flatMap { case (t, f, c, d) =>
         PostingsCodec.decodeDocIds(f, c, d).iterator.map(id => (id, t))
       }
@@ -468,9 +593,17 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       .agg(countDistinct("term").as("n_terms"))
   }
 
-  /** Positional phrase match (SURVEY.md §2.3 B15; ES `match_phrase`, exact
-    * positions): every doc where the analyzed phrase's tokens occur at
-    * consecutive positions, with `phrase_tf` = the occurrence count —
+  private def emptyMembership: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_terms", org.apache.spark.sql.types.LongType))))
+
+  /** Positional phrase match (SURVEY.md §2.3 B15; ES `match_phrase` with
+    * `slop`, exact positions): every doc where the analyzed phrase's tokens
+    * occur in order within `slop` extra positions of slack (slop = 0 =
+    * consecutive; semantics pinned in PhraseMatcher — ordered only), with
+    * `phrase_tf` = the matching-start count —
     * distributed end-to-end (no top-k cut: phrase hit sets are small by
     * nature, and callers compose scoring/limits relationally).
     *
@@ -481,7 +614,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * (PhraseMatcher). A term absent from every segment short-circuits to
     * empty — phrase is conjunctive.
     */
-  def matchPhraseDf(phrase: String): DataFrame = {
+  def matchPhraseDf(phrase: String, slop: Int = 0): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
     segments.zip(segHasPositions).foreach { case (seg, has) =>
       require(has,
@@ -496,10 +629,11 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     val meta = termMeta(distinct.toArray)
     if (distinct.exists(t => !meta.contains(t))) return emptyOut
     val tokensB = spark.sparkContext.broadcast(tokens)
+    val sl = slop
     bucketedBlocks[(Long, Int)](distinct, withPositions = true) { (lo, hi, byTerm) =>
       // a bucket missing any distinct term can't host a conjunctive match
       if (tokensB.value.exists(t => !byTerm.contains(t))) Iterator.empty
-      else PhraseMatcher.matchBucket(byTerm, tokensB.value, lo, hi).iterator
+      else PhraseMatcher.matchBucket(byTerm, tokensB.value, lo, hi, sl).iterator
     }
       .toDF("docId", "phrase_tf")
   }
@@ -514,8 +648,14 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * Block-max pruning cannot help when every match must be returned, so
     * this path skips WAND entirely.
     */
-  def scoreAllDf(query: String): DataFrame = {
-    val meta = termMeta(analyze(query))
+  def scoreAllDf(query: String): DataFrame = scoreAllTerms(analyze(query))
+
+  /** Rank-all over an EXPLICIT term set — the shared serving tail of
+    * [[scoreAllDf]] and the expansion queries (fuzzy/wildcard scored form):
+    * whatever produced the terms, scoring is the same Σ idf·tfNorm fold.
+    */
+  def scoreAllTerms(terms: Array[String]): DataFrame = {
+    val meta = termMeta(terms)
     if (meta.isEmpty) return emptyHits
     contribs(meta)
       .groupBy("docId")
@@ -524,6 +664,16 @@ final class IndexReader(spark: SparkSession, indexDir: String,
         lit(0.0),
         (acc, x) => acc + x.getField("contrib")).as("score"))
   }
+
+  /** ES `fuzzy` / `match`+`fuzziness` query, scored rank-all: expand the
+    * term through the dictionary (Levenshtein <= maxEdits, capped), then
+    * score the expansion as a term OR — each expanded term under its OWN
+    * idf (pinned; Lucene's `match` fuzziness instead BLENDS the expansion's
+    * idfs — documented divergence, the per-term form is what the DuckDB
+    * twin expresses exactly).
+    */
+  def matchFuzzyDf(term: String, maxEdits: Int = 2, maxExpansions: Int = 50): DataFrame =
+    scoreAllTerms(expandFuzzy(term, maxEdits, maxExpansions))
 
   /** DataFrame form for the driver contract (SparkEntry.queries). */
   def searchDf(query: String, k: Int, useBmw: Boolean = true): DataFrame = {

@@ -100,6 +100,94 @@ class BoolQuerySpec extends SparkSpec with BeforeAndAfterAll {
     assert(gotU == wantU, "prefix ending in underscore")
   }
 
+  test("prefix tbucket pruning: pruned path == pure range scan") {
+    for (p <- Seq("de", "z10", "buf", "qqq", "x", "buf_")) {
+      val pruned = reader.matchPrefixDf(p, pruneCap = 64).as[(Long, Long)].collect().toMap
+      val ranged = reader.matchPrefixDf(p, pruneCap = 0).as[(Long, Long)].collect().toMap
+      assert(pruned == ranged, s"pruned vs ranged prefix scan for '$p'")
+    }
+  }
+
+  test("query-literal hardening: over-length / re-analyzed inputs fail loudly") {
+    val long65 = "a" * 65 // would silently truncate to 64 chars and over-match
+    for (bad <- Seq(long65, "Foo-Bar", "a.b", ""))
+      intercept[IllegalArgumentException](reader.expandPrefix(bad))
+    // but benign normalization (case, surrounding space) still passes
+    assert(reader.expandPrefix(" DE ").toSeq == reader.expandPrefix("de").toSeq)
+  }
+
+  def levenshtein(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("fuzzy expansion == brute vocabulary Levenshtein; scored match == OR oracle") {
+    val rawRows = oracle.rows.collect()
+    val vocab = rawRows.map(_._2).distinct
+    var nonEmpty = 0
+    for ((q, e) <- Seq(("deff", 1), ("vall", 1), ("clasz", 2), ("qqqzzz", 1))) {
+      val expTerms = vocab.filter(t => levenshtein(t, q) <= e).sorted.toSeq
+      assert(reader.expandFuzzy(q, e).toSeq == expTerms, s"fuzzy expansion for '$q'~$e")
+      if (expTerms.nonEmpty) {
+        nonEmpty += 1
+        // scored form == exhaustive OR (should-only bool) over the expansion
+        val got = reader.matchFuzzyDf(q, e)
+          .orderBy(desc("score"), asc("docId")).as[(Long, Double)].collect().toSeq
+        val wantOr = oracle.topKBool(Nil, expTerms, Nil, N.toInt + 1).map(h => (h.docId, h.score)).toSeq
+        assert(got.map(_._1) == wantOr.map(_._1), s"fuzzy ranks for '$q'~$e")
+        got.zip(wantOr).foreach { case (g, w) =>
+          assert(math.abs(g._2 - w._2) <= 1e-9 * math.max(1.0, math.abs(w._2)),
+            s"fuzzy score drift for '$q'~$e")
+        }
+      }
+    }
+    assert(nonEmpty >= 3, "fuzzy gate near-vacuous — fixture too sparse")
+    // maxExpansions cap keeps the HIGHEST-df members of the expansion
+    val full = reader.expandFuzzy("deff", 2)
+    if (full.length > 2) {
+      val dfs = rawRows.filter(r => full.contains(r._2)).groupBy(_._2)
+        .map { case (t, rs) => t -> rs.map(_._1).distinct.length }
+      val expectCap = full.sortBy(t => (-dfs(t), t)).take(2).sorted.toSeq
+      assert(reader.expandFuzzy("deff", 2, maxExpansions = 2).toSeq == expectCap)
+    }
+  }
+
+  test("wildcard expansion == vocabulary glob scan; match == raw-rows oracle") {
+    val rawRows = oracle.rows.collect()
+    val vocab = rawRows.map(_._2).distinct
+    def globMatch(t: String, pat: String): Boolean =
+      t.matches(pat.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*"))
+    var nonEmpty = 0
+    for (pat <- Seq("*uf*", "*00_id", "b*f", "*ala*", "de*", "*zzz*")) {
+      val expTerms = vocab.filter(globMatch(_, pat)).sorted.toSeq
+      assert(reader.expandWildcard(pat).toSeq == expTerms, s"wildcard expansion for '$pat'")
+      val want = rawRows.filter(r => globMatch(r._2, pat))
+        .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).distinct.length.toLong }
+      val got = reader.matchWildcardDf(pat).as[(Long, Long)].collect().toMap
+      assert(got == want, s"wildcard match for '$pat'")
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 4, "wildcard gate near-vacuous")
+    for (bad <- Seq("", "*", "**", "*a-b*"))
+      intercept[IllegalArgumentException](reader.expandWildcard(bad))
+  }
+
+  test("terms agg == raw-rows df ranking under the (df desc, term) tie-break") {
+    val rawRows = oracle.rows.collect()
+    val want = rawRows.groupBy(_._2)
+      .map { case (t, rs) => (t, rs.map(_._1).distinct.length.toLong) }
+      .toSeq.sortBy { case (t, df) => (-df, t) }
+    for (size <- Seq(1, 5, 20, want.length + 100)) {
+      val got = reader.termsAggDf(size).as[(String, Long)].collect().toSeq
+      assert(got == want.take(size), s"terms agg top-$size")
+    }
+  }
+
   test("bool across base ∪ delta segments") {
     val ddir = "/tmp/graft_test_bool_delta"
     Tables.delete(spark, "/tmp", "graft_test_bool_delta")

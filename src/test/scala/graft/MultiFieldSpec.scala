@@ -137,4 +137,24 @@ class MultiFieldSpec extends SparkSpec {
       }
     }
   }
+
+  test("multiMatchTopKReaders over external readers == field-dir form; geometry sidecars equal") {
+    built
+    // the alignment predicate DocumentsIndex.multiMatch gates on: one build
+    // over one key set/partitions/docIdBase stamps IDENTICAL PLAN_GEOMETRY
+    // sidecars on every field sub-index
+    val geoms = Seq("content", "meta")
+      .map(f => InvertedIndex.readPlanGeometry(spark, MultiFieldIndex.fieldDir(dir, f)))
+    assert(geoms.forall(_.isDefined) && geoms.distinct.size == 1,
+      s"field sub-index geometries diverge: $geoms")
+    val readers = Seq("content", "meta")
+      .map(f => new graft.query.IndexReader(spark, MultiFieldIndex.fieldDir(dir, f)))
+    for (q <- Seq("def scala", "val repo0001")) {
+      val viaFields = MultiFieldIndex.multiMatchTopK(spark, dir, Seq("content", "meta"), q, 10)
+        .map(h => (h.docId, h.score)).toSeq
+      val viaReaders = MultiFieldIndex.multiMatchTopKReaders(spark, readers, q, 10)
+        .map(h => (h.docId, h.score)).toSeq
+      assert(viaReaders == viaFields, s"reader-form multiMatchTopK diverges for '$q'")
+    }
+  }
 }

@@ -145,6 +145,48 @@ class PhraseSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  /** Independent slop oracle: a start i (tokens(i) == phrase(0)) matches
+    * when SOME strictly increasing index chain within the span budget
+    * n-1+slop realizes the phrase — brute-force DFS over the window, no
+    * greedy assumption shared with the engine.
+    */
+  def slopCount(tokens: Array[String], phrase: Array[String], slop: Int): Int = {
+    val n = phrase.length
+    def exists(start: Int, k: Int, prev: Int): Boolean =
+      k == n || (prev + 1 to math.min(start + n - 1 + slop, tokens.length - 1)).exists(j =>
+        tokens(j) == phrase(k) && exists(start, k + 1, j))
+    tokens.indices.count(i => tokens(i) == phrase(0) && exists(i, 1, i))
+  }
+
+  def slopOracle(phrase: String, slop: Int): Map[Long, Int] = {
+    val p = CodeTokenizer.tokenize(phrase)
+    tokensById.iterator
+      .map { case (id, ts) => id -> slopCount(ts, p, slop) }
+      .filter(_._2 > 0).toMap
+  }
+
+  test("slop semantics: DFS oracle at slop 0 == exact slide-window oracle") {
+    for (ph <- phrases) {
+      val p = CodeTokenizer.tokenize(ph)
+      for ((id, ts) <- tokensById.take(200))
+        assert(slopCount(ts, p, 0) == slideCount(ts, p),
+          s"slop-0 DFS vs slide for '$ph' doc $id")
+    }
+  }
+
+  test("sloppy phrase engine == DFS oracle at slop in {0, 1, 2}") {
+    import spark.implicits._
+    var nonTrivial = 0
+    for (ph <- Seq("def val", "def def", "def val class", "return if"); sl <- Seq(0, 1, 2)) {
+      val exp = slopOracle(ph, sl)
+      val got = reader.matchPhraseDf(ph, sl).as[(Long, Int)].collect().toMap
+      assert(got == exp, s"phrase '$ph' slop $sl: engine ${got.size} docs vs oracle ${exp.size}")
+      // the gate is vacuous unless slop actually ADMITS new matches somewhere
+      if (sl > 0 && exp != slopOracle(ph, 0)) nonTrivial += 1
+    }
+    assert(nonTrivial >= 2, s"slop never changed any result — fixture too sparse for the gate")
+  }
+
   test("phrase query against a frequency-only index fails loudly") {
     val fdir = "/tmp/graft_test_phrase_nopos"
     Tables.delete(spark, "/tmp", "graft_test_phrase_nopos")
