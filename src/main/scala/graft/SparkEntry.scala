@@ -80,6 +80,17 @@ object SparkEntry {
     // "or" ({order, sort, vector} in this corpus), distinct matched-term
     // count per doc.
     "b22_wildcard" -> ((s, d) => DocumentsIndex.wildcardMatch(s, d, "*or*")),
+    // B21 geo_distance query (ES geo_point family; coords synthesized
+    // deterministically from doc_id — both engines derive the same points):
+    // docs within 3000 km of (10°N, 20°E), bbox prefilter + exact haversine.
+    "b23_geo" -> ((s, d) => {
+      val (lat, lon) = graft.ops.GeoOps.derivedCoords(col("doc_id"))
+      graft.ops.GeoOps.withinRadius(
+        tbl(s, d, "documents").select(col("doc_id"), lat.as("lat"), lon.as("lon")),
+        "lat", "lon", 10.0, 20.0, 3000.0)
+        .select(col("doc_id"), col("dist_km"))
+        .orderBy("doc_id")
+    }),
 
     // -- Layer A: toolchain operators (SURVEY.md §2.1/2.2) -----------------
     "a01_scan_projection" -> ((s, d) =>
@@ -446,6 +457,23 @@ object SparkEntry {
       s"""WITH ${tokCteOver("concat_ws(' ', lang, source)", "gtok")},
          |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM gtok GROUP BY 1)
          |SELECT term, df FROM dfs ORDER BY df DESC, term LIMIT 10""".stripMargin,
+    // geo twin: identical coordinate derivation (integer mod first, exact
+    // division after) and a term-for-term identical haversine; the radius
+    // predicate applies to the ROUNDED distance in both engines
+    "b23_geo" ->
+      """WITH pts AS (
+        |  SELECT doc_id,
+        |         (doc_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+        |         (doc_id * 73 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |         round(2 * 6371.0 * asin(sqrt(
+        |           pow(sin(radians(lat - 10.0) / 2), 2) +
+        |           cos(radians(10.0)) * cos(radians(lat)) *
+        |           pow(sin(radians(lon - 20.0) / 2), 2))), 4) AS dist_km
+        |  FROM pts)
+        |SELECT doc_id, dist_km FROM d WHERE dist_km <= 3000.0 ORDER BY doc_id""".stripMargin,
     // sloppy-phrase twin: a start counts when SOME second-token position
     // lands in (pos, pos + 1 + slop] — count(DISTINCT p0.pos) mirrors the
     // engine's per-start counting (several valid p1 picks = one start)

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Geo predicates (SURVEY.md §1.1: the reference's ES mappings carry
+  * `geo_point` fields — `upstream:` esmarc maps MARC 034 coordinates —
+  * and the LOD API serves geo_distance filters over them).
+  *
+  * Re-expressed Spark-first as a relational two-phase plan: a CHEAP
+  * bounding-box prefilter (pure column comparisons — pushes to the parquet
+  * scan as min/max-prunable predicates, the analog of ES's geohash grid
+  * cut) followed by the EXACT haversine predicate on the survivors. The
+  * bbox is provably a superset of the disk (margins use 110.0 km/deg, below
+  * the true minimum meridian arc of ~110.57, and the longitude margin is
+  * scaled by the smallest cos|lat| in the band), so the prefilter never
+  * changes results — only the scanned row count. At 100 TB the same shape
+  * holds: the bbox predicate prunes row groups / partitions at the source,
+  * and the trig runs codegen'd on the survivors only.
+  *
+  * Cross-engine float protocol: the distance is rounded to 4 dp and the
+  * radius predicate applies to the ROUNDED value in both engines, so a
+  * sub-ulp libm divergence cannot flip a boundary row (a value would have
+  * to land within ~1e-12 of a 1e-4 rounding edge).
+  */
+object GeoOps {
+  val EarthRadiusKm = 6371.0
+
+  /** Deterministic synthesized coordinates for a keyed table (the driver
+    * testdata carries no geo columns — `upstream:` MARC 034 is the real
+    * source; this derivation stands in for it reproducibly in BOTH engines):
+    * lat = (key·37 mod 18000)/100 − 90, lon = (key·73 mod 36000)/100 − 180.
+    * Integer arithmetic first, one exact-decimal division after — both
+    * engines produce bit-identical doubles.
+    */
+  def derivedCoords(keyCol: Column): (Column, Column) = (
+    (keyCol * 37 % 18000) / 100.0 - 90.0,
+    (keyCol * 73 % 36000) / 100.0 - 180.0)
+
+  /** Haversine distance (km) between (latCol, lonCol) and the fixed point
+    * (lat0, lon0) — builtin trig only, whole-stage-codegen friendly. The
+    * expression tree mirrors the DuckDB twin term-for-term so both engines
+    * evaluate the same float association.
+    */
+  def haversineKm(latCol: Column, lonCol: Column, lat0: Double, lon0: Double): Column =
+    lit(2 * EarthRadiusKm) * asin(sqrt(
+      pow(sin(radians(latCol - lat0) / 2), 2) +
+        cos(lit(math.toRadians(lat0))) * cos(radians(latCol)) *
+          pow(sin(radians(lonCol - lon0) / 2), 2)))
+
+  /** All rows of `df` within `radiusKm` of (lat0, lon0), with `dist_km`
+    * (rounded 4 dp — the predicate applies to the rounded value; see the
+    * protocol note above). `prefilter = false` disables the bbox phase —
+    * the identity `withinRadius(..., prefilter = true) == (..., false)` is
+    * the superset proof's test hook.
+    */
+  def withinRadius(df: DataFrame, latCol: String, lonCol: String,
+      lat0: Double, lon0: Double, radiusKm: Double,
+      prefilter: Boolean = true): DataFrame = {
+    require(radiusKm > 0, "radiusKm must be positive")
+    val latMargin = radiusKm / 110.0
+    val boxed = if (!prefilter) df else {
+      val latBand = col(latCol).between(lat0 - latMargin, lat0 + latMargin)
+      val maxAbsLat = math.abs(lat0) + latMargin
+      // longitude degrees shrink toward the poles; skip the lon cut when
+      // the band nears a pole or the margin wraps the antimeridian — the
+      // bbox is an optimization, never a correctness dependency
+      if (maxAbsLat >= 89.0) df.where(latBand)
+      else {
+        val lonMargin = radiusKm / (110.0 * math.cos(math.toRadians(maxAbsLat)))
+        if (lonMargin >= 180.0 || lon0 - lonMargin < -180.0 || lon0 + lonMargin > 180.0)
+          df.where(latBand)
+        else df.where(latBand && col(lonCol).between(lon0 - lonMargin, lon0 + lonMargin))
+      }
+    }
+    boxed
+      .withColumn("dist_km", round(haversineKm(col(latCol), col(lonCol), lat0, lon0), 4))
+      .where(col("dist_km") <= radiusKm)
+  }
+}

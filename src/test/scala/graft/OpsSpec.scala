@@ -153,4 +153,34 @@ class OpsSpec extends SparkSpec {
     assert(st("the") == (3L, 9L)) // docs 0,1,5 each have 'the' x3
     assert(st("fox") == (3L, 3L))
   }
+
+  test("geo: haversine known distances; bbox prefilter is a pure optimization") {
+    // a 0.1°-grid of points around the globe via the deterministic derivation
+    val keys = spark.range(0, 5000).toDF("k")
+    val (lat, lon) = GeoOps.derivedCoords(col("k"))
+    // the derived grid plus hand-placed edge points (polar band, both sides
+    // of the antimeridian) so every prefilter branch sees real matches
+    val pts = keys.select(col("k"), lat.as("lat"), lon.as("lon"))
+      .unionByName(Seq((90001L, 89.6, 10.0), (90002L, 89.4, -120.0),
+        (90003L, 0.3, 179.9), (90004L, -0.2, -179.8), (90005L, 1.0, 178.0))
+        .toDF("k", "lat", "lon"))
+    // 1° of latitude at the equator ≈ 111.19 km (haversine on a 6371 sphere)
+    val oneDeg = Seq((0.0, 0.0)).toDF("lat", "lon")
+    val d = GeoOps.withinRadius(oneDeg, "lat", "lon", 1.0, 0.0, 200.0)
+      .select("dist_km").as[Double].head()
+    assert(math.abs(d - 111.1949) < 0.01, s"1-degree meridian arc was $d")
+    // superset proof hook: prefiltered == unfiltered, at several centers
+    // including a polar band (lon cut skipped) and an antimeridian wrap
+    for ((la, lo, r) <- Seq((10.0, 20.0, 3000.0), (89.5, 0.0, 500.0),
+        (0.0, 179.5, 800.0), (-45.0, -170.0, 2500.0))) {
+      val fast = GeoOps.withinRadius(pts, "lat", "lon", la, lo, r)
+        .select("k", "dist_km").as[(Long, Double)].collect().toMap
+      val slow = GeoOps.withinRadius(pts, "lat", "lon", la, lo, r, prefilter = false)
+        .select("k", "dist_km").as[(Long, Double)].collect().toMap
+      assert(fast == slow, s"bbox prefilter changed results at ($la, $lo, $r)")
+      assert(slow.nonEmpty, s"empty geo fixture at ($la, $lo, $r) — gate vacuous")
+      // every reported distance actually satisfies the radius predicate
+      slow.values.foreach(v => assert(v <= r))
+    }
+  }
 }
