@@ -102,12 +102,21 @@ object MultiFieldIndex {
     * a cheap necessary condition, not a proof.
     */
   def multiMatchTopKReaders(spark: SparkSession, readers: Seq[IndexReader],
-      query: String, k: Int): Array[graft.query.SearchHit] = {
+      query: String, k: Int): Array[graft.query.SearchHit] =
+    multiMatchTopKDs(spark, readers, query, k).collect()
+
+  /** The cross-field WAND as an UNCOLLECTED Dataset — the whole top-k is
+    * one Spark job (union of per-field pruned scans -> docId re-bucket ->
+    * per-bucket cross-field WAND -> TakeOrderedAndProject), and exposing
+    * the plan lets callers and the explain evidence see exactly that.
+    */
+  def multiMatchTopKDs(spark: SparkSession, readers: Seq[IndexReader],
+      query: String, k: Int): org.apache.spark.sql.Dataset[graft.query.SearchHit] = {
     import spark.implicits._
     require(readers.nonEmpty, "multiMatch needs at least one field")
     val qterms = readers.head.analyze(query)
     val metas = readers.map(_.termMeta(qterms))
-    if (metas.forall(_.isEmpty)) return Array.empty
+    if (metas.forall(_.isEmpty)) return spark.emptyDataset[graft.query.SearchHit]
     val perDocCounts = readers.map(_.stats.numDocs)
     require(perDocCounts.distinct.size == 1,
       s"fields must index the same aligned doc set, got counts $perDocCounts")
@@ -147,6 +156,6 @@ object MultiFieldIndex {
         graft.query.BlockMaxWand.scoreCursors(cursors, kk, groupOf = groupOf).iterator
       }
       .orderBy(desc("score"), asc("docId")).limit(k)
-      .collect()
+      .as[graft.query.SearchHit]
   }
 }
