@@ -467,16 +467,26 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   def expandFuzzy(term: String, maxEdits: Int = 2, maxExpansions: Int = 50): Array[String] = {
     val q = singleTerm(term, "fuzzy term")
     require(maxEdits >= 0 && maxExpansions > 0, "maxEdits >= 0 and maxExpansions > 0")
-    val matched = segments.map { seg =>
+    val scans = segments.map { seg =>
       Tables.read(spark, seg, InvertedIndex.DictTable)
         .where(length(col("term")).between(q.length - maxEdits, q.length + maxEdits) &&
           levenshtein(col("term"), lit(q)) <= maxEdits)
         .select(col("term"), col("df"))
-    }.reduce(_ unionByName _)
-      .groupBy("term").agg(sum("df").as("df"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    matched.sortBy { case (t, df) => (-df, t) }.take(maxExpansions).map(_._1).sorted
+    }
+    cappedByDf(scans, maxExpansions)
   }
+
+  /** df-ranked expansion cap as a PLAN, not a driver sort: merge per-segment
+    * (term, df), take the global top-maxExpansions by (df desc, term asc)
+    * via TakeOrderedAndProject — the driver receives exactly the capped
+    * list, never the full candidate set (a pathological pattern over a
+    * corpus-scale dictionary must not collect before capping).
+    */
+  private def cappedByDf(scans: Seq[DataFrame], maxExpansions: Int): Array[String] =
+    scans.reduce(_ unionByName _)
+      .groupBy("term").agg(sum("df").as("df"))
+      .orderBy(desc("df"), asc("term")).limit(maxExpansions)
+      .select("term").collect().map(_.getString(0)).sorted
 
   /** Dictionary terms matching a glob `pattern` over the analyzer charset
     * (`*` = any run, including empty — ES `wildcard`, the non-anchored
@@ -494,14 +504,11 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_',
       s"wildcard literals must be analyzer charset [a-z0-9_], got '$c' in '$pattern'"))
     val rx = pat.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString("^", ".*", "$")
-    val matched = segments.map { seg =>
+    cappedByDf(segments.map { seg =>
       Tables.read(spark, seg, InvertedIndex.DictTable)
         .where(col("term").rlike(rx))
         .select(col("term"), col("df"))
-    }.reduce(_ unionByName _)
-      .groupBy("term").agg(sum("df").as("df"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    matched.sortBy { case (t, df) => (-df, t) }.take(maxExpansions).map(_._1).sorted
+    }, maxExpansions)
   }
 
   /** ES `terms` aggregation over the indexed field (the LOD API's facet
@@ -539,15 +546,30 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     // catalog-level partition filter next to the range (a selective prefix
     // then reads a handful of bucket directories instead of paying
     // O(buckets) footer reads); above the cap — or at pruneCap <= 0 — the
-    // pure range scan stands, pruned by row-group term stats only.
-    val expanded = if (pruneCap > 0) Some(expandPrefix(prefix)) else None
+    // pure range scan stands, pruned by row-group term stats only. The
+    // probe is BOUNDED (limit cap+1 per segment, never expandPrefix's full
+    // collect): a stopword-scale prefix at corpus scale must not land its
+    // whole expansion on the driver just to learn it exceeded the cap —
+    // a segment returning cap+1 rows marks its list incomplete and the
+    // range scan stands.
+    val expanded: Option[Array[String]] =
+      if (pruneCap <= 0) None
+      else {
+        val per = segments.map(seg =>
+          Tables.read(spark, seg, InvertedIndex.DictTable)
+            .where(col("term") >= lo && col("term") < hi)
+            .select("term").limit(pruneCap + 1).collect().map(_.getString(0)))
+        val terms = per.flatten.distinct.toArray
+        if (per.forall(_.length <= pruneCap) && terms.length <= pruneCap) Some(terms)
+        else None
+      }
     val scans = segments.zip(segBuckets).map { case (seg, b) =>
       val rangePred = col("term") >= lo && col("term") < hi
       val pred = expanded match {
-        case Some(terms) if terms.length <= pruneCap =>
+        case Some(terms) =>
           val tbs = terms.map(t => InvertedIndex.termBucket(t, b)).distinct.toSeq
           col("tbucket").isin(tbs: _*) && rangePred
-        case _ => rangePred
+        case None => rangePred
       }
       Tables.read(spark, seg, InvertedIndex.PostingsTable)
         .where(pred)
