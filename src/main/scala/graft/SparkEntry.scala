@@ -80,6 +80,20 @@ object SparkEntry {
     // "or" ({order, sort, vector} in this corpus), distinct matched-term
     // count per doc.
     "b22_wildcard" -> ((s, d) => DocumentsIndex.wildcardMatch(s, d, "*or*")),
+    // B15 match_phrase_prefix (autocomplete): "the" followed by any term
+    // starting with "s" ({scan, small, slow, sort, spark, stream} here) at
+    // the next position; per-doc matching-start counts.
+    "b24_phrase_prefix" -> ((s, d) => DocumentsIndex.phrasePrefixMatch(s, d, "the s")),
+    // B10 search_after deep pagination: page 2 of the "spark join" ranking
+    // via the keyset cursor — must equal OFFSET 10 LIMIT 10 of the total
+    // order (the twin asserts exactly that).
+    "b25_search_after" -> ((s, d) => DocumentsIndex.bm25SearchAfter(s, d, "spark join", 10)),
+    // B16 minimum_should_match: must "hash" plus >= 2 of {join, vector,
+    // window} — the clause-count floor rides the same one-exchange
+    // aggregate as b17.
+    "b26_bool_msm" -> ((s, d) =>
+      DocumentsIndex.bm25Bool(s, d, Seq("hash"), Seq("join", "vector", "window"), Nil,
+        minShould = 2)),
     // B21 geo_distance query (ES geo_point family; coords synthesized
     // deterministically from doc_id — both engines derive the same points):
     // docs within 3000 km of (10°N, 20°E), bbox prefilter + exact haversine.
@@ -165,6 +179,18 @@ object SparkEntry {
       tbl(s, d, "customer").select(col("c_nationkey").as("nationkey"))
         .intersect(tbl(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
         .orderBy("nationkey")),
+    // A15 family: cardinality aggregation (ES cardinality agg). The driver
+    // row is the EXACT distinct count (oracle-comparable); the 100 TB form
+    // is approx_count_distinct (HLL++, mergeable partial sketches, no
+    // distinct exchange) — accuracy-gated in sbt (OpsSpec), documented as
+    // the scale path.
+    "a19_cardinality" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("distinct_parts"),
+          countDistinct("l_suppkey").as("distinct_supps"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
     // A4: LDJ (line-delimited JSON) source + sink — the es2json/esmarc I/O
     // format: write the documents table as gzip LDJ, read it back, and
     // return a content digest per row. The oracle is a plain SELECT over
@@ -457,6 +483,47 @@ object SparkEntry {
       s"""WITH ${tokCteOver("concat_ws(' ', lang, source)", "gtok")},
          |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM gtok GROUP BY 1)
          |SELECT term, df FROM dfs ORDER BY df DESC, term LIMIT 10""".stripMargin,
+    // phrase-prefix twin: the b16 positional CTE with starts_with on the
+    // LAST slot; count(DISTINCT p0.pos) = matching starts (at slop 0 one
+    // position holds one token, so starts cannot double-count)
+    "b24_phrase_prefix" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS a
+        |  FROM documents),
+        |t0 AS (SELECT doc_id, unnest(a) AS term0, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |toks AS (SELECT doc_id, substr(term0, 1, 64) AS term, pos FROM t0)
+        |SELECT p0.doc_id, count(DISTINCT p0.pos) AS phrase_tf
+        |FROM toks p0 JOIN toks p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+        |WHERE p0.term = 'the' AND starts_with(p1.term, 's')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // search_after twin: page 2 == OFFSET/LIMIT of the SAME total order —
+    // the keyset form must be indistinguishable from the offset form
+    "b25_search_after" -> (bm25Sql(Seq("join", "spark"), -1) + " LIMIT 10 OFFSET 10"),
+    // minimum_should_match twin: b17's aggregate with a second conditional
+    // distinct count over the should set and the >= floor
+    "b26_bool_msm" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+         |             * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score,
+         |         count(DISTINCT CASE WHEN tf.term IN ('hash') THEN tf.term END) AS mcnt,
+         |         count(DISTINCT CASE WHEN tf.term IN ('join', 'vector', 'window') THEN tf.term END) AS scnt
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
+         |  WHERE tf.term IN ('hash', 'join', 'vector', 'window')
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |WHERE mcnt = 1 AND scnt >= 2
+         |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
+    "a19_cardinality" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+        |       count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // geo twin: identical coordinate derivation (integer mod first, exact
     // division after) and a term-for-term identical haversine; the radius
     // predicate applies to the ROUNDED distance in both engines

@@ -220,9 +220,42 @@ object DocumentsIndex {
     * protocol.
     */
   def bm25Bool(spark: SparkSession, sfDir: String, must: Seq[String],
-      should: Seq[String], mustNot: Seq[String]): DataFrame =
-    rankedByDocId(spark, reader(spark, sfDir).searchBoolDf(must, should, mustNot),
+      should: Seq[String], mustNot: Seq[String], minShould: Int = 0): DataFrame =
+    rankedByDocId(spark,
+      reader(spark, sfDir).searchBoolDf(must, should, mustNot, minShould),
       indexDir(spark, sfDir))
+
+  /** ES `search_after` deep pagination: page 2 of a BM25 ranking via the
+    * KEYSET cursor (the page-1 tail's (rounded score, doc_id)), never an
+    * offset — at corpus scale offset-N pagination re-ranks and discards N
+    * rows per page, while the keyset predicate pushes into the ranked scan.
+    * The output protocol's total order (rounded score desc, doc_id asc —
+    * doc_id unique) makes cursor pagination EXACTLY equal to the offset
+    * form, which is what the oracle twin asserts (OFFSET k LIMIT k).
+    */
+  def bm25SearchAfter(spark: SparkSession, sfDir: String, query: String,
+      k: Int): DataFrame = {
+    val idx = indexDir(spark, sfDir)
+    val ranked = rankedByDocId(spark, reader(spark, sfDir).scoreAllDf(query), idx)
+    val page1 = bm25(spark, sfDir, query, k).collect()
+    if (page1.isEmpty) return ranked.limit(0)
+    val (lastDoc, lastScore) = (page1.last.getLong(0), page1.last.getDouble(1))
+    ranked
+      .where(col("score") < lastScore ||
+        (col("score") === lastScore && col("doc_id") > lastDoc))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** ES `match_phrase_prefix` over the text index (last token = prefix),
+    * keyed by doc_id — integer-exact start counts, no float protocol.
+    */
+  def phrasePrefixMatch(spark: SparkSession, sfDir: String, phrase: String,
+      maxExpansions: Int = 32, slop: Int = 0): DataFrame =
+    reader(spark, sfDir).matchPhrasePrefixDf(phrase, maxExpansions, slop)
+      .join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("doc_id"), col("phrase_tf").cast("long").as("phrase_tf"))
+      .orderBy("doc_id")
 
   /** ES prefix query over the text index, keyed by doc_id (integer-exact
     * matched-term counts — no float protocol needed).

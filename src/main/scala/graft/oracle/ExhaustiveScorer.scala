@@ -35,7 +35,7 @@ object ExhaustiveScorer {
       * present, ascending term order — all recomputed from raw rows.
       */
     def topKBool(must: Seq[String], should: Seq[String], mustNot: Seq[String],
-        k: Int): Array[Scored] = {
+        k: Int, minShould: Int = 0): Array[Scored] = {
       val mustT = must.flatMap(CodeTokenizer.tokenize).distinct.sorted
       val notT = mustNot.flatMap(CodeTokenizer.tokenize).distinct.sorted
       val shouldT = should.flatMap(CodeTokenizer.tokenize).distinct.sorted
@@ -52,7 +52,8 @@ object ExhaustiveScorer {
       byDoc.iterator.flatMap { case (d, rs) =>
         val terms = rs.map(_._2).toSet
         if (mustT.forall(terms.contains) && !notT.exists(terms.contains) &&
-            scoring.exists(terms.contains)) {
+            scoring.exists(terms.contains) &&
+            shouldT.count(terms.contains) >= minShould) {
           var s = 0.0
           rs.sortBy(_._2).foreach { case (_, t, tf, dl) =>
             if (scoring.contains(t)) s += idf(t) * Bm25.tfNorm(tf.toLong, dl.toLong, avgDl, p)

@@ -28,7 +28,8 @@ object BoolMatcher {
     */
   def scoreBucket(termBlocks: Map[String, Array[PostingBlock]],
       scoring: Array[(String, Double)], mustT: Array[String], notT: Array[String],
-      lo: Long, hi: Long, k: Int, avgDl: Double, p: Bm25Params): Array[SearchHit] = {
+      lo: Long, hi: Long, k: Int, avgDl: Double, p: Bm25Params,
+      minShould: Int = 0): Array[SearchHit] = {
     val views = scala.collection.mutable.HashMap.empty[String, PostingsView]
     def viewOf(t: String): PostingsView =
       views.getOrElseUpdate(t, new PostingsView(termBlocks.getOrElse(t, Array.empty)))
@@ -39,6 +40,10 @@ object BoolMatcher {
     val scoringViews: Array[(String, Double, PostingsView)] =
       scoring.map { case (t, idf) => (t, idf, viewOf(t)) }
     val scoringIdx: Map[String, Int] = scoring.iterator.map(_._1).zipWithIndex.toMap
+    // minimum_should_match: count DISTINCT should terms present per doc
+    // (should = scoring minus must) during the same handle walk scoring
+    // already performs — zero extra searches
+    val isShould: Array[Boolean] = scoring.map { case (t, _) => !mustT.contains(t) }
 
     val heap = new TopKHeap(k)
     // per-candidate handle slots aligned with scoringViews: the must pass
@@ -57,16 +62,19 @@ object BoolMatcher {
     @inline def scoreDoc(d: Long): Unit = {
       if (!excluded(d)) {
         var s = 0.0
+        var shouldHits = 0
         var i = 0
         while (i < scoringViews.length) {
           val v = scoringViews(i)._3
           val h = if (pre(i) != null) pre(i) else v.find(d)
-          if (h != null)
+          if (h != null) {
             s += scoringViews(i)._2 *
               Bm25.tfNorm(v.tfAt(h._1, h._2).toLong, v.dlAt(h._1, h._2).toLong, avgDl, p)
+            if (isShould(i)) shouldHits += 1
+          }
           i += 1
         }
-        heap.offer(d, s)
+        if (shouldHits >= minShould) heap.offer(d, s)
       }
     }
 

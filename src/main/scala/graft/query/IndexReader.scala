@@ -338,13 +338,18 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * postings are scanned.
     */
   def searchBool(must: Seq[String], should: Seq[String] = Nil,
-      mustNot: Seq[String] = Nil, k: Int = 10): Array[SearchHit] = {
+      mustNot: Seq[String] = Nil, k: Int = 10, minShould: Int = 0): Array[SearchHit] = {
     val clauses = boolClauses(must, should, mustNot).getOrElse(return Array.empty)
     val (mustT, shouldT, notT, meta) = clauses
+    // minimum_should_match counts MATCHING should clauses; an absent term
+    // can never match, so a floor above the present-should count is
+    // unsatisfiable (ES returns nothing for it too)
+    if (minShould > shouldT.length) return Array.empty
     // a bool with no must and no must_not IS a `match` (pure SHOULD-OR with
     // identical scoring) — serve it through Block-Max WAND so it gets
-    // θ-pruning instead of the union walk below
-    if (mustT.isEmpty && notT.isEmpty) return bmwTopK(meta, k)
+    // θ-pruning instead of the union walk below. minShould >= 2 disables
+    // the route: WAND has no per-doc clause-count floor.
+    if (mustT.isEmpty && notT.isEmpty && minShould <= 1) return bmwTopK(meta, k)
     val scoring = (mustT ++ shouldT).distinct.sorted.map(t => (t, meta(t).idf))
     val scanTerms = ((mustT ++ shouldT).toSeq ++ notT.toSeq).distinct.sorted
     val (scoringB, mustB, notB) =
@@ -353,9 +358,10 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     val avgDl = stats.avgDl
     val pp = p
     val kk = k
+    val ms = minShould
     bucketedBlocks[SearchHit](scanTerms) { (lo, hi, byTerm) =>
       BoolMatcher.scoreBucket(byTerm, scoringB.value, mustB.value, notB.value,
-        lo, hi, kk, avgDl, pp).iterator
+        lo, hi, kk, avgDl, pp, ms).iterator
     }
       .orderBy(desc("score"), asc("docId")).limit(k)
       .collect()
@@ -368,22 +374,26 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * flatMap — must_not postings never carry payloads anywhere).
     */
   def searchBoolDf(must: Seq[String], should: Seq[String] = Nil,
-      mustNot: Seq[String] = Nil): DataFrame = {
+      mustNot: Seq[String] = Nil, minShould: Int = 0): DataFrame = {
     import spark.implicits._
     val clauses = boolClauses(must, should, mustNot).getOrElse(return emptyHits)
-    val (mustT, _, notT, meta) = clauses
+    val (mustT, shouldT, notT, meta) = clauses
+    if (minShould > shouldT.length) return emptyHits
     // ONE aggregate, ONE exchange: the sorted (term, contrib) array is
-    // collected once and yields BOTH the pinned score fold and the distinct
-    // must-presence count (array_intersect dedups) — a countDistinct(when)
-    // would plan a second expand+exchange for the distinct phase
+    // collected once and yields the pinned score fold AND BOTH presence
+    // counts (must conjunction, minimum_should_match floor —
+    // array_intersect dedups) — a countDistinct(when) would plan a second
+    // expand+exchange for the distinct phase
     val scored = contribs(meta)
       .groupBy("docId")
       .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("arr"))
       .select(col("docId"),
         aggregate(col("arr"), lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"),
         size(array_intersect(transform(col("arr"), x => x.getField("term")),
-          lit(mustT))).as("mcnt"))
-      .where(col("mcnt") === mustT.length)
+          lit(mustT))).as("mcnt"),
+        size(array_intersect(transform(col("arr"), x => x.getField("term")),
+          lit(shouldT))).as("scnt"))
+      .where(col("mcnt") === mustT.length && col("scnt") >= minShould)
       .select("docId", "score")
     if (notT.isEmpty) scored // boolClauses already dropped absent not-terms
     else {
@@ -656,6 +666,49 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       // a bucket missing any distinct term can't host a conjunctive match
       if (tokensB.value.exists(t => !byTerm.contains(t))) Iterator.empty
       else PhraseMatcher.matchBucket(byTerm, tokensB.value, lo, hi, sl).iterator
+    }
+      .toDF("docId", "phrase_tf")
+  }
+
+  /** ES `match_phrase_prefix` (autocomplete-style: the LAST token is a
+    * prefix): phrase where slot n-1 accepts ANY dictionary term starting
+    * with that prefix, expanded df-ranked up to `maxExpansions` (ES's cap
+    * of the same name; ours picks by (df desc, term asc) — documented
+    * divergence from Lucene's term-order pick), composed with the ordered
+    * `slop` semantics. Same plan shape as [[matchPhraseDf]] — only the
+    * expansion terms' blocks join the scan, and the last slot's position
+    * list is the union of its present alternatives (PhraseMatcher
+    * .matchBucketAlts).
+    */
+  def matchPhrasePrefixDf(phrase: String, maxExpansions: Int = 32,
+      slop: Int = 0): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    segments.zip(segHasPositions).foreach { case (seg, has) =>
+      require(has,
+        s"phrase query needs positions but segment $seg was built with storePositions = false — rebuild it")
+    }
+    val emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("docId", LongType), StructField("phrase_tf", IntegerType))))
+    val tokens = CodeTokenizer.tokenize(phrase)
+    if (tokens.isEmpty) return emptyOut
+    val (lo, hi) = prefixBounds(tokens.last)
+    val expansion = cappedByDf(segments.map(seg =>
+      Tables.read(spark, seg, InvertedIndex.DictTable)
+        .where(col("term") >= lo && col("term") < hi)
+        .select(col("term"), col("df"))), maxExpansions)
+    if (expansion.isEmpty) return emptyOut
+    val fixed = tokens.init
+    // fixed slots are conjunctive: any df=0 token kills the phrase
+    // (expansion terms come from the dictionary, so df > 0 by construction)
+    if (fixed.nonEmpty && fixed.distinct.exists(t => !termMeta(fixed.distinct).contains(t)))
+      return emptyOut
+    val slots: Array[Array[String]] = fixed.map(Array(_)) :+ expansion
+    val slotsB = spark.sparkContext.broadcast(slots)
+    val sl = slop
+    val scanTerms = (fixed ++ expansion).distinct.sorted.toSeq
+    bucketedBlocks[(Long, Int)](scanTerms, withPositions = true) { (blo, bhi, byTerm) =>
+      PhraseMatcher.matchBucketAlts(byTerm, slotsB.value, blo, bhi, sl).iterator
     }
       .toDF("docId", "phrase_tf")
   }

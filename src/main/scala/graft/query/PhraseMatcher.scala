@@ -37,6 +37,110 @@ object PhraseMatcher {
     lo
   }
 
+  /** Sorted-distinct union of several already-sorted int arrays (per-term
+    * position lists are disjoint — one token per position — so this is a
+    * plain merge; implemented as concat+sort for the small per-candidate
+    * arrays it sees).
+    */
+  private def mergeSorted(arrays: Array[Array[Int]]): Array[Int] = {
+    if (arrays.length == 1) return arrays(0)
+    val out = new Array[Int](arrays.map(_.length).sum)
+    var o = 0
+    var i = 0
+    while (i < arrays.length) {
+      System.arraycopy(arrays(i), 0, out, o, arrays(i).length)
+      o += arrays(i).length
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** Phrase matching where each SLOT accepts a set of alternative terms —
+    * the machinery under `match_phrase_prefix` (last slot = the prefix's
+    * dictionary expansion) and synonym-style phrase clauses. Semantics:
+    * identical chain walk, with slot i's position list = the union of its
+    * present alternatives' positions (token positions are unique per doc,
+    * so the union stays strictly sorted and start-counting is unchanged).
+    * A slot with NO present alternative in the doc (or the bucket) fails
+    * the conjunction. Candidate generation anchors on the slot with the
+    * fewest total postings across its alternatives.
+    */
+  def matchBucketAlts(termBlocks: Map[String, Array[PostingBlock]],
+      slots: Array[Array[String]], lo: Long, hi: Long, slop: Int = 0): Array[(Long, Int)] = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val n = slots.length
+    val maxSpan = n - 1 + slop
+    val distinct = slots.flatten.distinct.filter(termBlocks.contains)
+    val views = distinct.map(t => t -> new PostingsView(termBlocks(t))).toMap
+    val slotViews: Array[Array[PostingsView]] =
+      slots.map(_.filter(termBlocks.contains).distinct.map(views))
+    // a slot with no alternative present in this bucket kills the bucket
+    if (slotViews.exists(_.isEmpty)) return Array.empty
+    val anchorSlot = slotViews.indices.minBy(i => slotViews(i).map(_.total).sum)
+    // candidate docIds = sorted distinct union over the anchor slot's
+    // alternatives (each view's ids are sorted; LongStream dedups cheaply)
+    val candIds: Array[Long] = {
+      val all = slotViews(anchorSlot).flatMap(_.ids.iterator.flatten)
+      java.util.Arrays.sort(all)
+      var w = 0
+      var r = 0
+      while (r < all.length) {
+        if (w == 0 || all(w - 1) != all(r)) { all(w) = all(r); w += 1 }
+        r += 1
+      }
+      java.util.Arrays.copyOf(all, w)
+    }
+    val posBySlot = new Array[Array[Int]](n)
+    val hitBuf = new Array[Array[Int]](slots.map(_.length).max)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var ci = 0
+    while (ci < candIds.length) {
+      val d = candIds(ci)
+      if (d >= lo && d < hi) {
+        // membership + positions per slot: union the present alternatives
+        var ok = true
+        var si = 0
+        while (ok && si < n) {
+          val alts = slotViews(si)
+          var nHit = 0
+          var ai = 0
+          while (ai < alts.length) {
+            val h = alts(ai).find(d)
+            if (h != null) { hitBuf(nHit) = alts(ai).positionsOf(h._1, h._2); nHit += 1 }
+            ai += 1
+          }
+          if (nHit == 0) ok = false
+          else posBySlot(si) = mergeSorted(java.util.Arrays.copyOf(hitBuf, nHit))
+          si += 1
+        }
+        if (ok) {
+          val starts = posBySlot(0)
+          var cnt = 0
+          var pi = 0
+          while (pi < starts.length) {
+            val p0 = starts(pi)
+            var prev = p0
+            var alive = true
+            var si2 = 1
+            while (alive && si2 < n) {
+              val arr = posBySlot(si2)
+              val j = upperBound(arr, prev)
+              if (j == arr.length || arr(j) - p0 > maxSpan - (n - 1 - si2)) alive = false
+              else prev = arr(j)
+              si2 += 1
+            }
+            if (alive) cnt += 1
+            pi += 1
+          }
+          if (cnt > 0) out += ((d, cnt))
+        }
+      }
+      ci += 1
+    }
+    out.toArray
+  }
+
   /** Match the analyzed phrase `tokens` (order and duplicates preserved)
     * against this bucket's blocks; returns (docId, phraseTf) for every doc
     * in [lo, hi) with at least one matching start under `slop`. `termBlocks`

@@ -100,6 +100,30 @@ class BoolQuerySpec extends SparkSpec with BeforeAndAfterAll {
     assert(gotU == wantU, "prefix ending in underscore")
   }
 
+  test("minimum_should_match: both engine paths == exhaustive oracle at every floor") {
+    var nonTrivial = 0
+    for ((m, sh, n) <- Seq(
+        (Seq("def"), Seq("val", "class", "import"), Nil),
+        (Nil, Seq("def", "val", "class"), Nil),
+        (Seq("buf_buf"), Seq("def", "z100_id"), Seq("return")));
+        ms <- Seq(0, 1, 2, 3, 4)) {
+      val want = oracle.topKBool(m, sh, n, 10, ms).map(h => (h.docId, h.score)).toSeq
+      val got = reader.searchBool(m, sh, n, 10, ms).map(h => (h.docId, h.score)).toSeq
+      assert(got.map(_._1) == want.map(_._1), s"msm top-k ranks for ($m, $sh, $n, ms=$ms)")
+      val gotAll = reader.searchBoolDf(m, sh, n, ms)
+        .orderBy(desc("score"), asc("docId")).limit(10)
+        .as[(Long, Double)].collect().toSeq
+      assert(gotAll.map(_._1) == want.map(_._1), s"msm rank-all ranks for ($m, $sh, $n, ms=$ms)")
+      (got ++ gotAll).zip(want ++ want).foreach { case (g, w) =>
+        assert(math.abs(g._2 - w._2) <= 1e-9 * math.max(1.0, math.abs(w._2)))
+      }
+      // the floor must actually bite somewhere or the gate is vacuous
+      if (ms > 0 && want.map(_._1) != oracle.topKBool(m, sh, n, 10, 0).map(_.docId).toSeq)
+        nonTrivial += 1
+    }
+    assert(nonTrivial >= 3, s"minShould never changed a result — fixture too sparse")
+  }
+
   test("prefix tbucket pruning: pruned path == pure range scan") {
     for (p <- Seq("de", "z10", "buf", "qqq", "x", "buf_")) {
       val pruned = reader.matchPrefixDf(p, pruneCap = 64).as[(Long, Long)].collect().toMap

@@ -154,6 +154,24 @@ class OpsSpec extends SparkSpec {
     assert(st("fox") == (3L, 3L))
   }
 
+  test("cardinality: approx_count_distinct (the 100 TB path) within rsd of exact") {
+    // the driver row a19 serves the EXACT count (oracle-comparable); at
+    // corpus scale the same query swaps in approx_count_distinct — HLL++
+    // partial sketches merge map-side, no distinct expand+exchange. Gate:
+    // the approximation lands within a few rsd of exact on a skewed column.
+    val df = spark.range(0, 200000).toDF("id")
+      .withColumn("grp", col("id") % 4)
+      .withColumn("v", (col("id") * col("id")) % 57331) // collisions: distinct < rows
+    val exact = df.groupBy("grp").agg(countDistinct("v").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = df.groupBy("grp").agg(approx_count_distinct("v", 0.02).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, e) =>
+      val a = approx(g)
+      assert(math.abs(a - e).toDouble / e < 0.06, s"grp $g: approx $a vs exact $e")
+    }
+  }
+
   test("geo: haversine known distances; bbox prefilter is a pure optimization") {
     // a 0.1°-grid of points around the globe via the deterministic derivation
     val keys = spark.range(0, 5000).toDF("k")

@@ -187,6 +187,40 @@ class PhraseSpec extends SparkSpec with BeforeAndAfterAll {
     assert(nonTrivial >= 2, s"slop never changed any result — fixture too sparse for the gate")
   }
 
+  /** phrase-prefix DFS oracle: last slot matches by startsWith, other
+    * slots exactly; same span-budget chain semantics.
+    */
+  def prefixSlopCount(tokens: Array[String], fixed: Array[String], prefix: String,
+      slop: Int): Int = {
+    val n = fixed.length + 1
+    def slotOk(k: Int, t: String): Boolean =
+      if (k == n - 1) t.startsWith(prefix) else t == fixed(k)
+    def exists(start: Int, k: Int, prev: Int): Boolean =
+      k == n || (prev + 1 to math.min(start + n - 1 + slop, tokens.length - 1)).exists(j =>
+        slotOk(k, tokens(j)) && exists(start, k + 1, j))
+    tokens.indices.count(i => slotOk(0, tokens(i)) && exists(i, 1, i))
+  }
+
+  test("match_phrase_prefix engine == DFS oracle (incl. slop and expansion edge cases)") {
+    import spark.implicits._
+    var nonEmpty = 0
+    // (phrase input, fixed tokens, prefix) — matchPhrasePrefixDf takes the
+    // raw string and treats the LAST analyzed token as the prefix
+    val cases = Seq(("def v", Array("def"), "v"), ("return cl", Array("return"), "cl"),
+      ("def d", Array("def"), "d"), // expansion overlaps the fixed token
+      ("val qqq", Array("val"), "qqq")) // empty expansion -> empty result
+    for ((ph, fixed, prefix) <- cases; sl <- Seq(0, 1)) {
+      val exp = tokensById.iterator
+        .map { case (id, ts) => id -> prefixSlopCount(ts, fixed, prefix, sl) }
+        .filter(_._2 > 0).toMap
+      val got = reader.matchPhrasePrefixDf(ph, maxExpansions = 1000, slop = sl)
+        .as[(Long, Int)].collect().toMap
+      assert(got == exp, s"phrase_prefix '$ph' slop $sl: ${got.size} vs ${exp.size} docs")
+      if (exp.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 4, "phrase-prefix gate near-vacuous — fixture too sparse")
+  }
+
   test("phrase query against a frequency-only index fails loudly") {
     val fdir = "/tmp/graft_test_phrase_nopos"
     Tables.delete(spark, "/tmp", "graft_test_phrase_nopos")
