@@ -94,6 +94,10 @@ object SparkEntry {
     "b26_bool_msm" -> ((s, d) =>
       DocumentsIndex.bm25Bool(s, d, Seq("hash"), Seq("join", "vector", "window"), Nil,
         minShould = 2)),
+    // B15 span_near, unordered (Lucene SpanNearQuery in_order=false):
+    // "hash" and "join" within total gap <= 3 in either order, with the
+    // tightest cover's gap.
+    "b27_span_near" -> ((s, d) => DocumentsIndex.spanNearMatch(s, d, "hash join", 3)),
     // B21 geo_distance query (ES geo_point family; coords synthesized
     // deterministically from doc_id — both engines derive the same points):
     // docs within 3000 km of (10°N, 20°E), bbox prefilter + exact haversine.
@@ -497,6 +501,21 @@ object SparkEntry {
         |FROM toks p0 JOIN toks p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
         |WHERE p0.term = 'the' AND starts_with(p1.term, 's')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // span-near twin (2 terms, unordered): min over position pairs of
+    // |p1 - p0| - 1 is exactly the minimal covering gap
+    "b27_span_near" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS a
+        |  FROM documents),
+        |t0 AS (SELECT doc_id, unnest(a) AS term0, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |toks AS (SELECT doc_id, substr(term0, 1, 64) AS term, pos FROM t0),
+        |g AS (
+        |  SELECT p0.doc_id, min(abs(p1.pos - p0.pos)) - 1 AS min_gap
+        |  FROM toks p0 JOIN toks p1 ON p1.doc_id = p0.doc_id
+        |  WHERE p0.term = 'hash' AND p1.term = 'join'
+        |  GROUP BY 1)
+        |SELECT doc_id, min_gap FROM g WHERE min_gap <= 3 ORDER BY doc_id""".stripMargin,
     // search_after twin: page 2 == OFFSET/LIMIT of the SAME total order —
     // the keyset form must be indistinguishable from the offset form
     "b25_search_after" -> (bm25Sql(Seq("join", "spark"), -1) + " LIMIT 10 OFFSET 10"),

@@ -247,6 +247,16 @@ object DocumentsIndex {
       .limit(k)
   }
 
+  /** Unordered span-near over the text index, keyed by doc_id —
+    * integer-exact min-gap, no float protocol.
+    */
+  def spanNearMatch(spark: SparkSession, sfDir: String, query: String,
+      slop: Int): DataFrame =
+    reader(spark, sfDir).matchSpanNearDf(query, slop)
+      .join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("doc_id"), col("min_gap").cast("long").as("min_gap"))
+      .orderBy("doc_id")
+
   /** ES `match_phrase_prefix` over the text index (last token = prefix),
     * keyed by doc_id — integer-exact start counts, no float protocol.
     */

@@ -670,6 +670,35 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       .toDF("docId", "phrase_tf")
   }
 
+  /** ES/Lucene `span_near` with `in_order = false` (SURVEY.md §7.7's last
+    * engine absence): docs where every distinct query term occurs within
+    * total positional gap <= `slop` of the others in SOME window, with
+    * `min_gap` = the tightest cover's gap. The ordered form is
+    * [[matchPhraseDf]] with slop. Same positional plan shape: only the
+    * terms' blocks (with pos), bucketed, candidate-then-payload.
+    */
+  def matchSpanNearDf(query: String, slop: Int): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    segments.zip(segHasPositions).foreach { case (seg, has) =>
+      require(has,
+        s"span query needs positions but segment $seg was built with storePositions = false — rebuild it")
+    }
+    val emptyOut = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("docId", LongType), StructField("min_gap", IntegerType))))
+    val terms = CodeTokenizer.tokenize(query).distinct.sorted
+    if (terms.isEmpty) return emptyOut
+    val meta = termMeta(terms)
+    if (terms.exists(t => !meta.contains(t))) return emptyOut // conjunctive
+    val termsB = spark.sparkContext.broadcast(terms)
+    val sl = slop
+    bucketedBlocks[(Long, Int)](terms.toSeq, withPositions = true) { (lo, hi, byTerm) =>
+      if (termsB.value.exists(t => !byTerm.contains(t))) Iterator.empty
+      else PhraseMatcher.matchNearBucket(byTerm, termsB.value, lo, hi, sl).iterator
+    }
+      .toDF("docId", "min_gap")
+  }
+
   /** ES `match_phrase_prefix` (autocomplete-style: the LAST token is a
     * prefix): phrase where slot n-1 accepts ANY dictionary term starting
     * with that prefix, expanded df-ranked up to `maxExpansions` (ES's cap

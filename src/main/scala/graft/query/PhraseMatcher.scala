@@ -141,6 +141,85 @@ object PhraseMatcher {
     out.toArray
   }
 
+  /** Minimal covering gap of k sorted position lists (Lucene SpanNearQuery
+    * unordered): the smallest `(max - min + 1) - k` over windows containing
+    * one position from EVERY list — the classic k-pointer sweep (advance
+    * the minimum head each step; every step's head set is a candidate
+    * cover). Lists must be non-empty and sorted ascending.
+    */
+  def minCoverGap(lists: Array[Array[Int]]): Int = {
+    val k = lists.length
+    if (k == 1) return 0
+    val idx = new Array[Int](k)
+    var best = Int.MaxValue
+    var done = false
+    while (!done) {
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      var mnList = -1
+      var j = 0
+      while (j < k) {
+        val v = lists(j)(idx(j))
+        if (v < mn) { mn = v; mnList = j }
+        if (v > mx) mx = v
+        j += 1
+      }
+      val gap = (mx - mn + 1) - k
+      if (gap < best) best = gap
+      idx(mnList) += 1
+      if (idx(mnList) == lists(mnList).length) done = true
+    }
+    best
+  }
+
+  /** Unordered span-near over one bucket (ES/Lucene `span_near`
+    * `in_order = false`): docs where every distinct term occurs with total
+    * gap <= slop in SOME window; returns (docId, minGap). The ordered form
+    * is the slop phrase above. Duplicate terms in `terms` are meaningless
+    * for the unordered cover and must be pre-deduplicated by the caller.
+    */
+  def matchNearBucket(termBlocks: Map[String, Array[PostingBlock]],
+      terms: Array[String], lo: Long, hi: Long, slop: Int): Array[(Long, Int)] = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val views = terms.map(t => new PostingsView(termBlocks(t)))
+    val anchorIdx = views.indices.minBy(i => views(i).total)
+    val anchor = views(anchorIdx)
+    val others = views.indices.filter(_ != anchorIdx).map(views).toArray
+    val hits = new Array[(Int, Int)](others.length)
+    val lists = new Array[Array[Int]](terms.length)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var bi = 0
+    while (bi < anchor.ids.length) {
+      val idArr = anchor.ids(bi)
+      var i = 0
+      while (i < idArr.length) {
+        val d = idArr(i)
+        if (d >= lo && d < hi) {
+          var ok = true
+          var oi = 0
+          while (ok && oi < others.length) {
+            val h = others(oi).find(d)
+            if (h == null) ok = false else hits(oi) = h
+            oi += 1
+          }
+          if (ok) {
+            lists(0) = anchor.positionsOf(bi, i)
+            oi = 0
+            while (oi < others.length) {
+              lists(oi + 1) = others(oi).positionsOf(hits(oi)._1, hits(oi)._2)
+              oi += 1
+            }
+            val gap = minCoverGap(lists)
+            if (gap <= slop) out += ((d, gap))
+          }
+        }
+        i += 1
+      }
+      bi += 1
+    }
+    out.toArray
+  }
+
   /** Match the analyzed phrase `tokens` (order and duplicates preserved)
     * against this bucket's blocks; returns (docId, phraseTf) for every doc
     * in [lo, hi) with at least one matching start under `slop`. `termBlocks`

@@ -221,6 +221,38 @@ class PhraseSpec extends SparkSpec with BeforeAndAfterAll {
     assert(nonEmpty >= 4, "phrase-prefix gate near-vacuous — fixture too sparse")
   }
 
+  test("span_near engine == brute-force min-cover oracle (k = 2 and 3, several slops)") {
+    import spark.implicits._
+    // brute force: min over the cartesian product of one position per term
+    def bruteGap(tokens: Array[String], terms: Array[String]): Option[Int] = {
+      val lists = terms.map(t => tokens.zipWithIndex.filter(_._1 == t).map(_._2))
+      if (lists.exists(_.isEmpty)) return None
+      def combos(ls: List[Array[Int]]): Iterator[List[Int]] = ls match {
+        case Nil => Iterator(Nil)
+        case h :: t => h.iterator.flatMap(v => combos(t).map(v :: _))
+      }
+      Some(combos(lists.toList).map(c => (c.max - c.min + 1) - terms.length).min)
+    }
+    var nonEmpty = 0
+    for (q <- Seq("def val", "return if", "def val class"); sl <- Seq(0, 1, 3, 8)) {
+      val terms = CodeTokenizer.tokenize(q).distinct.sorted
+      val exp = tokensById.iterator.flatMap { case (id, ts) =>
+        bruteGap(ts, terms).filter(_ <= sl).map(id -> _)
+      }.toMap
+      val got = reader.matchSpanNearDf(q, sl).as[(Long, Int)].collect().toMap
+      assert(got == exp, s"span_near '$q' slop $sl: ${got.size} vs ${exp.size} docs")
+      if (exp.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 6, "span-near gate near-vacuous")
+    // unordered: order of terms in the doc must not matter — a doc matching
+    // "join ... hash" (reverse order) is found; the DFS ordered oracle at
+    // the same slop would reject it, so assert the sets genuinely differ
+    val unord = reader.matchSpanNearDf("def val", 0).as[(Long, Int)].collect().toMap
+    val ord = slopOracle("def val", 0).keySet
+    assert(ord.subsetOf(unord.keySet), "ordered matches must be a subset of unordered")
+    assert(unord.keySet != ord, "no reverse-order matches in fixture — unordered gate vacuous")
+  }
+
   test("phrase query against a frequency-only index fails loudly") {
     val fdir = "/tmp/graft_test_phrase_nopos"
     Tables.delete(spark, "/tmp", "graft_test_phrase_nopos")
