@@ -94,6 +94,10 @@ object SparkEntry {
     "b26_bool_msm" -> ((s, d) =>
       DocumentsIndex.bm25Bool(s, d, Seq("hash"), Seq("join", "vector", "window"), Nil,
         minShould = 2)),
+    // B22 highlighting (the LOD API returns ES highlight fragments): first
+    // -occurrence 80-char fragment with <em> around the match, for the
+    // top-10 of a single-term query.
+    "b28_highlight" -> ((s, d) => DocumentsIndex.highlight(s, d, "vector", 10)),
     // B15 span_near, unordered (Lucene SpanNearQuery in_order=false):
     // "hash" and "join" within total gap <= 3 in either order, with the
     // tightest cover's gap.
@@ -501,6 +505,23 @@ object SparkEntry {
         |FROM toks p0 JOIN toks p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
         |WHERE p0.term = 'the' AND starts_with(p1.term, 's')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // highlight twin: the same top-10 (nested BM25 CTE) joined back to the
+    // source text, identical padded-strpos + substr fragment expression
+    "b28_highlight" ->
+      (s"""WITH top10 AS (
+          |  SELECT doc_id FROM (
+          |${bm25Sql(Seq("vector"), 10).linesIterator.map("    " + _).mkString("\n")}
+          |  )
+          |),
+          |h AS (
+          |  SELECT d.doc_id, d.text,
+          |         strpos(' ' || lower(d.text) || ' ', ' vector ') AS p
+          |  FROM documents d JOIN top10 USING (doc_id))
+          |SELECT doc_id,
+          |       substr(text, greatest(1, p - 30), p - greatest(1, p - 30))
+          |         || '<em>' || substr(text, p, 6) || '</em>'
+          |         || substr(text, p + 6, 30) AS highlight
+          |FROM h WHERE p > 0 ORDER BY doc_id""".stripMargin),
     // span-near twin (2 terms, unordered): min over position pairs of
     // |p1 - p0| - 1 is exactly the minimal covering gap
     "b27_span_near" ->

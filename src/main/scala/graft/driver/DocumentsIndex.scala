@@ -247,6 +247,35 @@ object DocumentsIndex {
       .limit(k)
   }
 
+  /** ES highlighting, pinned v1 form (`upstream:` the LOD API returns ES
+    * highlight fragments on every search): for the top-k docs of a
+    * single-term query, an 80-char-max fragment around the FIRST analyzer
+    * -token occurrence with the match wrapped in `<em>`. Matching is
+    * token-exact via space padding (the analyzer charset boundary in this
+    * corpus is literally the space — for general punctuation a char-offset
+    * tokenizer pass replaces the locate; documented divergence from ES's
+    * multi-fragment scored highlighter). Plan shape: the tiny top-k
+    * broadcast-joins the source table; the fragment is builtin string
+    * functions — narrow, codegen'd, no UDFs, distributed over the k rows'
+    * source partitions.
+    */
+  def highlight(spark: SparkSession, sfDir: String, term: String, k: Int,
+      window: Int = 30): DataFrame = {
+    val t = term.trim.toLowerCase(java.util.Locale.ROOT)
+    require(t.nonEmpty && t.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'),
+      s"highlight term must be a single analyzer-charset term, got '$term'")
+    val top = bm25(spark, sfDir, t, k).select("doc_id")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text"))
+    broadcast(top).join(docs, Seq("doc_id"))
+      .withColumn("p", locate(s" $t ", concat(lit(" "), lower(col("text")), lit(" "))))
+      .where(col("p") > 0)
+      .select(col("doc_id"), concat(
+        expr(s"substr(text, greatest(1, p - $window), p - greatest(1, p - $window))"),
+        lit("<em>"), expr(s"substr(text, p, ${t.length})"), lit("</em>"),
+        expr(s"substr(text, p + ${t.length}, $window)")).as("highlight"))
+      .orderBy("doc_id")
+  }
+
   /** Unordered span-near over the text index, keyed by doc_id —
     * integer-exact min-gap, no float protocol.
     */
