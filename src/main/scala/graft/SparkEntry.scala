@@ -72,6 +72,13 @@ object SparkEntry {
     // B18 fuzzy query (ES fuzzy / match fuzziness): dictionary expansion at
     // edit distance <= 2 of "bag" ({a, agg, big} in this corpus), scored as
     // a term OR with each expansion under its own idf.
+    // CAP CONTRACT for every expansion row (b20/b22/b24): the DuckDB twins
+    // express the UNCAPPED semantics, which equals the engine's capped
+    // result iff the expansion fits the cap. That holds by construction
+    // here — the documents vocabulary has 31 distinct terms TOTAL at every
+    // sf (CorpusGen fixed word list), below the smallest cap (32) — and the
+    // cap-binding behavior itself is pinned separately by the sbt gates
+    // (df-ranked truncation tests in BoolQuerySpec/PhraseSpec).
     "b20_fuzzy" -> ((s, d) => DocumentsIndex.fuzzyMatch(s, d, "bag", maxEdits = 2)),
     // B19 terms aggregation (ES terms agg / the LOD API's facet counts):
     // top-10 tags-field terms by df, straight off the sub-index dictionary.

@@ -235,17 +235,29 @@ object DocumentsIndex {
     */
   def bm25SearchAfter(spark: SparkSession, sfDir: String, query: String,
       k: Int): DataFrame = {
-    val idx = indexDir(spark, sfDir)
-    val ranked = rankedByDocId(spark, reader(spark, sfDir).scoreAllDf(query), idx)
+    // self-contained driver-row form: derive the cursor from page 1 (one
+    // extra search). A real search_after client uses the cursor overload
+    // below — it pays ONLY the page job, never a recomputed page 1.
     val page1 = bm25(spark, sfDir, query, k).collect()
-    if (page1.isEmpty) return ranked.limit(0)
-    val (lastDoc, lastScore) = (page1.last.getLong(0), page1.last.getDouble(1))
-    ranked
-      .where(col("score") < lastScore ||
-        (col("score") === lastScore && col("doc_id") > lastDoc))
+    if (page1.isEmpty)
+      return rankedByDocId(spark, reader(spark, sfDir).scoreAllDf(query),
+        indexDir(spark, sfDir)).limit(0)
+    bm25SearchAfter(spark, sfDir, query,
+      page1.last.getDouble(1), page1.last.getLong(0), k)
+  }
+
+  /** The cursor form a real client calls per page: (afterScore, afterDoc)
+    * come from the previous response's tail; one ranked job per page, no
+    * page-1 recomputation and no offset re-rank.
+    */
+  def bm25SearchAfter(spark: SparkSession, sfDir: String, query: String,
+      afterScore: Double, afterDoc: Long, k: Int): DataFrame =
+    rankedByDocId(spark, reader(spark, sfDir).scoreAllDf(query),
+      indexDir(spark, sfDir))
+      .where(col("score") < afterScore ||
+        (col("score") === afterScore && col("doc_id") > afterDoc))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(k)
-  }
 
   /** ES highlighting, pinned v1 form (`upstream:` the LOD API returns ES
     * highlight fragments on every search): for the top-k docs of a

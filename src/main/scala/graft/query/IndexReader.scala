@@ -646,15 +646,24 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * (PhraseMatcher). A term absent from every segment short-circuits to
     * empty — phrase is conjunctive.
     */
-  def matchPhraseDf(phrase: String, slop: Int = 0): DataFrame = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+  /** Shared preamble of every positional query: the index must store
+    * positions, and the empty result carries (docId, <countCol>: int).
+    */
+  private def requirePositions(what: String): Unit =
     segments.zip(segHasPositions).foreach { case (seg, has) =>
       require(has,
-        s"phrase query needs positions but segment $seg was built with storePositions = false — rebuild it")
+        s"$what query needs positions but segment $seg was built with storePositions = false — rebuild it")
     }
-    val emptyOut = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("docId", LongType), StructField("phrase_tf", IntegerType))))
+
+  private def emptyPositional(countCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("docId", LongType), StructField(countCol, IntegerType))))
+  }
+
+  def matchPhraseDf(phrase: String, slop: Int = 0): DataFrame = {
+    requirePositions("phrase")
+    val emptyOut = emptyPositional("phrase_tf")
     val tokens = CodeTokenizer.tokenize(phrase)
     if (tokens.isEmpty) return emptyOut
     val distinct = tokens.distinct.toSeq.sorted
@@ -678,14 +687,8 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * terms' blocks (with pos), bucketed, candidate-then-payload.
     */
   def matchSpanNearDf(query: String, slop: Int): DataFrame = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-    segments.zip(segHasPositions).foreach { case (seg, has) =>
-      require(has,
-        s"span query needs positions but segment $seg was built with storePositions = false — rebuild it")
-    }
-    val emptyOut = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("docId", LongType), StructField("min_gap", IntegerType))))
+    requirePositions("span")
+    val emptyOut = emptyPositional("min_gap")
     val terms = CodeTokenizer.tokenize(query).distinct.sorted
     if (terms.isEmpty) return emptyOut
     val meta = termMeta(terms)
@@ -711,27 +714,22 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     */
   def matchPhrasePrefixDf(phrase: String, maxExpansions: Int = 32,
       slop: Int = 0): DataFrame = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-    segments.zip(segHasPositions).foreach { case (seg, has) =>
-      require(has,
-        s"phrase query needs positions but segment $seg was built with storePositions = false — rebuild it")
-    }
-    val emptyOut = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("docId", LongType), StructField("phrase_tf", IntegerType))))
+    requirePositions("phrase")
+    val emptyOut = emptyPositional("phrase_tf")
     val tokens = CodeTokenizer.tokenize(phrase)
     if (tokens.isEmpty) return emptyOut
+    val fixed = tokens.init
+    // fixed slots are conjunctive: any df=0 token kills the phrase — ONE
+    // dictionary lookup, checked BEFORE paying the expansion job
+    // (expansion terms come from the dictionary, so df > 0 by construction)
+    val fixedMeta = termMeta(fixed.distinct)
+    if (fixed.distinct.exists(t => !fixedMeta.contains(t))) return emptyOut
     val (lo, hi) = prefixBounds(tokens.last)
     val expansion = cappedByDf(segments.map(seg =>
       Tables.read(spark, seg, InvertedIndex.DictTable)
         .where(col("term") >= lo && col("term") < hi)
         .select(col("term"), col("df"))), maxExpansions)
     if (expansion.isEmpty) return emptyOut
-    val fixed = tokens.init
-    // fixed slots are conjunctive: any df=0 token kills the phrase
-    // (expansion terms come from the dictionary, so df > 0 by construction)
-    if (fixed.nonEmpty && fixed.distinct.exists(t => !termMeta(fixed.distinct).contains(t)))
-      return emptyOut
     val slots: Array[Array[String]] = fixed.map(Array(_)) :+ expansion
     val slotsB = spark.sparkContext.broadcast(slots)
     val sl = slop
