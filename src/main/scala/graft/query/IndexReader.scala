@@ -324,11 +324,17 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     Some((mustT, shouldT.filter(meta.contains), notT.filter(allMeta.contains), meta))
   }
 
-  private def emptyHits: DataFrame =
+  /** Empty (docId: long, <name>: <dt>) frame — the one shape every query
+    * family's empty result takes (score, n_terms, phrase_tf, min_gap).
+    */
+  private def emptyResult(name: String, dt: org.apache.spark.sql.types.DataType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+        org.apache.spark.sql.types.StructField(name, dt))))
+
+  private def emptyHits: DataFrame =
+    emptyResult("score", org.apache.spark.sql.types.DoubleType)
 
   /** ES `bool` query top-k (SURVEY.md §2.3 B16): must = conjunction, should
     * contributes when present, must_not excludes; score = Σ idf·tfNorm over
@@ -492,11 +498,26 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * list, never the full candidate set (a pathological pattern over a
     * corpus-scale dictionary must not collect before capping).
     */
-  private def cappedByDf(scans: Seq[DataFrame], maxExpansions: Int): Array[String] =
-    scans.reduce(_ unionByName _)
-      .groupBy("term").agg(sum("df").as("df"))
-      .orderBy(desc("df"), asc("term")).limit(maxExpansions)
+  private def cappedByDf(scans: Seq[DataFrame], maxExpansions: Int): Array[String] = {
+    // single segment: the dictionary has one row per term already — skip
+    // the merge agg (same special case termsAggDf takes)
+    val merged =
+      if (scans.size == 1) scans.head
+      else scans.reduce(_ unionByName _).groupBy("term").agg(sum("df").as("df"))
+    merged.orderBy(desc("df"), asc("term")).limit(maxExpansions)
       .select("term").collect().map(_.getString(0)).sorted
+  }
+
+  /** Capped df-ranked form of [[expandPrefix]] — the expansion
+    * `match_phrase_prefix` serves its last slot with.
+    */
+  def expandPrefixCapped(prefix: String, maxExpansions: Int): Array[String] = {
+    val (lo, hi) = prefixBounds(prefix)
+    cappedByDf(segments.map(seg =>
+      Tables.read(spark, seg, InvertedIndex.DictTable)
+        .where(col("term") >= lo && col("term") < hi)
+        .select(col("term"), col("df"))), maxExpansions)
+  }
 
   /** Dictionary terms matching a glob `pattern` over the analyzer charset
     * (`*` = any run, including empty — ES `wildcard`, the non-anchored
@@ -626,10 +647,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   }
 
   private def emptyMembership: DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("n_terms", org.apache.spark.sql.types.LongType))))
+    emptyResult("n_terms", org.apache.spark.sql.types.LongType)
 
   /** Positional phrase match (SURVEY.md §2.3 B15; ES `match_phrase` with
     * `slop`, exact positions): every doc where the analyzed phrase's tokens
@@ -655,11 +673,8 @@ final class IndexReader(spark: SparkSession, indexDir: String,
         s"$what query needs positions but segment $seg was built with storePositions = false — rebuild it")
     }
 
-  private def emptyPositional(countCol: String): DataFrame = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("docId", LongType), StructField(countCol, IntegerType))))
-  }
+  private def emptyPositional(countCol: String): DataFrame =
+    emptyResult(countCol, org.apache.spark.sql.types.IntegerType)
 
   def matchPhraseDf(phrase: String, slop: Int = 0): DataFrame = {
     requirePositions("phrase")
@@ -724,11 +739,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     // (expansion terms come from the dictionary, so df > 0 by construction)
     val fixedMeta = termMeta(fixed.distinct)
     if (fixed.distinct.exists(t => !fixedMeta.contains(t))) return emptyOut
-    val (lo, hi) = prefixBounds(tokens.last)
-    val expansion = cappedByDf(segments.map(seg =>
-      Tables.read(spark, seg, InvertedIndex.DictTable)
-        .where(col("term") >= lo && col("term") < hi)
-        .select(col("term"), col("df"))), maxExpansions)
+    val expansion = expandPrefixCapped(tokens.last, maxExpansions)
     if (expansion.isEmpty) return emptyOut
     val slots: Array[Array[String]] = fixed.map(Array(_)) :+ expansion
     val slotsB = spark.sparkContext.broadcast(slots)
