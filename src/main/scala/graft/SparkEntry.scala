@@ -101,6 +101,10 @@ object SparkEntry {
     "b26_bool_msm" -> ((s, d) =>
       DocumentsIndex.bm25Bool(s, d, Seq("hash"), Seq("join", "vector", "window"), Nil,
         minShould = 2)),
+    // B23 more_like_this: doc 7's top-5 tf·idf terms as a scored OR, the
+    // source doc excluded (selection score rounded 6 dp in BOTH engines so
+    // the chosen term set is identical).
+    "b29_mlt" -> ((s, d) => DocumentsIndex.moreLikeThis(s, d, docId = 7, maxQueryTerms = 5)),
     // B22 highlighting (the LOD API returns ES highlight fragments): first
     // -occurrence 80-char fragment with <em> around the match, for the
     // top-10 of a single-term query.
@@ -512,6 +516,31 @@ object SparkEntry {
         |FROM toks p0 JOIN toks p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
         |WHERE p0.term = 'the' AND starts_with(p1.term, 's')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // more_like_this twin: identical term selection (tf-in-doc × the same
+    // idf formula, rounded 6 dp, (score desc, term) tie-break, LIMIT 5)
+    // feeding the ordinary BM25 OR, source doc excluded
+    "b29_mlt" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |src AS (SELECT term, count(*) AS qtf FROM tok WHERE doc_id = 7 GROUP BY 1),
+         |cand AS (
+         |  SELECT s.term,
+         |         round(s.qtf * ln(1 + cast(st.n - d.df + 0.5 AS double) / cast(d.df + 0.5 AS double)), 6) AS msc
+         |  FROM src s JOIN dfx d USING (term) CROSS JOIN st),
+         |sel AS (SELECT term FROM cand ORDER BY msc DESC, term LIMIT 5),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+         |             * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
+         |  WHERE tf.term IN (SELECT term FROM sel)
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |WHERE doc_id <> 7
+         |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
     // highlight twin: the same top-10 (nested BM25 CTE) joined back to the
     // source text, identical padded-strpos + substr fragment expression
     "b28_highlight" ->

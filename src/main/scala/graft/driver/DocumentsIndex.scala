@@ -288,6 +288,24 @@ object DocumentsIndex {
       .orderBy("doc_id")
   }
 
+  /** ES `more_like_this` over the text index: the source doc's text ranks
+    * its own terms by tf·idf (IndexReader.selectMltTerms), the top
+    * `maxQueryTerms` run as a scored OR (rank-all — exact), and the source
+    * doc is excluded from the output (ES's `like` on a document). Output
+    * under the shared protocol.
+    */
+  def moreLikeThis(spark: SparkSession, sfDir: String, docId: Long,
+      maxQueryTerms: Int): DataFrame = {
+    val like = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") === docId).select("text")
+      .collect().headOption.map(_.getString(0)).getOrElse("")
+    val r = reader(spark, sfDir)
+    rankedByDocId(spark, r.scoreAllTerms(r.selectMltTerms(like, maxQueryTerms)),
+      indexDir(spark, sfDir))
+      .where(col("doc_id") =!= docId)
+      .orderBy(desc("score"), asc("doc_id"))
+  }
+
   /** Unordered span-near over the text index, keyed by doc_id —
     * integer-exact min-gap, no float protocol.
     */

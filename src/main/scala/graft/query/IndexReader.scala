@@ -542,6 +542,44 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     }, maxExpansions)
   }
 
+  /** ES `more_like_this` term selection (Lucene MoreLikeThis): rank the
+    * LIKE text's analyzer terms by tf-in-text × idf, apply the
+    * minTermFreq / minDocFreq floors, keep the top `maxQueryTerms` —
+    * the representative-term set the query then scores as an ordinary OR.
+    * Pinned semantics: idf is OUR Bm25.idf (Lucene MLT's classic
+    * log(N/df)+1 variant — documented divergence), selection score rounded
+    * to 6 dp before ranking with a (score desc, term asc) tie-break so the
+    * cross-engine twin picks the identical set. Dictionary work is one
+    * per-segment collect over the candidate terms — the same tiny-lookup
+    * economics as termMeta.
+    */
+  def selectMltTerms(likeText: String, maxQueryTerms: Int = 25,
+      minTermFreq: Int = 1, minDocFreq: Int = 1): Array[String] = {
+    require(maxQueryTerms > 0 && minTermFreq >= 1 && minDocFreq >= 1,
+      "maxQueryTerms > 0, minTermFreq >= 1, minDocFreq >= 1")
+    val (tfMap, _) = CodeTokenizer.tfMap(likeText)
+    val cand = tfMap.iterator.filter(_._2 >= minTermFreq).toMap
+    if (cand.isEmpty) return Array.empty
+    val candTerms = cand.keys.toSeq.sorted
+    val dfAcc = scala.collection.mutable.Map.empty[String, Long]
+    for (seg <- segments)
+      Tables.read(spark, seg, InvertedIndex.DictTable)
+        .where(col("term").isin(candTerms: _*))
+        .select("term", "df").collect()
+        .foreach(r => dfAcc.update(r.getString(0), dfAcc.getOrElse(r.getString(0), 0L) + r.getLong(1)))
+    val n = stats.numDocs
+    cand.iterator
+      .flatMap { case (t, tf) =>
+        dfAcc.get(t).filter(_ >= minDocFreq).map { df =>
+          val msc = math.BigDecimal(tf * Bm25.idf(n, df))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          (t, msc)
+        }
+      }
+      .toArray.sortBy { case (t, msc) => (-msc, t) }
+      .take(maxQueryTerms).map(_._1).sorted
+  }
+
   /** ES `terms` aggregation over the indexed field (the LOD API's facet
     * counts): top `size` dictionary terms by document frequency, df summed
     * across segments. The dictionary IS the agg — no postings are touched,

@@ -201,6 +201,37 @@ class BoolQuerySpec extends SparkSpec with BeforeAndAfterAll {
       intercept[IllegalArgumentException](reader.expandWildcard(bad))
   }
 
+  test("more_like_this term selection == brute tf·idf ranking; served == OR oracle") {
+    val rawRows = oracle.rows.collect()
+    val dfMap = rawRows.groupBy(_._2).map { case (t, rs) => t -> rs.map(_._1).distinct.length.toLong }
+    val n = reader.stats.numDocs
+    // several LIKE texts straight from the corpus (content by key join)
+    val texts = corpus.limit(4).collect().map(_.content)
+    var nonTrivial = 0
+    for (text <- texts; maxQ <- Seq(3, 10)) {
+      val tf = graft.tokenize.CodeTokenizer.tokenize(text)
+        .groupBy(identity).map { case (t, xs) => t -> xs.length }
+      val want = tf.iterator
+        .flatMap { case (t, f) => dfMap.get(t).map { df =>
+          (t, math.BigDecimal(f * graft.query.Bm25.idf(n, df))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        } }
+        .toArray.sortBy { case (t, s) => (-s, t) }.take(maxQ).map(_._1).sorted.toSeq
+      val got = reader.selectMltTerms(text, maxQ).toSeq
+      assert(got == want, s"MLT selection for maxQ=$maxQ")
+      if (want.nonEmpty && want.size < tf.size) nonTrivial += 1
+      // serving the selection == exhaustive OR oracle over it
+      if (want.nonEmpty) {
+        val served = reader.scoreAllTerms(want.toArray)
+          .orderBy(desc("score"), asc("docId")).limit(10)
+          .as[(Long, Double)].collect().toSeq
+        val exp = oracle.topKBool(Nil, want, Nil, 10).map(h => (h.docId, h.score)).toSeq
+        assert(served.map(_._1) == exp.map(_._1), s"MLT serving ranks for maxQ=$maxQ")
+      }
+    }
+    assert(nonTrivial >= 3, "maxQueryTerms never truncated — MLT gate near-vacuous")
+  }
+
   test("terms agg == raw-rows df ranking under the (df desc, term) tie-break") {
     val rawRows = oracle.rows.collect()
     val want = rawRows.groupBy(_._2)
