@@ -33,13 +33,18 @@ object ExhaustiveScorer {
     /** Bool-query reference: must = conjunction, should contributes when
       * present, mustNot excludes; score = Σ over (must ∪ should) terms
       * present, ascending term order — all recomputed from raw rows.
+      * A should clause duplicating a must clause is stripped from scoring
+      * (never double-counted) but ALWAYS satisfies itself in any doc the
+      * conjunction admits, so it credits `minimum_should_match` (ES
+      * semantics — mirrors IndexReader.boolClauses' shouldCredit).
       */
     def topKBool(must: Seq[String], should: Seq[String], mustNot: Seq[String],
         k: Int, minShould: Int = 0): Array[Scored] = {
       val mustT = must.flatMap(CodeTokenizer.tokenize).distinct.sorted
       val notT = mustNot.flatMap(CodeTokenizer.tokenize).distinct.sorted
-      val shouldT = should.flatMap(CodeTokenizer.tokenize).distinct.sorted
-        .filterNot(t => mustT.contains(t) || notT.contains(t))
+      val shouldAll = should.flatMap(CodeTokenizer.tokenize).distinct.sorted
+      val shouldT = shouldAll.filterNot(t => mustT.contains(t) || notT.contains(t))
+      val effMinShould = math.max(0, minShould - shouldAll.count(mustT.contains))
       if (mustT.exists(notT.contains)) return Array.empty
       val scoring = (mustT ++ shouldT).distinct.sorted
       if (scoring.isEmpty || n == 0) return Array.empty
@@ -53,7 +58,7 @@ object ExhaustiveScorer {
         val terms = rs.map(_._2).toSet
         if (mustT.forall(terms.contains) && !notT.exists(terms.contains) &&
             scoring.exists(terms.contains) &&
-            shouldT.count(terms.contains) >= minShould) {
+            shouldT.count(terms.contains) >= effMinShould) {
           var s = 0.0
           rs.sortBy(_._2).foreach { case (_, t, tf, dl) =>
             if (scoring.contains(t)) s += idf(t) * Bm25.tfNorm(tf.toLong, dl.toLong, avgDl, p)

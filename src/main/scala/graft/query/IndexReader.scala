@@ -301,18 +301,28 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   }
 
   /** Clause analysis shared by both bool paths: (mustT, shouldT, notT,
-    * scoring meta), or None when the query is unsatisfiable / empty —
-    * a must term absent from every segment (df = 0) matches nothing, as
-    * does must ∩ must_not; should and must_not terms that are absent just
+    * scoring meta, shouldCredit), or None when the query is unsatisfiable /
+    * empty — a must term absent from every segment (df = 0) matches nothing,
+    * as does must ∩ must_not; should and must_not terms that are absent just
     * drop (they could never contribute / exclude). ONE dictionary lookup
     * covers all clauses — the returned notT is already filtered to
     * index-present terms, so neither caller re-consults the dictionary.
+    *
+    * `shouldCredit` = |must ∩ should| over the analyzed clause terms: a
+    * should clause duplicating a must clause ALWAYS matches in any doc the
+    * conjunction admits (ES counts it toward `minimum_should_match`), but
+    * the duplicate is stripped from shouldT so scoring never double-counts —
+    * callers subtract the credit from the requested floor instead
+    * (should ∩ must_not gets NO credit: the doc can't contain it, so that
+    * clause never matches, and stripping it is already exact).
     */
   private def boolClauses(must: Seq[String], should: Seq[String], mustNot: Seq[String])
-      : Option[(Array[String], Array[String], Array[String], Map[String, BlockMaxWand.TermMeta])] = {
+      : Option[(Array[String], Array[String], Array[String], Map[String, BlockMaxWand.TermMeta], Int)] = {
     val mustT = must.flatMap(CodeTokenizer.tokenize).distinct.sorted.toArray
     val notT = mustNot.flatMap(CodeTokenizer.tokenize).distinct.sorted.toArray
-    val shouldT = should.flatMap(CodeTokenizer.tokenize).distinct.sorted
+    val shouldAll = should.flatMap(CodeTokenizer.tokenize).distinct.sorted
+    val shouldCredit = shouldAll.count(mustT.contains)
+    val shouldT = shouldAll
       .filterNot(t => mustT.contains(t) || notT.contains(t)).toArray
     if (mustT.exists(notT.contains)) return None // must ∧ must_not = never
     val scoringTerms = (mustT ++ shouldT).distinct.sorted
@@ -321,7 +331,8 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     val meta = allMeta.view.filterKeys(scoringTerms.contains).toMap
     if (mustT.exists(t => !meta.contains(t))) return None
     if (meta.isEmpty) return None
-    Some((mustT, shouldT.filter(meta.contains), notT.filter(allMeta.contains), meta))
+    Some((mustT, shouldT.filter(meta.contains), notT.filter(allMeta.contains), meta,
+      shouldCredit))
   }
 
   /** Empty (docId: long, <name>: <dt>) frame — the one shape every query
@@ -346,16 +357,19 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   def searchBool(must: Seq[String], should: Seq[String] = Nil,
       mustNot: Seq[String] = Nil, k: Int = 10, minShould: Int = 0): Array[SearchHit] = {
     val clauses = boolClauses(must, should, mustNot).getOrElse(return Array.empty)
-    val (mustT, shouldT, notT, meta) = clauses
-    // minimum_should_match counts MATCHING should clauses; an absent term
-    // can never match, so a floor above the present-should count is
-    // unsatisfiable (ES returns nothing for it too)
-    if (minShould > shouldT.length) return Array.empty
+    val (mustT, shouldT, notT, meta, shouldCredit) = clauses
+    // minimum_should_match counts MATCHING should clauses; a should clause
+    // duplicating a must clause always matches (ES credits it), so the
+    // effective floor over the DEDUPED shouldT drops by the overlap. An
+    // absent term can never match, so a residual floor above the
+    // present-should count is unsatisfiable (ES returns nothing for it too)
+    val effShould = math.max(0, minShould - shouldCredit)
+    if (effShould > shouldT.length) return Array.empty
     // a bool with no must and no must_not IS a `match` (pure SHOULD-OR with
     // identical scoring) — serve it through Block-Max WAND so it gets
-    // θ-pruning instead of the union walk below. minShould >= 2 disables
+    // θ-pruning instead of the union walk below. effShould >= 2 disables
     // the route: WAND has no per-doc clause-count floor.
-    if (mustT.isEmpty && notT.isEmpty && minShould <= 1) return bmwTopK(meta, k)
+    if (mustT.isEmpty && notT.isEmpty && effShould <= 1) return bmwTopK(meta, k)
     val scoring = (mustT ++ shouldT).distinct.sorted.map(t => (t, meta(t).idf))
     val scanTerms = ((mustT ++ shouldT).toSeq ++ notT.toSeq).distinct.sorted
     val (scoringB, mustB, notB) =
@@ -364,7 +378,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     val avgDl = stats.avgDl
     val pp = p
     val kk = k
-    val ms = minShould
+    val ms = effShould
     bucketedBlocks[SearchHit](scanTerms) { (lo, hi, byTerm) =>
       BoolMatcher.scoreBucket(byTerm, scoringB.value, mustB.value, notB.value,
         lo, hi, kk, avgDl, pp, ms).iterator
@@ -383,8 +397,11 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       mustNot: Seq[String] = Nil, minShould: Int = 0): DataFrame = {
     import spark.implicits._
     val clauses = boolClauses(must, should, mustNot).getOrElse(return emptyHits)
-    val (mustT, shouldT, notT, meta) = clauses
-    if (minShould > shouldT.length) return emptyHits
+    val (mustT, shouldT, notT, meta, shouldCredit) = clauses
+    // must∩should overlap always matches → credit it against the floor
+    // (same rule as searchBool; keeps both paths ES-consistent)
+    val effShould = math.max(0, minShould - shouldCredit)
+    if (effShould > shouldT.length) return emptyHits
     // ONE aggregate, ONE exchange: the sorted (term, contrib) array is
     // collected once and yields the pinned score fold AND BOTH presence
     // counts (must conjunction, minimum_should_match floor —
@@ -399,7 +416,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
           lit(mustT))).as("mcnt"),
         size(array_intersect(transform(col("arr"), x => x.getField("term")),
           lit(shouldT))).as("scnt"))
-      .where(col("mcnt") === mustT.length && col("scnt") >= minShould)
+      .where(col("mcnt") === mustT.length && col("scnt") >= effShould)
       .select("docId", "score")
     if (notT.isEmpty) scored // boolClauses already dropped absent not-terms
     else {

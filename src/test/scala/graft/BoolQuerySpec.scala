@@ -105,7 +105,12 @@ class BoolQuerySpec extends SparkSpec with BeforeAndAfterAll {
     for ((m, sh, n) <- Seq(
         (Seq("def"), Seq("val", "class", "import"), Nil),
         (Nil, Seq("def", "val", "class"), Nil),
-        (Seq("buf_buf"), Seq("def", "z100_id"), Seq("return")));
+        (Seq("buf_buf"), Seq("def", "z100_id"), Seq("return")),
+        // must ∩ should overlap: "def" is forced by must, so its duplicate
+        // should clause always matches and credits the floor (ES semantics)
+        (Seq("def"), Seq("def", "val", "class"), Nil),
+        // should ∩ must_not gets NO credit (the doc can never contain it)
+        (Seq("def"), Seq("return", "val", "class"), Seq("return")));
         ms <- Seq(0, 1, 2, 3, 4)) {
       val want = oracle.topKBool(m, sh, n, 10, ms).map(h => (h.docId, h.score)).toSeq
       val got = reader.searchBool(m, sh, n, 10, ms).map(h => (h.docId, h.score)).toSeq
