@@ -124,6 +124,30 @@ object SparkEntry {
         .select(col("doc_id"), col("dist_km"))
         .orderBy("doc_id")
     }),
+    // B16 per-clause/field boosts (ES `fields: ["text^2", "tags"]`): the b14
+    // multi_match with the text field boosted ×2. Boost scales idf AND the
+    // WAND upper bound together (BlockMaxWand.boostMeta), so the bounded
+    // cross-field WAND serves the boosted query unchanged. The boost is
+    // pinned to 2.0 — a power of two, so scaling is EXACT in binary floating
+    // point and the twin may factor it outside its per-field sum without
+    // breaking bit-parity with the engine's per-term scaling.
+    "b30_boost" -> ((s, d) =>
+      DocumentsIndex.multiMatch(s, d, "spark src18 de", 20, Seq("text^2", "tags"))),
+    // B19 histogram aggregation (ES histogram — the numeric sibling of the
+    // terms agg): fixed-width-8 doc-length buckets straight off the engine
+    // registry's dl column; the twin recomputes dl from the raw text, so a
+    // green row also re-checks the registry against raw tokenization.
+    "a20_histogram" -> ((s, d) => DocumentsIndex.histogramAgg(s, d, 8)),
+    // B20 regexp term query (ES regexp; Lucene automaton ∩ dictionary):
+    // anchored full-term match over the validated-safe subset — alternation,
+    // classes, star — ({query, sort, spark, stream} in this corpus), with
+    // distinct matched-term counts per doc.
+    "b31_regexp" -> ((s, d) => DocumentsIndex.regexpMatch(s, d, "(s|qu)[a-z]*r[a-z]*")),
+    // B18 bounded fuzzy serving (the form a real client calls — top-10, not
+    // the full scored match set): the b20 expansion through Block-Max WAND
+    // under the shared stability over-fetch; must equal the rank-all total
+    // order cut at 10 (the twin asserts exactly that).
+    "b32_fuzzy_topk" -> ((s, d) => DocumentsIndex.fuzzyMatchTopK(s, d, "bag", 2, 10)),
 
     // -- Layer A: toolchain operators (SURVEY.md §2.1/2.2) -----------------
     "a01_scan_projection" -> ((s, d) =>
@@ -418,6 +442,31 @@ object SparkEntry {
       |       round(cast(i.inter AS double) / (za.sz + zb.sz - i.inter), 4) AS jaccard
       |FROM inter i JOIN sz za ON za.doc_id = i.a JOIN sz zb ON zb.doc_id = i.b""".stripMargin
 
+  /** Fuzzy twin: the expansion set comes from the same definition the engine
+    * pins — distinct corpus terms within levenshtein <= 2 (DuckDB's
+    * levenshtein IS classic edit distance, like Spark's built-in — neither
+    * counts transpositions as one edit, the pinned divergence from Lucene's
+    * Damerau-OSA); scoring is the ordinary BM25 OR over that set, each term
+    * under its own idf. Shared by the rank-all row (b20) and the bounded
+    * top-k row (b32, + LIMIT).
+    */
+  private val FuzzySql =
+    s"""WITH $TokCte,
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+       |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |fz AS (SELECT term FROM dfx WHERE levenshtein(term, 'bag') <= 2),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |         sum(ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+       |             * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score
+       |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
+       |  WHERE tf.term IN (SELECT term FROM fz)
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score, 6) AS score FROM sc
+       |ORDER BY round(score, 6) DESC, doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = ListMap(
     "b02_corpus_stats" ->
       s"""WITH $TokCte, dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1)
@@ -475,26 +524,11 @@ object SparkEntry {
          |SELECT doc_id, count(DISTINCT term) AS n_terms FROM tok
          |WHERE contains(term, 'or')
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // fuzzy twin: the expansion set comes from the same definition the
-    // engine pins — distinct corpus terms within levenshtein <= 2 (DuckDB's
-    // levenshtein IS classic edit distance, like Spark's built-in); scoring
-    // is the ordinary BM25 OR over that set, each term under its own idf
-    "b20_fuzzy" ->
-      s"""WITH $TokCte,
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-         |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |fz AS (SELECT term FROM dfx WHERE levenshtein(term, 'bag') <= 2),
-         |sc AS (
-         |  SELECT tf.doc_id,
-         |         sum(ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
-         |             * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score
-         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
-         |  WHERE tf.term IN (SELECT term FROM fz)
-         |  GROUP BY tf.doc_id)
-         |SELECT doc_id, round(score, 6) AS score FROM sc
-         |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
+    "b20_fuzzy" -> FuzzySql,
+    // bounded fuzzy serving twin: the SAME total order, cut at 10 — the
+    // engine's WAND + stability over-fetch must be indistinguishable from
+    // the rank-all cut
+    "b32_fuzzy_topk" -> (FuzzySql + "\nLIMIT 10"),
     // terms-agg twin: per-term distinct-doc counts over the tokenized tags
     // field, top-10 by (df desc, term asc) — the deterministic tie-break
     // both engines share (source-term dfs tie by construction)
@@ -667,6 +701,38 @@ object SparkEntry {
          |ORDER BY round(coalesce(a.score, 0) + coalesce(b.score, 0), 6) DESC,
          |         coalesce(a.doc_id, b.doc_id)
          |LIMIT 20""".stripMargin,
+    // boost twin: the b14 twin with the text field's score factored by 2
+    // OUTSIDE the per-field sum — exact vs the engine's per-term idf scaling
+    // because ×2 is a power of two (each product and the sum scale without
+    // rounding), so both engines produce bit-identical doubles pre-round
+    "b30_boost" ->
+      s"""WITH ${fieldBm25Ctes("text", "x", Seq("de", "spark", "src18"))},
+         |${fieldBm25Ctes("concat_ws(' ', lang, source)", "g", Seq("de", "spark", "src18"))}
+         |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |       round(2 * coalesce(a.score, 0) + coalesce(b.score, 0), 6) AS score
+         |FROM xsc a FULL OUTER JOIN gsc b ON a.doc_id = b.doc_id
+         |ORDER BY round(2 * coalesce(a.score, 0) + coalesce(b.score, 0), 6) DESC,
+         |         coalesce(a.doc_id, b.doc_id)
+         |LIMIT 20""".stripMargin,
+    // histogram twin: dl recomputed from raw text (LEFT JOIN keeps dl = 0
+    // docs — the engine registry indexes every doc), fixed-width floor
+    // buckets; integer-exact, no float protocol
+    "a20_histogram" ->
+      s"""WITH $TokCte,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |alld AS (
+         |  SELECT d.doc_id, coalesce(dl.dl, 0) AS dl
+         |  FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id)
+         |SELECT cast(floor(dl / 8) * 8 AS bigint) AS bucket_lo, count(*) AS n
+         |FROM alld GROUP BY 1 ORDER BY 1""".stripMargin,
+    // regexp twin: anchored full-term match over the token stream — DuckDB's
+    // regexp_full_match is ES's anchored regexp semantics; same membership
+    // shape as prefix/wildcard
+    "b31_regexp" ->
+      s"""WITH $TokCte
+         |SELECT doc_id, count(DISTINCT term) AS n_terms FROM tok
+         |WHERE regexp_full_match(term, '(s|qu)[a-z]*r[a-z]*')
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "a01_scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem

@@ -247,17 +247,64 @@ object DocumentsIndex {
   }
 
   /** The cursor form a real client calls per page: (afterScore, afterDoc)
-    * come from the previous response's tail; one ranked job per page, no
-    * page-1 recomputation and no offset re-rank.
+    * come from the previous response's tail. BOUNDED serving: the page is
+    * cut from a grown BMW over-fetch (the same θ-pruned top-M job every
+    * bounded path runs — never a corpus-sized exchange per page; at 100×
+    * scale a stopword query paginated by a UI would otherwise score the
+    * full match union to emit k rows). Pages deeper than the grown fetch
+    * fall back to the exact rank-all cut — the ES `index.max_result_window`
+    * mirror (ES caps at 10k and demands scroll/search_after past it for the
+    * same reason; our fallback stays correct instead of erroring).
+    *
+    * Cursor comparisons happen in ROUNDED score space on both sides: the
+    * client's cursor came from a 6-dp-rounded response, and the page frame
+    * is rounded by the output protocol before the predicate applies. On the
+    * bounded path page and cursor thus derive from the same BMW + round
+    * computation; the rank-all fallback additionally leans on the sbt gate
+    * pinning the relational fold bit-exact to BMW's (BlockMaxWandSpec) —
+    * a sub-ulp fold divergence landing ON a rounding boundary would
+    * otherwise drop or duplicate cursor-tied docs there.
     */
   def bm25SearchAfter(spark: SparkSession, sfDir: String, query: String,
-      afterScore: Double, afterDoc: Long, k: Int): DataFrame =
-    rankedByDocId(spark, reader(spark, sfDir).scoreAllDf(query),
-      indexDir(spark, sfDir))
-      .where(col("score") < afterScore ||
-        (col("score") === afterScore && col("doc_id") > afterDoc))
-      .orderBy(desc("score"), asc("doc_id"))
-      .limit(k)
+      afterScore: Double, afterDoc: Long, k: Int): DataFrame = {
+    val r = reader(spark, sfDir)
+    val idx = indexDir(spark, sfDir)
+    val afterPred = col("score") < afterScore ||
+      (col("score") === afterScore && col("doc_id") > afterDoc)
+    stablePage(spark, idx, k, f => r.searchBmw(query, f), afterPred,
+      rankedByDocId(spark, r.scoreAllDf(query), idx)
+        .where(afterPred).orderBy(desc("score"), asc("doc_id")).limit(k))
+  }
+
+  /** Bounded page cut shared by the cursor family: over-fetch top-M by
+    * exact score, rank under the 6-dp output protocol, keep the rows
+    * passing `pagePred`, serve the first k — PROVABLY complete when either
+    * (a) the fetch returned fewer hits than asked (it IS the whole match
+    * set), or (b) k rows survive the cut and the k-th's rounded score is
+    * strictly above the fetch tail's rounded score (every unfetched doc
+    * rounds to <= the tail, so none can enter or tie into the page; ties
+    * at the cursor boundary are inside the fetch by the same argument).
+    * Unstable after one growth -> the caller's exact rank-all fallback.
+    */
+  private def stablePage(spark: SparkSession, idx: String, k: Int,
+      fetchHits: Int => Array[graft.query.SearchHit],
+      pagePred: org.apache.spark.sql.Column, fallback: => DataFrame): DataFrame = {
+    import spark.implicits._
+    def round6(s: Double): Double =
+      math.BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val fetch0 = math.max(k * 20, 200)
+    for (f <- Seq(fetch0, fetch0 * 8)) {
+      val hits = fetchHits(f)
+      val pageDf = rankedByDocId(spark, broadcast(spark.createDataset(hits.toSeq).toDF()), idx)
+        .where(pagePred).orderBy(desc("score"), asc("doc_id")).limit(k)
+      if (hits.length < f) return pageDf // complete match set — exact
+      val page = pageDf.collect() // <= k rows, bounded
+      // hits are (score desc, docId asc) — last hit is the fetch tail
+      if (page.length == k && page.last.getDouble(1) > round6(hits.last.score))
+        return pageDf
+    }
+    fallback
+  }
 
   /** ES highlighting, pinned v1 form (`upstream:` the LOD API returns ES
     * highlight fragments on every search): for the top-k docs of a
@@ -364,6 +411,38 @@ object DocumentsIndex {
       .select(col("doc_id"), col("n_terms"))
       .orderBy("doc_id")
 
+  /** ES histogram aggregation over the engine registry's doc-length column
+    * (integer-exact — no float protocol): the engine-side numeric bucket
+    * agg next to the keyword facet. The twin recomputes dl from the text,
+    * so a green row also re-checks the registry's dl against raw
+    * tokenization.
+    */
+  def histogramAgg(spark: SparkSession, sfDir: String, width: Long): DataFrame =
+    reader(spark, sfDir).histogramAggDf(width)
+      .select(col("bucket_lo"), col("n"))
+      .orderBy("bucket_lo")
+
+  /** ES regexp term query over the text index, keyed by doc_id
+    * (integer-exact matched-term counts).
+    */
+  def regexpMatch(spark: SparkSession, sfDir: String, pattern: String): DataFrame =
+    reader(spark, sfDir).matchRegexpDf(pattern)
+      .join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("doc_id"), col("n_terms"))
+      .orderBy("doc_id")
+
+  /** Bounded fuzzy serving under the shared output protocol — the form a
+    * client calls (top-k, never the full scored match set); same stability
+    * over-fetch as every bounded path, rank-all [[fuzzyMatch]] as fallback.
+    */
+  def fuzzyMatchTopK(spark: SparkSession, sfDir: String, term: String,
+      maxEdits: Int, k: Int): DataFrame = {
+    val r = reader(spark, sfDir)
+    stableTopK(spark, indexDir(spark, sfDir), k,
+      f => r.fuzzyTopK(term, maxEdits, f),
+      fuzzyMatch(spark, sfDir, term, maxEdits).limit(k))
+  }
+
   /** ES terms aggregation (facet counts) over the TAGS field's dictionary —
     * the engine-side form: the sub-index dictionary IS the agg, no postings
     * and no documents are scanned.
@@ -431,13 +510,28 @@ object DocumentsIndex {
     * partition counts) or k <= 0 falls back to rank-all joined on the
     * STABLE doc_id key, which needs no alignment.
     */
-  def multiMatch(spark: SparkSession, sfDir: String, query: String, k: Int): DataFrame = {
+  def multiMatch(spark: SparkSession, sfDir: String, query: String, k: Int): DataFrame =
+    multiMatch(spark, sfDir, query, k, Seq("text", "tags"))
+
+  /** The fielded form accepting ES `fields` specs with boosts —
+    * `Seq("text^2", "tags")` — over this driver table's two analyzed
+    * fields. Boosts scale at the term-meta level (BlockMaxWand.boostMeta),
+    * so the bounded WAND serving path and the rank-all fallback stay
+    * bit-identical under any boost, and WAND's pruning bounds stay exact.
+    */
+  def multiMatch(spark: SparkSession, sfDir: String, query: String, k: Int,
+      fields: Seq[String]): DataFrame = {
+    val parsed = fields.map(graft.index.MultiFieldIndex.parseFieldBoost)
+    require(parsed.map(_._1).sorted == Seq("tags", "text"),
+      s"driver multi_match serves fields text+tags, got ${fields.mkString(",")}")
+    val boostOf = parsed.toMap
+    val (textB, tagsB) = (boostOf("text"), boostOf("tags"))
     val textIdx = indexDir(spark, sfDir)
     val tagsIdx = tagsIndexDir(spark, sfDir)
     def rankAll: DataFrame = {
-      val text = reader(spark, sfDir).scoreAllDf(query)
+      val text = reader(spark, sfDir).scoreAllDf(query, textB)
         .join(docIdMap(spark, sfDir), Seq("docId")).select(col("doc_id"), col("score").as("s_text"))
-      val tags = tagsReader(spark, sfDir).scoreAllDf(query)
+      val tags = tagsReader(spark, sfDir).scoreAllDf(query, tagsB)
         .join(docIdMapOf(spark, tagsIdx), Seq("docId"))
         .select(col("doc_id"), col("score").as("s_tags"))
       val out = text.join(tags, Seq("doc_id"), "full_outer")
@@ -447,13 +541,14 @@ object DocumentsIndex {
       if (k > 0) out.limit(k) else out
     }
     val rs = Seq(reader(spark, sfDir), tagsReader(spark, sfDir))
+    val boosts = Seq(textB, tagsB)
     val aligned = rs.forall(_.segments.size == 1) && {
       val geoms = Seq(textIdx, tagsIdx).map(InvertedIndex.readPlanGeometry(spark, _))
       geoms.forall(_.isDefined) && geoms.distinct.size == 1
     }
     if (k > 0 && aligned)
       stableTopK(spark, textIdx, k,
-        f => graft.index.MultiFieldIndex.multiMatchTopKReaders(spark, rs, query, f),
+        f => graft.index.MultiFieldIndex.multiMatchTopKReaders(spark, rs, query, f, boosts),
         rankAll)
     else rankAll
   }

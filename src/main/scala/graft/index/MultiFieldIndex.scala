@@ -31,6 +31,24 @@ import org.apache.spark.sql.functions._
 object MultiFieldIndex {
   def fieldDir(dir: String, field: String): String = s"$dir/fields/$field"
 
+  /** ES field^boost syntax (`multi_match` `fields: ["title^2", "text"]`):
+    * parse a field spec into (field, boost); no `^` means boost 1.0.
+    * Boosts must be positive — a zero boost silently dropping a field is a
+    * caller bug, ES rejects it too.
+    */
+  def parseFieldBoost(spec: String): (String, Double) = spec.split('^') match {
+    case Array(f) => (f, 1.0)
+    case Array(f, b) =>
+      val boost = b.toDouble
+      require(boost > 0.0, s"field boost must be positive: '$spec'")
+      (f, boost)
+    case _ => throw new IllegalArgumentException(s"bad field spec '$spec'")
+  }
+
+  private def boostMeta(meta: Map[String, graft.query.BlockMaxWand.TermMeta],
+      boost: Double): Map[String, graft.query.BlockMaxWand.TermMeta] =
+    graft.query.BlockMaxWand.boostMeta(meta, boost)
+
   /** Build one sub-index per (field name -> string column) over a source
     * carrying the (repo, path, commit, lang) key columns. Null field values
     * index as empty documents (dl = 0 — they match nothing, score nothing,
@@ -63,11 +81,13 @@ object MultiFieldIndex {
   def multiMatchScoreAll(spark: SparkSession, dir: String, fields: Seq[String],
       query: String): DataFrame = {
     require(fields.nonEmpty, "multiMatch needs at least one field")
-    val perField = fields.map { f =>
-      reader(spark, dir, f).scoreAllDf(query).withColumnRenamed("score", s"score_$f")
+    val perField = fields.map(parseFieldBoost).map { case (f, boost) =>
+      reader(spark, dir, f).scoreAllDf(query, boost).withColumnRenamed("score", s"score_$f")
     }
     val joined = perField.reduce((a, b) => a.join(b, Seq("docId"), "full_outer"))
-    val total = fields.map(f => coalesce(col(s"score_$f"), lit(0.0))).reduce(_ + _)
+    val total = fields.map(parseFieldBoost).map { case (f, _) =>
+      coalesce(col(s"score_$f"), lit(0.0))
+    }.reduce(_ + _)
     joined.select(col("docId"), total.as("score"))
   }
 
@@ -90,8 +110,11 @@ object MultiFieldIndex {
     * float association (BlockMaxWand.scoreCursors groupOf).
     */
   def multiMatchTopK(spark: SparkSession, dir: String, fields: Seq[String],
-      query: String, k: Int): Array[graft.query.SearchHit] =
-    multiMatchTopKReaders(spark, fields.map(f => reader(spark, dir, f)), query, k)
+      query: String, k: Int): Array[graft.query.SearchHit] = {
+    val parsed = fields.map(parseFieldBoost)
+    multiMatchTopKReaders(spark, parsed.map { case (f, _) => reader(spark, dir, f) },
+      query, k, parsed.map(_._2))
+  }
 
   /** The same exact cross-field WAND over ALREADY-CONSTRUCTED per-field
     * readers — lets a caller whose sub-indexes live outside the
@@ -102,8 +125,8 @@ object MultiFieldIndex {
     * a cheap necessary condition, not a proof.
     */
   def multiMatchTopKReaders(spark: SparkSession, readers: Seq[IndexReader],
-      query: String, k: Int): Array[graft.query.SearchHit] =
-    multiMatchTopKDs(spark, readers, query, k).collect()
+      query: String, k: Int, boosts: Seq[Double] = Nil): Array[graft.query.SearchHit] =
+    multiMatchTopKDs(spark, readers, query, k, boosts).collect()
 
   /** The cross-field WAND as an UNCOLLECTED Dataset — the whole top-k is
     * one Spark job (union of per-field pruned scans -> docId re-bucket ->
@@ -111,11 +134,15 @@ object MultiFieldIndex {
     * the plan lets callers and the explain evidence see exactly that.
     */
   def multiMatchTopKDs(spark: SparkSession, readers: Seq[IndexReader],
-      query: String, k: Int): org.apache.spark.sql.Dataset[graft.query.SearchHit] = {
+      query: String, k: Int, boosts: Seq[Double] = Nil)
+      : org.apache.spark.sql.Dataset[graft.query.SearchHit] = {
     import spark.implicits._
     require(readers.nonEmpty, "multiMatch needs at least one field")
+    require(boosts.isEmpty || boosts.size == readers.size,
+      s"boosts must be empty or match readers: ${boosts.size} vs ${readers.size}")
+    val fieldBoosts = if (boosts.isEmpty) Seq.fill(readers.size)(1.0) else boosts
     val qterms = readers.head.analyze(query)
-    val metas = readers.map(_.termMeta(qterms))
+    val metas = readers.zip(fieldBoosts).map { case (r, b) => boostMeta(r.termMeta(qterms), b) }
     if (metas.forall(_.isEmpty)) return spark.emptyDataset[graft.query.SearchHit]
     val perDocCounts = readers.map(_.stats.numDocs)
     require(perDocCounts.distinct.size == 1,

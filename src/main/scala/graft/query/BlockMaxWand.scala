@@ -160,6 +160,20 @@ final class TermCursor(val term: String, val idf: Double, val ubGlobal: Double,
 object BlockMaxWand {
   final case class TermMeta(term: String, idf: Double, maxImpact: Double)
 
+  /** Per-clause/field boost applied where every scoring path reads its term
+    * statistics: both idf (the score contribution multiplier) AND maxImpact
+    * (the WAND upper bound) scale together, so Block-Max pruning and the
+    * cross-field pivot sum stay EXACT under boosts — a bound left unscaled
+    * would make WAND skip docs the boosted scores still rank. Scaling at
+    * the meta level (not the per-field sum) keeps the bounded WAND path and
+    * the relational rank-all path bit-identical for ANY boost: both fold
+    * the same boosted per-term contributions in the same order.
+    */
+  def boostMeta(meta: Map[String, TermMeta], boost: Double): Map[String, TermMeta] =
+    if (boost == 1.0) meta
+    else meta.view.mapValues(m =>
+      m.copy(idf = m.idf * boost, maxImpact = m.maxImpact * boost)).toMap
+
   final case class BucketStats(var decoded: Long = 0L, var skipped: Long = 0L, var scoredDocs: Long = 0L)
 
   /** termBlocks: per query term, this bucket's blocks. Returns the

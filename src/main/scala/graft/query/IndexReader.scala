@@ -335,6 +335,23 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       shouldCredit))
   }
 
+  /** ES per-clause `boost` (bool clause / term query boost), keyed by
+    * ANALYZED term: scales that term's idf and WAND bound together
+    * (BlockMaxWand.boostMeta semantics, per-term). Terms without an entry
+    * keep boost 1.0; boosts for absent terms are ignored (the clause
+    * already dropped). Must be positive — ES rejects non-positive boosts.
+    */
+  private def applyClauseBoosts(meta: Map[String, BlockMaxWand.TermMeta],
+      boosts: Map[String, Double]): Map[String, BlockMaxWand.TermMeta] =
+    if (boosts.isEmpty) meta
+    else {
+      boosts.values.foreach(b => require(b > 0.0, s"clause boost must be positive, got $b"))
+      meta.map { case (t, m) =>
+        val b = boosts.getOrElse(t, 1.0)
+        t -> (if (b == 1.0) m else m.copy(idf = m.idf * b, maxImpact = m.maxImpact * b))
+      }
+    }
+
   /** Empty (docId: long, <name>: <dt>) frame — the one shape every query
     * family's empty result takes (score, n_terms, phrase_tf, min_gap).
     */
@@ -355,9 +372,11 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * postings are scanned.
     */
   def searchBool(must: Seq[String], should: Seq[String] = Nil,
-      mustNot: Seq[String] = Nil, k: Int = 10, minShould: Int = 0): Array[SearchHit] = {
+      mustNot: Seq[String] = Nil, k: Int = 10, minShould: Int = 0,
+      boosts: Map[String, Double] = Map.empty): Array[SearchHit] = {
     val clauses = boolClauses(must, should, mustNot).getOrElse(return Array.empty)
-    val (mustT, shouldT, notT, meta, shouldCredit) = clauses
+    val (mustT, shouldT, notT, meta0, shouldCredit) = clauses
+    val meta = applyClauseBoosts(meta0, boosts)
     // minimum_should_match counts MATCHING should clauses; a should clause
     // duplicating a must clause always matches (ES credits it), so the
     // effective floor over the DEDUPED shouldT drops by the overlap. An
@@ -394,10 +413,12 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * flatMap — must_not postings never carry payloads anywhere).
     */
   def searchBoolDf(must: Seq[String], should: Seq[String] = Nil,
-      mustNot: Seq[String] = Nil, minShould: Int = 0): DataFrame = {
+      mustNot: Seq[String] = Nil, minShould: Int = 0,
+      boosts: Map[String, Double] = Map.empty): DataFrame = {
     import spark.implicits._
     val clauses = boolClauses(must, should, mustNot).getOrElse(return emptyHits)
-    val (mustT, shouldT, notT, meta, shouldCredit) = clauses
+    val (mustT, shouldT, notT, meta0, shouldCredit) = clauses
+    val meta = applyClauseBoosts(meta0, boosts)
     // must∩should overlap always matches → credit it against the floor
     // (same rule as searchBool; keeps both paths ES-consistent)
     val effShould = math.max(0, minShould - shouldCredit)
@@ -496,6 +517,13 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * Spark's codegen'd built-in ON THE EXECUTORS — only matching terms ever
     * reach the driver; the dictionary is postings-scale smaller than the
     * corpus, the same economics as [[expandPrefix]]).
+    *
+    * PINNED DISTANCE: classic Levenshtein (insert/delete/substitute — the
+    * Spark built-in). ES/Lucene fuzziness defaults to Damerau-OSA, where a
+    * TRANSPOSITION counts as ONE edit — 'ba' is within fuzziness=1 of 'ab'
+    * there but distance 2 here. Documented divergence (SURVEY.md §2.3 B18);
+    * the DuckDB twin's levenshtein() pins the same classic distance, so
+    * cross-engine parity is unaffected.
     */
   def expandFuzzy(term: String, maxEdits: Int = 2, maxExpansions: Int = 50): Array[String] = {
     val q = singleTerm(term, "fuzzy term")
@@ -559,6 +587,80 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     }, maxExpansions)
   }
 
+  /** ES `regexp` term query (Lucene: automaton ∩ term dictionary): terms
+    * whose ENTIRE text matches `pattern` (ES regexp is anchored), expanded
+    * through the same capped df-ranked dictionary scan as wildcard — the
+    * automaton intersection re-expressed as a distributed rlike over the
+    * term-sorted dictionary, which is postings-scale smaller than the
+    * corpus. Only a VALIDATED-SAFE subset is accepted (literals over the
+    * analyzer charset, `.`, classes `[...]`, quantifiers `* + ?` on single
+    * atoms, alternation, grouping WITHOUT a quantifier on the group):
+    * rejecting quantified groups makes catastrophic backtracking
+    * structurally impossible on executor threads — `(a+)+` over a 64-char
+    * term is exponential, and a query string must never be able to wedge
+    * an executor. Unsupported-but-safe constructs can widen the validator
+    * later; unsafe ones cannot.
+    */
+  def expandRegexp(pattern: String, maxExpansions: Int = 128): Array[String] = {
+    val pat = validateRegexp(pattern)
+    cappedByDf(segments.map { seg =>
+      Tables.read(spark, seg, InvertedIndex.DictTable)
+        .where(col("term").rlike(pat))
+        .select(col("term"), col("df"))
+    }, maxExpansions)
+  }
+
+  /** Validate the safe regexp subset and return the anchored java pattern.
+    * Grammar walked char-by-char: quantifiers may follow ONLY a literal,
+    * `.`, or a `[...]` class — never `)` (no quantified groups), another
+    * quantifier, or the start of an alternative.
+    */
+  private def validateRegexp(pattern: String): String = {
+    val pat = pattern.trim
+    require(pat.nonEmpty && pat.length <= 128, s"regexp pattern empty or too long: '$pattern'")
+    def isLit(c: Char) = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
+    var depth = 0
+    var prev: Char = '(' // sentinel: nothing quantifiable yet
+    var i = 0
+    while (i < pat.length) {
+      pat(i) match {
+        case c if isLit(c) => prev = 'a'
+        case '.' => prev = 'a'
+        case '[' =>
+          val close = pat.indexOf(']', i + 1)
+          require(close > i + 1, s"unterminated or empty class in '$pattern'")
+          val body = pat.substring(i + 1, close)
+          require(body.forall(c => isLit(c) || c == '-'),
+            s"class may contain only [a-z0-9_-]: '[$body]' in '$pattern'")
+          i = close
+          prev = 'a'
+        case '*' | '+' | '?' =>
+          require(prev == 'a', s"quantifier must follow a literal/./class (no quantified groups): '$pattern'")
+          prev = 'q'
+        case '|' => prev = '('
+        case '(' => depth += 1; prev = '('
+        case ')' =>
+          depth -= 1
+          require(depth >= 0, s"unbalanced ')' in '$pattern'")
+          prev = ')'
+        case c => throw new IllegalArgumentException(
+          s"regexp char '$c' outside the safe subset [a-z0-9_.\\[\\]()|*+?]: '$pattern'")
+      }
+      i += 1
+    }
+    require(depth == 0, s"unbalanced '(' in '$pattern'")
+    "^(?:" + pat + ")$"
+  }
+
+  /** ES `regexp` query serving: capped expansion feeding the SAME
+    * tbucket-pruned ids-only membership tail as prefix/wildcard.
+    */
+  def matchRegexpDf(pattern: String, maxExpansions: Int = 128): DataFrame = {
+    val terms = expandRegexp(pattern, maxExpansions)
+    if (terms.isEmpty) return emptyMembership
+    membershipCounts(idScanWithTerm(terms.toSeq))
+  }
+
   /** ES `more_like_this` term selection (Lucene MoreLikeThis): rank the
     * LIKE text's analyzer terms by tf-in-text × idf, apply the
     * minTermFreq / minDocFreq floors, keep the top `maxQueryTerms` —
@@ -612,6 +714,47 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       else scans.reduce(_ unionByName _).groupBy("term").agg(sum("df").as("df"))
     merged.orderBy(desc("df"), asc("term")).limit(size)
   }
+
+  /** ES `histogram` aggregation over the engine's doc-values-shaped numeric
+    * column (the registry's doc length): fixed-width buckets
+    * `bucket_lo = floor(dl / width) * width` with per-bucket doc counts —
+    * the numeric sibling of [[termsAggDf]] (`date_histogram` and `range`
+    * reduce to the same floor/CASE groupBy over an epoch or bound column).
+    * The registry IS the agg input: no postings, no documents; one scan of
+    * the dl column + one map-side-combined groupBy per segment union.
+    */
+  def histogramAggDf(width: Long): DataFrame = {
+    require(width > 0, "histogram width must be positive")
+    segments.map(seg =>
+      Tables.read(spark, seg, InvertedIndex.DocsTable).select(col("dl")))
+      .reduce(_ unionByName _)
+      .groupBy((floor(col("dl") / width) * width).cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Bounded top-k over the fuzzy expansion — [[matchFuzzyDf]]'s serving
+    * form (a client asks top-10, not the full scored match set): the capped
+    * expansion's term metas feed the SAME Block-Max WAND as a plain match
+    * (each expanded term under its own idf — the pinned divergence from
+    * Lucene's blended-idf rewrite, documented at [[matchFuzzyDf]]).
+    */
+  def fuzzyTopK(term: String, maxEdits: Int = 2, k: Int = 10,
+      maxExpansions: Int = 50): Array[SearchHit] =
+    bmwTopK(termMeta(expandFuzzy(term, maxEdits, maxExpansions)), k)
+
+  /** Bounded top-k over the wildcard expansion, scored as a term OR (the
+    * constant_score membership form stays [[matchWildcardDf]]).
+    */
+  def wildcardTopK(pattern: String, k: Int = 10,
+      maxExpansions: Int = 128): Array[SearchHit] =
+    bmwTopK(termMeta(expandWildcard(pattern, maxExpansions)), k)
+
+  /** Bounded top-k over the more_like_this term selection — note the
+    * SOURCE DOC is not excluded here (the caller filters it, as
+    * DocumentsIndex.moreLikeThis does); fetch k+1 when excluding.
+    */
+  def mltTopK(likeText: String, k: Int = 10, maxQueryTerms: Int = 25): Array[SearchHit] =
+    bmwTopK(termMeta(selectMltTerms(likeText, maxQueryTerms)), k)
 
   /** ES `prefix` query (SURVEY.md §2.3 B17): docs containing at least one
     * term starting with `prefix`, with `n_terms` = the distinct matching
@@ -816,14 +959,18 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * Block-max pruning cannot help when every match must be returned, so
     * this path skips WAND entirely.
     */
-  def scoreAllDf(query: String): DataFrame = scoreAllTerms(analyze(query))
+  def scoreAllDf(query: String, boost: Double = 1.0): DataFrame =
+    scoreAllTerms(analyze(query), boost)
 
   /** Rank-all over an EXPLICIT term set — the shared serving tail of
     * [[scoreAllDf]] and the expansion queries (fuzzy/wildcard scored form):
     * whatever produced the terms, scoring is the same Σ idf·tfNorm fold.
+    * `boost` scales every term's idf BEFORE the fold (the meta level —
+    * see MultiFieldIndex.boostMeta for why bounds and sums scale there),
+    * so a boosted field's rank-all is bit-identical to its boosted WAND.
     */
-  def scoreAllTerms(terms: Array[String]): DataFrame = {
-    val meta = termMeta(terms)
+  def scoreAllTerms(terms: Array[String], boost: Double = 1.0): DataFrame = {
+    val meta = BlockMaxWand.boostMeta(termMeta(terms), boost)
     if (meta.isEmpty) return emptyHits
     contribs(meta)
       .groupBy("docId")
