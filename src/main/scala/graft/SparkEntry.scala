@@ -109,6 +109,11 @@ object SparkEntry {
     // -occurrence 80-char fragment with <em> around the match, for the
     // top-10 of a single-term query.
     "b28_highlight" -> ((s, d) => DocumentsIndex.highlight(s, d, "vector", 10)),
+    // B22 highlighting v2 (multi-term, char-offset token-exact — ES unified
+    // highlighter shape): one fragment anchored at the first matched token
+    // of "hash join", every matched token inside the window wrapped; the
+    // twin pins the identical anchor-window rule.
+    "b33_highlight_multi" -> ((s, d) => DocumentsIndex.highlightMulti(s, d, "hash join", 10)),
     // B15 span_near, unordered (Lucene SpanNearQuery in_order=false):
     // "hash" and "join" within total gap <= 3 in either order, with the
     // tightest cover's gap.
@@ -592,6 +597,35 @@ object SparkEntry {
           |         || '<em>' || substr(text, p, 6) || '</em>'
           |         || substr(text, p + 6, 30) AS highlight
           |FROM h WHERE p > 0 ORDER BY doc_id""".stripMargin),
+    // highlight-v2 twin: anchor = min positive padded-strpos over the query
+    // terms (padded-strpos == 1-based token start in this space-separated
+    // corpus — the engine's char-offset tokenizer needs no such assumption;
+    // the punctuation-robust general form is sbt-gated in HighlightSpec);
+    // wrapping = regexp_replace with \b boundaries, which over lowercase
+    // text is EXACTLY the analyzer boundary (RE2 \w == [a-z0-9_])
+    "b33_highlight_multi" ->
+      (s"""WITH top10 AS (
+          |  SELECT doc_id FROM (
+          |${bm25Sql(Seq("hash", "join"), 10).linesIterator.map("    " + _).mkString("\n")}
+          |  )
+          |),
+          |""".stripMargin +
+        """h AS (
+          |  SELECT d.doc_id, d.text,
+          |         strpos(' ' || lower(d.text) || ' ', ' hash ') AS ph,
+          |         strpos(' ' || lower(d.text) || ' ', ' join ') AS pj
+          |  FROM documents d JOIN top10 USING (doc_id)),
+          |a AS (
+          |  SELECT doc_id, text,
+          |         CASE WHEN ph > 0 AND (pj = 0 OR ph <= pj) THEN ph ELSE pj END AS p
+          |  FROM h WHERE ph > 0 OR pj > 0),
+          |f AS (
+          |  SELECT doc_id,
+          |         substr(text, greatest(1, p - 30), p + 4 + 30 - greatest(1, p - 30)) AS frag
+          |  FROM a)
+          |SELECT doc_id,
+          |       regexp_replace(frag, '\b(hash|join)\b', '<em>\1</em>', 'g') AS highlight
+          |FROM f ORDER BY doc_id""".stripMargin),
     // span-near twin (2 terms, unordered): min over position pairs of
     // |p1 - p0| - 1 is exactly the minimal covering gap
     "b27_span_near" ->

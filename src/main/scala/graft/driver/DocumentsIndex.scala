@@ -335,6 +335,31 @@ object DocumentsIndex {
       .orderBy("doc_id")
   }
 
+  /** Highlighting v2 (general multi-term form — HighlightOps.fragmentMulti
+    * semantics): for the top-k docs of `query`, one fragment anchored at the
+    * first matched token, every matched token inside the window wrapped in
+    * `<em>`. Token-exact via the char-offset tokenizer — no space-padding
+    * corpus assumption (the v1 single-term expression in [[highlight]] stays
+    * as the all-builtin fast path). Plan shape: the tiny top-k broadcast
+    * -joins the source table; the fragment is a typed flatMap over the k
+    * joined rows (re-tokenizing k documents — never the corpus).
+    */
+  def highlightMulti(spark: SparkSession, sfDir: String, query: String, k: Int,
+      window: Int = 30): DataFrame = {
+    import spark.implicits._
+    val terms = reader(spark, sfDir).analyze(query).toSet
+    val top = bm25(spark, sfDir, query, k).select("doc_id")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    broadcast(top).join(docs, Seq("doc_id"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.ops.HighlightOps.fragmentMulti(text, terms, window).map(h => (id, h))
+      }
+      .toDF("doc_id", "highlight")
+      .orderBy("doc_id")
+  }
+
   /** ES `more_like_this` over the text index: the source doc's text ranks
     * its own terms by tf·idf (IndexReader.selectMltTerms), the top
     * `maxQueryTerms` run as a scored OR (rank-all — exact), and the source

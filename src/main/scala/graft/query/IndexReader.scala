@@ -69,6 +69,11 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   val skippedBlocksAcc: LongAccumulator = spark.sparkContext.longAccumulator("graft.bmw.skippedBlocks")
   val scoredDocsAcc: LongAccumulator = spark.sparkContext.longAccumulator("graft.bmw.scoredDocs")
 
+  // memo for matchPrefixDf's bounded expansion probe — see the HOT-PREFIX
+  // MEMO note there. @transient: driver-side cache, never shipped.
+  @transient private lazy val prefixProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[Array[String]]]()
+
   def analyze(query: String): Array[String] =
     CodeTokenizer.tokenize(query).distinct.sorted
 
@@ -781,9 +786,15 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     // whole expansion on the driver just to learn it exceeded the cap —
     // a segment returning cap+1 rows marks its list incomplete and the
     // range scan stands.
+    // HOT-PREFIX MEMO: the probe result is a pure function of (prefix
+    // range, cap) over this reader's segment set, which is FIXED for the
+    // reader's lifetime (`segments` is a construction-time val; a delta
+    // commit is served by a new reader) — so a repeated prefix query skips
+    // the probe job entirely and pays only the postings scan. Bounded:
+    // one Option[Array[<= cap terms]] per distinct queried prefix.
     val expanded: Option[Array[String]] =
       if (pruneCap <= 0) None
-      else {
+      else prefixProbeCache.computeIfAbsent((lo, pruneCap), _ => {
         val per = segments.map(seg =>
           Tables.read(spark, seg, InvertedIndex.DictTable)
             .where(col("term") >= lo && col("term") < hi)
@@ -791,7 +802,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
         val terms = per.flatten.distinct.toArray
         if (per.forall(_.length <= pruneCap) && terms.length <= pruneCap) Some(terms)
         else None
-      }
+      })
     val scans = segments.zip(segBuckets).map { case (seg, b) =>
       val rangePred = col("term") >= lo && col("term") < hi
       val pred = expanded match {

@@ -56,6 +56,40 @@ object CodeTokenizer extends Serializable {
     out.result()
   }
 
+  /** One analyzer token with its RAW character span in the source string:
+    * `term` is the pinned analyzed form (lowercased, 64-truncated) while
+    * [start, end) is the full raw run of word chars (0-based, end
+    * exclusive) — highlighting wraps the raw span, matching wraps the term.
+    * lower() is length-preserving for this ASCII charset, so offsets in the
+    * lowercased scan are valid indices into the ORIGINAL string.
+    */
+  final case class TokenSpan(term: String, start: Int, end: Int)
+
+  /** [[tokenize]] with character offsets — the char-offset pass the
+    * highlighter family needs (ES stores these as token offsets in the
+    * postings; here the source text is at hand when highlighting, so one
+    * re-tokenize of k documents beats carrying offsets for the whole
+    * corpus). Same pinned split/lowercase/truncate semantics as
+    * [[tokenize]]; a differential test pins `map(_.term)` == tokenize.
+    */
+  def tokenizeWithOffsets(content: String): Array[TokenSpan] = {
+    if (content == null || content.isEmpty) return Array.empty
+    val s = content.toLowerCase(java.util.Locale.ROOT)
+    val n = s.length
+    val out = mutable.ArrayBuilder.make[TokenSpan]
+    var i = 0
+    while (i < n) {
+      while (i < n && !isWordChar(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && isWordChar(s.charAt(i))) i += 1
+        val len = math.min(i - start, MaxTermLen)
+        out += TokenSpan(s.substring(start, start + len), start, i)
+      }
+    }
+    out.result()
+  }
+
   /** Token COUNT without materializing any token string — the registry only
     * needs dl, and allocating ~200 substrings per document just to count
     * them was a measurable share of build GC time.

@@ -248,6 +248,128 @@ class BoolQuerySpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("regexp expansion == brute vocabulary regex; match == raw-rows oracle; unsafe rejected") {
+    val rawRows = oracle.rows.collect()
+    val vocab = rawRows.map(_._2).distinct
+    var nonEmpty = 0
+    for (pat <- Seq("de.*", "(b|d)[a-z_]*f", "z10[0-9]_id", "val|class", "qqq.*zzz")) {
+      val rx = ("^(?:" + pat + ")$").r
+      val expTerms = vocab.filter(t => rx.matches(t)).sorted.toSeq
+      assert(reader.expandRegexp(pat).toSeq == expTerms, s"regexp expansion for '$pat'")
+      val want = rawRows.filter(r => rx.matches(r._2))
+        .groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).distinct.length.toLong }
+      val got = reader.matchRegexpDf(pat).as[(Long, Long)].collect().toMap
+      assert(got == want, s"regexp match for '$pat'")
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 3, "regexp gate near-vacuous — fixture too sparse")
+    // the validator must reject everything that could backtrack or escape
+    // the charset: quantified groups, counted repeats, escapes, upper case,
+    // unbalanced structure, stacked quantifiers, leading quantifiers
+    for (bad <- Seq("(a+)+", "(ab)*", "a{2,3}", "a\\d", "[A-Z]", "", "a(", "a)b",
+        "[ab", "[]", "a**", "|*a", "a" * 129))
+      intercept[IllegalArgumentException](reader.expandRegexp(bad))
+    // maxExpansions cap keeps the HIGHEST-df members (same contract as fuzzy)
+    val full = reader.expandRegexp("de.*|val|class")
+    if (full.length > 2) {
+      val dfs = rawRows.filter(r => full.contains(r._2)).groupBy(_._2)
+        .map { case (t, rs) => t -> rs.map(_._1).distinct.length }
+      val expectCap = full.sortBy(t => (-dfs(t), t)).take(2).sorted.toSeq
+      assert(reader.expandRegexp("de.*|val|class", maxExpansions = 2).toSeq == expectCap)
+    }
+  }
+
+  test("bounded fuzzy/wildcard/MLT top-k == rank-all + limit (same docs, same order)") {
+    // the serving forms a real client calls: each must be indistinguishable
+    // from its exact rank-all twin cut at k (the b14 gate protocol)
+    def rankAllCut(df: org.apache.spark.sql.DataFrame, k: Int): Seq[(Long, Double)] =
+      df.orderBy(desc("score"), asc("docId")).limit(k).as[(Long, Double)].collect().toSeq
+    for (k <- Seq(3, 10)) {
+      val fTop = reader.fuzzyTopK("deff", 2, k).map(h => (h.docId, h.score)).toSeq
+      assert(fTop == rankAllCut(reader.matchFuzzyDf("deff", 2), k), s"fuzzy top-$k")
+      val wTerms = reader.expandWildcard("*uf*")
+      val wTop = reader.wildcardTopK("*uf*", k).map(h => (h.docId, h.score)).toSeq
+      assert(wTop == rankAllCut(reader.scoreAllTerms(wTerms), k), s"wildcard top-$k")
+      val like = corpus.limit(1).collect().head.content
+      val mTop = reader.mltTopK(like, k, 5).map(h => (h.docId, h.score)).toSeq
+      assert(mTop == rankAllCut(reader.scoreAllTerms(reader.selectMltTerms(like, 5)), k),
+        s"mlt top-$k")
+    }
+  }
+
+  test("clause boosts: both engine paths bit-agree; scores == boosted per-term recombination") {
+    def termScores(t: String): Map[Long, Double] =
+      oracle.topKBool(Nil, Seq(t), Nil, N.toInt + 1).map(h => h.docId -> h.score).toMap
+    val (m, sh) = (Seq("def"), Seq("val", "class"))
+    val boosts = Map("def" -> 0.5, "val" -> 2.0)
+    val (sDef, sVal, sCls) = (termScores("def"), termScores("val"), termScores("class"))
+    val want = sDef.keys.map { d =>
+      d -> (0.5 * sDef(d) + 2.0 * sVal.getOrElse(d, 0.0) + sCls.getOrElse(d, 0.0))
+    }.toMap
+    val got = reader.searchBool(m, sh, Nil, N.toInt + 1, 0, boosts)
+      .map(h => (h.docId, h.score)).toSeq
+    assert(got.map(_._1).toSet == want.keySet, "boosted bool doc set")
+    got.foreach { case (d, s) =>
+      assert(math.abs(s - want(d)) <= 1e-9 * math.max(1.0, math.abs(want(d))),
+        s"boosted score for doc $d: $s vs ${want(d)}")
+    }
+    // linearity: boosting "val" ×2 adds EXACTLY one extra val-contribution
+    val un = reader.searchBool(m, sh, Nil, N.toInt + 1).map(h => (h.docId, h.score)).toMap
+    val boostedVal = reader.searchBool(m, sh, Nil, N.toInt + 1, 0, Map("val" -> 2.0))
+      .map(h => (h.docId, h.score)).toMap
+    boostedVal.foreach { case (d, s) =>
+      val extra = sVal.getOrElse(d, 0.0)
+      assert(math.abs(s - (un(d) + extra)) <= 1e-9 * math.max(1.0, s),
+        s"boost linearity for doc $d")
+    }
+    // relational path agrees with the bucketed path under the same boosts
+    val gotDf = reader.searchBoolDf(m, sh, Nil, 0, boosts)
+      .orderBy(desc("score"), asc("docId")).as[(Long, Double)].collect().toSeq
+    assert(gotDf.map(_._1) == got.map(_._1), "boosted paths rank-diverge")
+    gotDf.zip(got).foreach { case (a, b) =>
+      assert(math.abs(a._2 - b._2) <= 1e-12 * math.max(1.0, math.abs(b._2)))
+    }
+    intercept[IllegalArgumentException](
+      reader.searchBool(m, sh, Nil, 10, 0, Map("def" -> 0.0)))
+  }
+
+  test("histogram agg == brute dl bucketing at widths 1/7/64; width must be positive") {
+    val dls = corpus.collect().map(f =>
+      graft.tokenize.CodeTokenizer.countTokens(f.content).toLong)
+    for (w <- Seq(1L, 7L, 64L)) {
+      val want = dls.groupBy(dl => dl / w * w).map { case (b, xs) => b -> xs.length.toLong }
+      val got = reader.histogramAggDf(w).as[(Long, Long)].collect().toMap
+      assert(got == want, s"histogram width $w")
+    }
+    intercept[IllegalArgumentException](reader.histogramAggDf(0L))
+  }
+
+  test("hot-prefix probe memoized: repeated prefix query skips the probe job") {
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    }
+    def countJobs(body: => Unit): Int = {
+      jobCount.set(0)
+      body
+      // listener delivery is async — poll until the count stabilizes
+      var prev = -1; var cur = jobCount.get
+      while (cur != prev) { Thread.sleep(300); prev = cur; cur = jobCount.get }
+      cur
+    }
+    val r2 = new IndexReader(spark, dir) // fresh reader -> cold memo
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val c1 = countJobs(r2.matchPrefixDf("de").collect())
+      val c2 = countJobs(r2.matchPrefixDf("de").collect())
+      val c3 = countJobs(r2.matchPrefixDf("de").collect())
+      assert(c2 < c1, s"second identical prefix query still ran the probe ($c1 -> $c2 jobs)")
+      assert(c3 == c2, s"steady-state job count drifts ($c2 -> $c3)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("bool across base ∪ delta segments") {
     val ddir = "/tmp/graft_test_bool_delta"
     Tables.delete(spark, "/tmp", "graft_test_bool_delta")

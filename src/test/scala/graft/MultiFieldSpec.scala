@@ -120,6 +120,46 @@ class MultiFieldSpec extends SparkSpec {
     }
   }
 
+  test("field boosts: parse specs; boosted WAND == boosted rank-all bit-exact; linear scaling") {
+    built
+    assert(MultiFieldIndex.parseFieldBoost("content^2") == ("content", 2.0))
+    assert(MultiFieldIndex.parseFieldBoost("meta") == ("meta", 1.0))
+    assert(MultiFieldIndex.parseFieldBoost("meta^1.5") == ("meta", 1.5))
+    intercept[IllegalArgumentException](MultiFieldIndex.parseFieldBoost("f^0"))
+    intercept[IllegalArgumentException](MultiFieldIndex.parseFieldBoost("f^-1"))
+    intercept[IllegalArgumentException](MultiFieldIndex.parseFieldBoost("f^2^3"))
+    // boosted WAND == boosted rank-all + limit, bit-exact — boosts scale at
+    // the term-meta level on BOTH paths, so the b14 exactness protocol
+    // carries over unchanged for ANY boost (not just powers of two)
+    for (q <- Seq("def scala", "rust z100_id", "val repo0001");
+        fields <- Seq(Seq("content^2", "meta"), Seq("content", "meta^4"),
+          Seq("content^1.5", "meta^0.5"))) {
+      for (k <- Seq(5, 25)) {
+        val want = MultiFieldIndex.multiMatchScoreAll(spark, dir, fields, q)
+          .orderBy(desc("score"), asc("docId")).limit(k)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val got = MultiFieldIndex.multiMatchTopK(spark, dir, fields, q, k)
+          .map(h => (h.docId, h.score)).toSeq
+        assert(got == want, s"boosted multiMatchTopK differs for '$q' $fields k=$k")
+      }
+    }
+    // linearity vs the exhaustive oracle: content^2 == 2·content + meta
+    val oracleC = fieldOracle("content")
+    val oracleM = fieldOracle("meta")
+    val q = "def scala"
+    val sc = oracleC.topK(q, Int.MaxValue).map(s => s.docId -> s.score).toMap
+    val sm = oracleM.topK(q, Int.MaxValue).map(s => s.docId -> s.score).toMap
+    val want = (sc.keySet ++ sm.keySet)
+      .map(d => d -> (2 * sc.getOrElse(d, 0.0) + sm.getOrElse(d, 0.0))).toMap
+    val got = MultiFieldIndex.multiMatchScoreAll(spark, dir, Seq("content^2", "meta"), q)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet, "boosted multi_match doc set")
+    got.foreach { case (d, s) =>
+      assert(math.abs(s - want(d)) <= 1e-9 * math.max(1.0, math.abs(want(d))),
+        s"boosted score for doc $d")
+    }
+  }
+
   test("multiMatchTopK == rank-all + limit, bit-exact (cross-field WAND gate)") {
     built
     for (q <- Seq("def scala", "rust z100_id", "val repo0001", "scala repo0001 buf_buf",
