@@ -138,6 +138,18 @@ object SparkEntry {
     // breaking bit-parity with the engine's per-term scaling.
     "b30_boost" -> ((s, d) =>
       DocumentsIndex.multiMatch(s, d, "spark src18 de", 20, Seq("text^2", "tags"))),
+    // B13 multi_match type=best_fields (ES's DEFAULT multi_match type,
+    // tie_breaker = 0): the best single field's score wins. Served through
+    // the SAME one-job cross-field WAND — the summed bounds upper-bound any
+    // tie_breaker <= 1 combine, so pruning stays exact.
+    "b34_best_fields" -> ((s, d) =>
+      DocumentsIndex.multiMatch(s, d, "spark src18 de", 20, Seq("text", "tags"), 0.0)),
+    // B19 date_histogram (ES calendar_interval=day) over the events stream:
+    // daily doc counts + value sums — the temporal sibling of a20.
+    "a21_date_histogram" -> ((s, d) =>
+      tbl(s, d, "events").groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("day")),
     // B19 histogram aggregation (ES histogram — the numeric sibling of the
     // terms agg): fixed-width-8 doc-length buckets straight off the engine
     // registry's dl column; the twin recomputes dl from the raw text, so a
@@ -748,6 +760,22 @@ object SparkEntry {
          |ORDER BY round(2 * coalesce(a.score, 0) + coalesce(b.score, 0), 6) DESC,
          |         coalesce(a.doc_id, b.doc_id)
          |LIMIT 20""".stripMargin,
+    // best_fields twin: greatest over the per-field sums — tie_breaker 0
+    // needs no float-order care beyond the per-field sums themselves
+    "b34_best_fields" ->
+      s"""WITH ${fieldBm25Ctes("text", "x", Seq("de", "spark", "src18"))},
+         |${fieldBm25Ctes("concat_ws(' ', lang, source)", "g", Seq("de", "spark", "src18"))}
+         |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |       round(greatest(coalesce(a.score, 0), coalesce(b.score, 0)), 6) AS score
+         |FROM xsc a FULL OUTER JOIN gsc b ON a.doc_id = b.doc_id
+         |ORDER BY round(greatest(coalesce(a.score, 0), coalesce(b.score, 0)), 6) DESC,
+         |         coalesce(a.doc_id, b.doc_id)
+         |LIMIT 20""".stripMargin,
+    // date_histogram twin: calendar-day truncation == date cast (both
+    // engines run UTC sessions over tz-less timestamps)
+    "a21_date_histogram" ->
+      """SELECT cast(ts AS date) AS day, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // histogram twin: dl recomputed from raw text (LEFT JOIN keeps dl = 0
     // docs — the engine registry indexes every doc), fixed-width floor
     // buckets; integer-exact, no float protocol

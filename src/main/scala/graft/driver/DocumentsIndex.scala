@@ -545,10 +545,24 @@ object DocumentsIndex {
     * bit-identical under any boost, and WAND's pruning bounds stay exact.
     */
   def multiMatch(spark: SparkSession, sfDir: String, query: String, k: Int,
-      fields: Seq[String]): DataFrame = {
+      fields: Seq[String]): DataFrame =
+    multiMatch(spark, sfDir, query, k, fields, 1.0)
+
+  /** The typed form (ES `multi_match` `type`): `tieBreaker` = 1.0 is the
+    * sum combine (`most_fields`); 0.0 is ES's DEFAULT `best_fields` (the
+    * best single field wins); between = `max + tieBreaker · (sum − max)`.
+    * Combine happens over the per-field partial sums on BOTH serving paths
+    * (scoreCursors group partials / the relational greatest+sum fold, same
+    * association), so bounded ≡ rank-all bit-exactness holds at any
+    * tieBreaker; WAND bounds sum across fields, a valid upper bound for
+    * every tieBreaker ≤ 1.
+    */
+  def multiMatch(spark: SparkSession, sfDir: String, query: String, k: Int,
+      fields: Seq[String], tieBreaker: Double): DataFrame = {
     val parsed = fields.map(graft.index.MultiFieldIndex.parseFieldBoost)
     require(parsed.map(_._1).sorted == Seq("tags", "text"),
       s"driver multi_match serves fields text+tags, got ${fields.mkString(",")}")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0, s"tie_breaker in [0,1], got $tieBreaker")
     val boostOf = parsed.toMap
     val (textB, tagsB) = (boostOf("text"), boostOf("tags"))
     val textIdx = indexDir(spark, sfDir)
@@ -559,9 +573,14 @@ object DocumentsIndex {
       val tags = tagsReader(spark, sfDir).scoreAllDf(query, tagsB)
         .join(docIdMapOf(spark, tagsIdx), Seq("docId"))
         .select(col("doc_id"), col("score").as("s_tags"))
+      // field order (text, tags) == the WAND path's group order
+      val perCol = Seq(coalesce(col("s_text"), lit(0.0)), coalesce(col("s_tags"), lit(0.0)))
+      val sum = perCol.reduce(_ + _)
+      val raw =
+        if (tieBreaker == 1.0) sum
+        else { val mx = greatest(perCol: _*); mx + lit(tieBreaker) * (sum - mx) }
       val out = text.join(tags, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          round(coalesce(col("s_text"), lit(0.0)) + coalesce(col("s_tags"), lit(0.0)), 6).as("score"))
+        .select(col("doc_id"), round(raw, 6).as("score"))
         .orderBy(desc("score"), asc("doc_id"))
       if (k > 0) out.limit(k) else out
     }
@@ -573,7 +592,8 @@ object DocumentsIndex {
     }
     if (k > 0 && aligned)
       stableTopK(spark, textIdx, k,
-        f => graft.index.MultiFieldIndex.multiMatchTopKReaders(spark, rs, query, f, boosts),
+        f => graft.index.MultiFieldIndex.multiMatchTopKReaders(spark, rs, query, f,
+          boosts, tieBreaker),
         rankAll)
     else rankAll
   }

@@ -79,15 +79,25 @@ object MultiFieldIndex {
     * 0 — distributed end-to-end.
     */
   def multiMatchScoreAll(spark: SparkSession, dir: String, fields: Seq[String],
-      query: String): DataFrame = {
+      query: String, tieBreaker: Double = 1.0): DataFrame = {
     require(fields.nonEmpty, "multiMatch needs at least one field")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0, s"tie_breaker in [0,1], got $tieBreaker")
     val perField = fields.map(parseFieldBoost).map { case (f, boost) =>
       reader(spark, dir, f).scoreAllDf(query, boost).withColumnRenamed("score", s"score_$f")
     }
     val joined = perField.reduce((a, b) => a.join(b, Seq("docId"), "full_outer"))
-    val total = fields.map(parseFieldBoost).map { case (f, _) =>
+    val perCol = fields.map(parseFieldBoost).map { case (f, _) =>
       coalesce(col(s"score_$f"), lit(0.0))
-    }.reduce(_ + _)
+    }
+    // field-order left fold == the WAND path's gsSum addition order;
+    // best_fields combine mirrors scoreCursors' max + tb·(sum − max)
+    val sum = perCol.reduce(_ + _)
+    val total =
+      if (tieBreaker == 1.0) sum
+      else {
+        val mx = if (perCol.size == 1) perCol.head else greatest(perCol: _*)
+        mx + lit(tieBreaker) * (sum - mx)
+      }
     joined.select(col("docId"), total.as("score"))
   }
 
@@ -110,10 +120,10 @@ object MultiFieldIndex {
     * float association (BlockMaxWand.scoreCursors groupOf).
     */
   def multiMatchTopK(spark: SparkSession, dir: String, fields: Seq[String],
-      query: String, k: Int): Array[graft.query.SearchHit] = {
+      query: String, k: Int, tieBreaker: Double = 1.0): Array[graft.query.SearchHit] = {
     val parsed = fields.map(parseFieldBoost)
     multiMatchTopKReaders(spark, parsed.map { case (f, _) => reader(spark, dir, f) },
-      query, k, parsed.map(_._2))
+      query, k, parsed.map(_._2), tieBreaker)
   }
 
   /** The same exact cross-field WAND over ALREADY-CONSTRUCTED per-field
@@ -125,8 +135,9 @@ object MultiFieldIndex {
     * a cheap necessary condition, not a proof.
     */
   def multiMatchTopKReaders(spark: SparkSession, readers: Seq[IndexReader],
-      query: String, k: Int, boosts: Seq[Double] = Nil): Array[graft.query.SearchHit] =
-    multiMatchTopKDs(spark, readers, query, k, boosts).collect()
+      query: String, k: Int, boosts: Seq[Double] = Nil,
+      tieBreaker: Double = 1.0): Array[graft.query.SearchHit] =
+    multiMatchTopKDs(spark, readers, query, k, boosts, tieBreaker).collect()
 
   /** The cross-field WAND as an UNCOLLECTED Dataset — the whole top-k is
     * one Spark job (union of per-field pruned scans -> docId re-bucket ->
@@ -134,12 +145,13 @@ object MultiFieldIndex {
     * the plan lets callers and the explain evidence see exactly that.
     */
   def multiMatchTopKDs(spark: SparkSession, readers: Seq[IndexReader],
-      query: String, k: Int, boosts: Seq[Double] = Nil)
+      query: String, k: Int, boosts: Seq[Double] = Nil, tieBreaker: Double = 1.0)
       : org.apache.spark.sql.Dataset[graft.query.SearchHit] = {
     import spark.implicits._
     require(readers.nonEmpty, "multiMatch needs at least one field")
     require(boosts.isEmpty || boosts.size == readers.size,
       s"boosts must be empty or match readers: ${boosts.size} vs ${readers.size}")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0, s"tie_breaker in [0,1], got $tieBreaker")
     val fieldBoosts = if (boosts.isEmpty) Seq.fill(readers.size)(1.0) else boosts
     val qterms = readers.head.analyze(query)
     val metas = readers.zip(fieldBoosts).map { case (r, b) => boostMeta(r.termMeta(qterms), b) }
@@ -154,6 +166,7 @@ object MultiFieldIndex {
     val metaByFieldB = spark.sparkContext.broadcast(metas.toArray)
     val pp = graft.query.Bm25.Default
     val kk = k
+    val tb = tieBreaker
 
     val tagged = readers.zipWithIndex.map { case (r, i) =>
       val terms = metas(i).keys.toSeq.sorted
@@ -180,7 +193,8 @@ object MultiFieldIndex {
             fieldAvgDlB.value(fi), pp)
         }
         val groupOf = byFieldTerm.map(_._1._1)
-        graft.query.BlockMaxWand.scoreCursors(cursors, kk, groupOf = groupOf).iterator
+        graft.query.BlockMaxWand.scoreCursors(cursors, kk, groupOf = groupOf,
+          tieBreaker = tb).iterator
       }
       .orderBy(desc("score"), asc("docId")).limit(k)
       .as[graft.query.SearchHit]

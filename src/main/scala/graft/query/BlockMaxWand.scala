@@ -208,8 +208,17 @@ object BlockMaxWand {
     * coalesce-sum), so the WAND path is bit-identical to it, not just
     * mathematically equal.
     */
+  /** `tieBreaker` (only meaningful with `groupOf`): ES `multi_match` type
+    * semantics over the per-group (= per-field) partial sums —
+    * 1.0 = `most_fields`/sum (the default; bit-identical to the plain
+    * grouped fold), 0.0 = `best_fields` (max group wins), between =
+    * `max + tieBreaker · (sum − max)`. The WAND pivot/block bounds sum
+    * across ALL fields, which upper-bounds every tieBreaker ≤ 1.0 score —
+    * valid (slightly looser for small tieBreaker), so pruning stays exact.
+    */
   def scoreCursors(cursors: Array[TermCursor], k: Int,
-      stats: BucketStats = BucketStats(), groupOf: Array[Int] = null): Array[SearchHit] = {
+      stats: BucketStats = BucketStats(), groupOf: Array[Int] = null,
+      tieBreaker: Double = 1.0): Array[SearchHit] = {
     val heap = new TopKHeap(k)
     var active = cursors.filter(!_.exhausted)
 
@@ -254,15 +263,25 @@ object BlockMaxWand {
                 c += 1
               }
             } else {
+              // per-group partials in group order; gsSum's additions happen
+              // in EXACTLY the order the plain fold used, so tieBreaker=1.0
+              // stays bit-identical to it
               var gs = 0.0
+              var gsSum = 0.0
+              var gsMax = 0.0
               var curG = groupOf(0)
               while (c < cursors.length) {
-                if (groupOf(c) != curG) { s += gs; gs = 0.0; curG = groupOf(c) }
+                if (groupOf(c) != curG) {
+                  gsSum += gs; if (gs > gsMax) gsMax = gs
+                  gs = 0.0; curG = groupOf(c)
+                }
                 val cur = cursors(c)
                 if (!cur.exhausted && cur.curDoc == pivotDoc) gs += cur.score
                 c += 1
               }
-              s += gs
+              gsSum += gs; if (gs > gsMax) gsMax = gs
+              s = if (tieBreaker == 1.0) gsSum
+                  else gsMax + tieBreaker * (gsSum - gsMax)
             }
             heap.offer(pivotDoc, s)
             stats.scoredDocs += 1

@@ -160,6 +160,44 @@ class MultiFieldSpec extends SparkSpec {
     }
   }
 
+  test("best_fields / tie_breaker: bounded == rank-all bit-exact; combine == per-field oracle max") {
+    built
+    // bounded ≡ rank-all at tie_breaker 0 (ES default best_fields), 0.3,
+    // and 1.0 (sum — must stay bit-identical to the ungrouped fold)
+    for (q <- Seq("def scala", "rust z100_id", "val repo0001"); tb <- Seq(0.0, 0.3, 1.0);
+        k <- Seq(5, 25)) {
+      val want = MultiFieldIndex.multiMatchScoreAll(spark, dir, Seq("content", "meta"), q, tb)
+        .orderBy(desc("score"), asc("docId")).limit(k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = MultiFieldIndex.multiMatchTopK(spark, dir, Seq("content", "meta"), q, k, tb)
+        .map(h => (h.docId, h.score)).toSeq
+      assert(got == want, s"best_fields topk differs for '$q' tb=$tb k=$k")
+    }
+    // semantic check vs the exhaustive per-field oracles: tb=0 == max,
+    // tb=0.3 == max + 0.3·(sum − max)
+    val oracleC = fieldOracle("content")
+    val oracleM = fieldOracle("meta")
+    val q = "def scala"
+    val sc = oracleC.topK(q, Int.MaxValue).map(s => s.docId -> s.score).toMap
+    val sm = oracleM.topK(q, Int.MaxValue).map(s => s.docId -> s.score).toMap
+    for (tb <- Seq(0.0, 0.3)) {
+      val want = (sc.keySet ++ sm.keySet).map { d =>
+        val (a, b) = (sc.getOrElse(d, 0.0), sm.getOrElse(d, 0.0))
+        val mx = math.max(a, b)
+        d -> (mx + tb * ((a + b) - mx))
+      }.toMap
+      val got = MultiFieldIndex.multiMatchScoreAll(spark, dir, Seq("content", "meta"), q, tb)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == want.keySet, s"best_fields doc set tb=$tb")
+      got.foreach { case (d, s) =>
+        assert(math.abs(s - want(d)) <= 1e-9 * math.max(1.0, math.abs(want(d))),
+          s"best_fields score for doc $d tb=$tb")
+      }
+    }
+    intercept[IllegalArgumentException](
+      MultiFieldIndex.multiMatchScoreAll(spark, dir, Seq("content"), "def", 1.5))
+  }
+
   test("multiMatchTopK == rank-all + limit, bit-exact (cross-field WAND gate)") {
     built
     for (q <- Seq("def scala", "rust z100_id", "val repo0001", "scala repo0001 buf_buf",
