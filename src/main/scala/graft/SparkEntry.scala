@@ -165,6 +165,24 @@ object SparkEntry {
     // under the shared stability over-fetch; must equal the rank-all total
     // order cut at 10 (the twin asserts exactly that).
     "b32_fuzzy_topk" -> ((s, d) => DocumentsIndex.fuzzyMatchTopK(s, d, "bag", 2, 10)),
+    // B10 field collapsing (ES collapse / top_hits size=1): the best-scoring
+    // "spark join" hit per lang group among ALL matches — one map-side
+    // -combinable struct-max agg per group, never a few-partition window.
+    "b35_collapse" -> ((s, d) => DocumentsIndex.collapseByLang(s, d, "spark join")),
+    // B19 significant_terms (ES's "characteristic, not common" facet): terms
+    // overrepresented in docs containing "stream" vs the corpus, JLH-scored
+    // (pinned expression order so both engines round the same double).
+    "b36_sig_terms" -> ((s, d) => DocumentsIndex.significantTerms(s, d, "stream", 10)),
+    // B18 term suggester (ES suggest/term — "did you mean"): corrections for
+    // the misspelling "vectr" from the dictionary, (dist asc, df desc, term)
+    // — integer-exact, the classic-Levenshtein pin shared with b20.
+    "b37_suggest" -> ((s, d) => DocumentsIndex.suggest(s, d, "vectr", 2, 5)),
+    // B7 function_score field_value_factor (modifier log1p-shaped, pinned as
+    // ln(1 + dl/64) in BOTH engines): doc-value-modified BM25 — the modifier
+    // re-orders the ranking, so the honest serving is the rank-all product
+    // cut by the total order (the bounded path's modifier-max bound is
+    // documented at DocumentsIndex.functionScore, not built).
+    "b38_function_score" -> ((s, d) => DocumentsIndex.functionScore(s, d, "spark join", 20)),
 
     // -- Layer A: toolchain operators (SURVEY.md §2.1/2.2) -----------------
     "a01_scan_projection" -> ((s, d) =>
@@ -251,6 +269,34 @@ object SparkEntry {
           countDistinct("l_suppkey").as("distinct_supps"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")),
+    // A15 family: extended_stats aggregation (ES extended_stats — count/min/
+    // max/sum/avg/variance/std in one pass). All moments come out of ONE
+    // map-side-combinable aggregate (Spark's central-moment partials merge
+    // associatively — the 100 TB shape); variance/std rounded at 4 dp to
+    // absorb the engines' different (numerically stable vs naive) moment
+    // algorithms' sub-1e-9 drift.
+    "a22_extended_stats" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"),
+          round(min("l_quantity"), 2).as("min_qty"),
+          round(max("l_quantity"), 2).as("max_qty"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(var_pop("l_quantity"), 4).as("var_qty"),
+          round(stddev_pop("l_quantity"), 4).as("std_qty"))
+        .orderBy("l_returnflag")),
+    // A15/B19 family: range aggregation (ES range agg — explicit bucket
+    // bounds, the non-uniform sibling of a20's fixed-width histogram): char
+    // -count bands over documents with per-band counts + means. The CASE
+    // bucket expression is spelled identically in the twin.
+    "a23_range_agg" -> ((s, d) =>
+      tbl(s, d, "documents")
+        .withColumn("range_lo",
+          when(col("n_chars") < 500, 0L).when(col("n_chars") < 1500, 500L).otherwise(1500L))
+        .groupBy("range_lo")
+        .agg(count(lit(1)).as("n"), round(avg("n_chars"), 6).as("avg_chars"))
+        .orderBy("range_lo")),
     // A4: LDJ (line-delimited JSON) source + sink — the es2json/esmarc I/O
     // format: write the documents table as gzip LDJ, read it back, and
     // return a content digest per row. The oracle is a plain SELECT over
@@ -404,10 +450,15 @@ object SparkEntry {
        |  GROUP BY tf.doc_id)""".stripMargin
   }
 
-  private def bm25Sql(terms: Seq[String], limit: Int): String = {
+  /** The raw (unrounded) BM25 scoring CTE chain over the text field — `sc`
+    * holds (doc_id, score). Shared by [[bm25Sql]] and the twins that
+    * post-process the raw score (collapse's per-group pick, function_score's
+    * modifier product — both must transform BEFORE the 6-dp rounding,
+    * exactly like the engine).
+    */
+  private def bm25Ctes(terms: Seq[String]): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
-    val limitClause = if (limit > 0) s" LIMIT $limit" else ""
-    s"""WITH $TokCte,
+    s"""$TokCte,
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
        |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
@@ -418,7 +469,12 @@ object SparkEntry {
        |             * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score
        |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
        |  WHERE tf.term IN ($inList)
-       |  GROUP BY tf.doc_id)
+       |  GROUP BY tf.doc_id)""".stripMargin
+  }
+
+  private def bm25Sql(terms: Seq[String], limit: Int): String = {
+    val limitClause = if (limit > 0) s" LIMIT $limit" else ""
+    s"""WITH ${bm25Ctes(terms)}
        |SELECT doc_id, round(score, 6) AS score FROM sc
        |ORDER BY round(score, 6) DESC, doc_id$limitClause""".stripMargin
   }
@@ -546,6 +602,52 @@ object SparkEntry {
     // engine's WAND + stability over-fetch must be indistinguishable from
     // the rank-all cut
     "b32_fuzzy_topk" -> (FuzzySql + "\nLIMIT 10"),
+    // collapse twin: round BEFORE the per-group pick (like the engine), pick
+    // via a window row_number under the same (score desc, doc_id asc)
+    // tie-break the engine's struct-max encodes
+    "b35_collapse" ->
+      s"""WITH ${bm25Ctes(Seq("join", "spark"))},
+         |j AS (SELECT d.lang, sc.doc_id, round(sc.score, 6) AS score
+         |      FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+         |best AS (SELECT lang, doc_id, score,
+         |                row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rn
+         |         FROM j)
+         |SELECT lang, doc_id, score FROM best WHERE rn = 1
+         |ORDER BY score DESC, lang""".stripMargin,
+    // significant_terms twin: fg = distinct-doc counts within the foreground
+    // set, bg = corpus df, JLH spelled in the engine's EXACT expression
+    // order so both round the same double
+    "b36_sig_terms" ->
+      s"""WITH $TokCte,
+         |fg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'stream'),
+         |ft AS (SELECT cast(count(*) AS double) AS n FROM fg),
+         |fgc AS (SELECT p.term, count(*) AS fg
+         |        FROM (SELECT DISTINCT doc_id, term FROM tok) p JOIN fg USING (doc_id)
+         |        GROUP BY 1),
+         |dfx AS (SELECT term, count(DISTINCT doc_id) AS bg FROM tok GROUP BY 1),
+         |tot AS (SELECT cast(count(*) AS double) AS n FROM documents)
+         |SELECT f.term, f.fg, d.bg,
+         |       round((f.fg/ft.n - d.bg/t.n) * ((f.fg/ft.n) / (d.bg/t.n)), 6) AS score
+         |FROM fgc f JOIN dfx d USING (term) CROSS JOIN ft CROSS JOIN tot t
+         |WHERE f.term <> 'stream'
+         |ORDER BY score DESC, f.term LIMIT 10""".stripMargin,
+    // suggester twin: corrections from the tokenized dictionary under the
+    // same classic-Levenshtein pin as b20's expansion
+    "b37_suggest" ->
+      s"""WITH $TokCte,
+         |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+         |SELECT term, cast(levenshtein(term, 'vectr') AS bigint) AS dist, df FROM dfx
+         |WHERE levenshtein(term, 'vectr') BETWEEN 1 AND 2
+         |ORDER BY dist, df DESC, term LIMIT 5""".stripMargin,
+    // function_score twin: the raw sc score times the identically-spelled
+    // ln(1 + dl/64.0) modifier, rounded once — dl recomputed from the text,
+    // so a green row re-checks the engine registry's dl like a20 does
+    "b38_function_score" ->
+      s"""WITH ${bm25Ctes(Seq("join", "spark"))}
+         |SELECT sc.doc_id, round(sc.score * ln(1 + dl.dl/64.0), 6) AS score
+         |FROM sc JOIN dl USING (doc_id)
+         |ORDER BY round(sc.score * ln(1 + dl.dl/64.0), 6) DESC, sc.doc_id
+         |LIMIT 20""".stripMargin,
     // terms-agg twin: per-term distinct-doc counts over the tokenized tags
     // field, top-10 by (df desc, term asc) — the deterministic tie-break
     // both engines share (source-term dfs tie by construction)

@@ -378,6 +378,74 @@ object DocumentsIndex {
       .orderBy(desc("score"), asc("doc_id"))
   }
 
+  /** ES field collapsing (`collapse` on a keyword field — one hit per group,
+    * the `top_hits` size=1 shape): the best-scoring doc per `lang` group
+    * among ALL docs matching `query`, output (lang, doc_id, score) ordered
+    * by (score desc, lang asc — lang unique per row, so the order is total).
+    *
+    * Plan shape: rank-all scores join the documents table's lang column,
+    * then ONE map-side-combinable max-of-struct aggregate per group — never
+    * a window over group partitions (a 5-value lang window would funnel the
+    * corpus-sized match set through 5 tasks at 100 TB; the struct-max agg
+    * combines partially on every input partition first). Tie-break inside a
+    * group rides the struct order (score desc, then doc_id asc via the
+    * negated id), matching the output protocol's.
+    */
+  def collapseByLang(spark: SparkSession, sfDir: String, query: String): DataFrame = {
+    val scores = rankedByDocId(spark, reader(spark, sfDir).scoreAllDf(query),
+      indexDir(spark, sfDir))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    scores.join(docs, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(max(struct(col("score"), (-col("doc_id")).as("negid"))).as("best"))
+      .select(col("lang"), (-col("best.negid")).cast("long").as("doc_id"),
+        col("best.score").as("score"))
+      .orderBy(desc("score"), asc("lang"))
+  }
+
+  /** ES `significant_terms` over the text index (IndexReader semantics:
+    * JLH score, foreground = docs containing `queryTerm`).
+    */
+  def significantTerms(spark: SparkSession, sfDir: String, queryTerm: String,
+      size: Int): DataFrame =
+    reader(spark, sfDir).significantTermsDf(queryTerm, size)
+
+  /** ES term suggester over the text index dictionary (IndexReader
+    * semantics: classic Levenshtein, (dist asc, df desc, term asc)).
+    */
+  def suggest(spark: SparkSession, sfDir: String, input: String,
+      maxEdits: Int = 2, size: Int = 5): DataFrame =
+    reader(spark, sfDir).suggestTermsDf(input, maxEdits, size)
+
+  /** ES `function_score` with `field_value_factor` (modifier = log1p over
+    * the doc-length doc value): final = BM25(query) × ln(1 + dl/64) — dl
+    * read from the engine registry, the doc-values read ES does. The factor
+    * 1/64 is a power of two, so the division is EXACT in binary floating
+    * point and the twin may spell it identically without bit drift. ln(1+x)
+    * is spelled the same way in both engines (not log1p — different
+    * rounding) so 6-dp parity holds.
+    *
+    * Rank-all honest form: the modifier RE-ORDERS the ranking, so a WAND
+    * top-k over the unmodified score is NOT a valid cut. The bounded path
+    * at corpus scale multiplies each term's WAND upper bound by the
+    * modifier's corpus max (ln(1 + maxDl/64) from the registry max —
+    * score · modifier stays upper-bounded because both factors are
+    * positive); documented, not built — no driver row needs it.
+    */
+  def functionScore(spark: SparkSession, sfDir: String, query: String,
+      k: Int): DataFrame = {
+    val idx = indexDir(spark, sfDir)
+    val raw = reader(spark, sfDir).scoreAllDf(query)
+    val dl = Tables.read(spark, idx, InvertedIndex.DocsTable)
+      .select(col("docId"), col("dl"))
+    val modified = raw.join(dl, Seq("docId"))
+      .select(col("docId"),
+        (col("score") * log(lit(1.0) + col("dl") / 64.0)).as("score"))
+    val out = rankedByDocId(spark, modified, idx)
+    if (k > 0) out.limit(k) else out
+  }
+
   /** Unordered span-near over the text index, keyed by doc_id —
     * integer-exact min-gap, no float protocol.
     */

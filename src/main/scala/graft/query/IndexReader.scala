@@ -737,6 +737,97 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       .agg(count(lit(1)).as("n"))
   }
 
+  /** ES `significant_terms` aggregation (the facet that answers "what is
+    * CHARACTERISTIC of these results", not "what is common" — `upstream:`
+    * ES's significant_terms next to `terms` in the agg family): terms
+    * overrepresented in the FOREGROUND set (docs containing `queryTerm`)
+    * relative to the background corpus, scored by the JLH heuristic ES
+    * defaults to — `(fgPct − bgPct) · (fgPct / bgPct)` with
+    * fgPct = fg/|foreground| and bgPct = df/N — rounded to 6 dp, top `size`
+    * by (score desc, term asc), the foreground term itself excluded (it is
+    * trivially maximal).
+    *
+    * Plan shape: the foreground doc set is the query term's ids-only
+    * postings decode; per-term foreground counts come from ONE full
+    * postings ids-only scan semi-joined to that set (count(*) is the
+    * foreground df — a doc appears at most once in a term's merged
+    * postings, the same invariant df itself rests on), then one join to
+    * the dictionary for bg and a TakeOrderedAndProject cut. This is the
+    * Lucene cost model too (it walks the foreground docs' term vectors);
+    * at 100 TB the ES-documented mitigation applies unchanged — run the
+    * agg over a `sampler` of the foreground (a limit on the fg set before
+    * the join), which changes only the fgIds input here.
+    */
+  def significantTermsDf(queryTerm: String, size: Int): DataFrame = {
+    require(size > 0, "size must be positive")
+    val q = singleTerm(queryTerm, "significant_terms foreground")
+    import spark.implicits._
+    // foreground size = df(q): the same tiny dictionary lookup termMeta does
+    val fgN = segments.map { seg =>
+      Tables.read(spark, seg, InvertedIndex.DictTable)
+        .where(col("term") === q).select("df").collect()
+        .map(_.getLong(0)).sum
+    }.sum
+    if (fgN == 0L) // absent foreground term -> empty agg, typed like the hit path
+      return spark.emptyDataset[(String, Long, Long, Double)]
+        .toDF("term", "fg", "bg", "score")
+    val fgIds = idScan(Seq(q)).as[(Long, Int, Array[Byte])]
+      .flatMap { case (f, c, d) => PostingsCodec.decodeDocIds(f, c, d) }
+      .toDF("docId").distinct()
+    val pairs = segments.map { seg =>
+      Tables.read(spark, seg, InvertedIndex.PostingsTable)
+        .select(col("term"), col("firstDocId"), col("count"), col("docDeltas"))
+    }.reduce(_ unionByName _)
+      .as[(String, Long, Int, Array[Byte])]
+      .flatMap { case (t, f, c, d) =>
+        PostingsCodec.decodeDocIds(f, c, d).iterator.map(id => (id, t))
+      }
+      .toDF("docId", "term")
+    val fgCounts = pairs.join(fgIds, Seq("docId")).groupBy("term")
+      .agg(count(lit(1)).as("fg"))
+    val bgScans = segments.map(seg =>
+      Tables.read(spark, seg, InvertedIndex.DictTable).select(col("term"), col("df")))
+    val bg =
+      if (segments.size == 1) bgScans.head
+      else bgScans.reduce(_ unionByName _).groupBy("term").agg(sum("df").as("df"))
+    // score expression ORDER is pinned — the DuckDB twin spells the exact
+    // same (fg/fgN − bg/N)·((fg/fgN)/(bg/N)) so both engines round the same
+    // double (IEEE ops on identical inputs in identical order)
+    val fgPct = col("fg") / lit(fgN.toDouble)
+    val bgPct = col("bg") / lit(stats.numDocs.toDouble)
+    fgCounts.join(bg.withColumnRenamed("df", "bg"), Seq("term"))
+      .where(col("term") =!= q)
+      .select(col("term"), col("fg"), col("bg"),
+        round((fgPct - bgPct) * (fgPct / bgPct), 6).as("score"))
+      .orderBy(desc("score"), asc("term")).limit(size)
+  }
+
+  /** ES term suggester ("did you mean" — `upstream:` ES `suggest` with
+    * `term`): dictionary terms within `maxEdits` classic-Levenshtein edits
+    * of the input (the same length-banded executor-side distance scan as
+    * [[expandFuzzy]], and the same pinned no-transpositions divergence from
+    * Lucene's Damerau default), ranked the way ES sorts candidates —
+    * (distance asc, df desc, term asc) — top `size`, the exact input term
+    * excluded (a correction list, i.e. suggest_mode=always over dist >= 1).
+    * The cut runs as a plan (TakeOrderedAndProject), never a driver sort.
+    */
+  def suggestTermsDf(input: String, maxEdits: Int = 2, size: Int = 5): DataFrame = {
+    require(maxEdits >= 1 && size > 0, "maxEdits >= 1 and size > 0")
+    val q = singleTerm(input, "suggest term")
+    val scans = segments.map { seg =>
+      Tables.read(spark, seg, InvertedIndex.DictTable)
+        .where(length(col("term")).between(q.length - maxEdits, q.length + maxEdits))
+        .withColumn("dist", levenshtein(col("term"), lit(q)).cast("long"))
+        .where(col("dist") <= maxEdits && col("dist") >= 1)
+        .select(col("term"), col("dist"), col("df"))
+    }
+    val merged =
+      if (segments.size == 1) scans.head
+      else scans.reduce(_ unionByName _).groupBy("term", "dist")
+        .agg(sum("df").as("df")).select("term", "dist", "df")
+    merged.orderBy(asc("dist"), desc("df"), asc("term")).limit(size)
+  }
+
   /** Bounded top-k over the fuzzy expansion — [[matchFuzzyDf]]'s serving
     * form (a client asks top-10, not the full scored match set): the capped
     * expansion's term metas feed the SAME Block-Max WAND as a plain match

@@ -1,0 +1,141 @@
+package graft
+
+import graft.driver.DocumentsIndex
+import graft.oracle.ExhaustiveScorer
+import graft.tokenize.CodeTokenizer
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+
+/** Gates for the round-6 agg/suggest/collapse family (SURVEY.md §2.3 B7/B10/
+  * B18/B19 extensions): each operator against a from-raw-text brute oracle
+  * computed in plain Scala — independent of the engine's dictionary,
+  * postings, and plans — over the driver's sf0.001 documents corpus.
+  */
+class SigCollapseSpec extends SparkSpec with BeforeAndAfterAll {
+  private val sfDir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  private def haveData = new java.io.File(s"$sfDir/documents.parquet").exists()
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** (docId, lang, distinct terms, dl) per doc, tokenized from raw text. */
+  private lazy val docTok: Seq[(Long, String, Set[String], Int)] = {
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text").as[(Long, String, String)].collect()
+      .map { case (id, lang, text) =>
+        val toks = CodeTokenizer.tokenize(text)
+        (id, lang, toks.toSet, toks.length)
+      }.toSeq
+  }
+
+  test("significant_terms == brute JLH over raw tokenization") {
+    assume(haveData, s"$sfDir not mounted")
+    val n = docTok.size.toDouble
+    for (q <- Seq("stream", "vector")) {
+      val fgDocs = docTok.filter(_._3.contains(q))
+      val fgN = fgDocs.size.toDouble
+      assert(fgN > 0, s"fixture term '$q' absent — gate has no foreground")
+      val fgCounts = fgDocs.flatMap(_._3).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val bgCounts = docTok.flatMap(_._3).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val want = fgCounts.iterator.filter(_._1 != q).map { case (t, fg) =>
+        val bg = bgCounts(t)
+        val fgPct = fg / fgN
+        val bgPct = bg / n
+        (t, fg, bg, round6((fgPct - bgPct) * (fgPct / bgPct)))
+      }.toSeq.sortBy { case (t, _, _, s) => (-s, t) }.take(10)
+      val got = DocumentsIndex.significantTerms(spark, sfDir, q, 10)
+        .as[(String, Long, Long, Double)].collect().toSeq
+      assert(got == want, s"significant_terms('$q'):\n  got  $got\n  want $want")
+    }
+  }
+
+  test("significant_terms of an absent foreground term is empty, typed") {
+    assume(haveData, s"$sfDir not mounted")
+    val out = DocumentsIndex.significantTerms(spark, sfDir, "qqqzzznotfound", 5)
+    assert(out.columns.toSeq == Seq("term", "fg", "bg", "score"))
+    assert(out.count() == 0)
+  }
+
+  /** Classic Levenshtein (no transpositions — the pinned B18 semantics). */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("term suggester == brute vocabulary Levenshtein under (dist, df desc, term)") {
+    assume(haveData, s"$sfDir not mounted")
+    val vocabDf = docTok.flatMap(_._3).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    for ((input, maxEdits, size) <- Seq(("vectr", 2, 5), ("strea", 1, 5), ("vector", 2, 8))) {
+      val want = vocabDf.iterator
+        .map { case (t, df) => (t, lev(t, input).toLong, df) }
+        .filter { case (_, dist, _) => dist >= 1 && dist <= maxEdits }
+        .toSeq.sortBy { case (t, dist, df) => (dist, -df, t) }.take(size)
+      val got = DocumentsIndex.suggest(spark, sfDir, input, maxEdits, size)
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got == want, s"suggest('$input', $maxEdits):\n  got  $got\n  want $want")
+      assert(!got.exists(_._1 == input), s"suggest('$input') must exclude the input term")
+    }
+  }
+
+  test("field collapse == brute per-group best under (score desc, doc_id asc); no window in the plan") {
+    assume(haveData, s"$sfDir not mounted")
+    val query = "spark join"
+    // rank-all is already oracle-gated; the collapse pick is what's under test
+    val all = DocumentsIndex.bm25(spark, sfDir, query, -1).as[(Long, Double)].collect()
+    val langOf = docTok.map(d => d._1 -> d._2).toMap
+    val want = all.map { case (id, s) => (langOf(id), id, s) }
+      .groupBy(_._1).map { case (_, xs) => xs.minBy { case (_, id, s) => (-s, id) } }
+      .toSeq.sortBy { case (lang, _, s) => (-s, lang) }
+    val out = DocumentsIndex.collapseByLang(spark, sfDir, query)
+    val got = out.as[(String, Long, Double)].collect().toSeq
+    assert(got == want, s"collapse:\n  got  $got\n  want $want")
+    // scale shape: one map-side-combinable aggregate, never a per-group window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"collapse must not serve through a window:\n$plan")
+  }
+
+  test("function_score == exhaustive-BM25 × ln(1 + dl/64) modifier, re-ranked") {
+    assume(haveData, s"$sfDir not mounted")
+    val query = "spark join"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("docId"), col("text").as("content"))
+      .as[ExhaustiveScorer.OracleDoc]
+    val prep = ExhaustiveScorer.prepare(spark, docs)
+    val raw = prep.topK(query, docTok.size + 1)
+    val dlOf = docTok.map(d => d._1 -> d._4).toMap
+    val want = raw.map { h =>
+      (h.docId, round6(h.score * math.log(1.0 + dlOf(h.docId) / 64.0)))
+    }.sortBy { case (id, s) => (-s, id) }.take(20).toSeq
+    val got = DocumentsIndex.functionScore(spark, sfDir, query, 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want, s"function_score:\n  got  $got\n  want $want")
+    // the modifier must actually re-rank (otherwise the gate proves nothing)
+    val plain = DocumentsIndex.bm25(spark, sfDir, query, 20).as[(Long, Double)].collect()
+    assert(got.map(_._1) != plain.map(_._1).toSeq,
+      "fixture too weak: modifier did not re-order the top-20 — pick a different query")
+  }
+
+  test("extended_stats moments == two-pass exact computation at the pinned 4-dp rounding") {
+    assume(haveData, s"$sfDir not mounted")
+    val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_returnflag", "l_quantity").as[(String, Double)].collect()
+    val want = rows.groupBy(_._1).map { case (flag, xs) =>
+      val v = xs.map(_._2)
+      val mean = v.sum / v.length
+      val varp = v.map(x => (x - mean) * (x - mean)).sum / v.length
+      flag -> (v.length.toLong, BigDecimal(varp).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = SparkEntry.queries("a22_extended_stats")(spark, sfDir)
+      .select("l_returnflag", "cnt", "var_qty").as[(String, Long, Double)].collect()
+    got.foreach { case (flag, cnt, varq) =>
+      val (wc, wv) = want(flag)
+      assert(cnt == wc, s"count mismatch for $flag")
+      assert(math.abs(varq - wv) <= 1e-4, s"var_pop drift for $flag: $varq vs $wv")
+    }
+  }
+}
