@@ -101,6 +101,14 @@ object SparkEntry {
     "b26_bool_msm" -> ((s, d) =>
       DocumentsIndex.bm25Bool(s, d, Seq("hash"), Seq("join", "vector", "window"), Nil,
         minShould = 2)),
+    // B16 filter context (ES bool `filter`): required like must, NEVER
+    // scores. "vector" and "join" are both required; "join" ALSO appears as
+    // a should clause, so it still scores (ES semantics: filter dedups
+    // against nothing — only the scoring side decides contributions), while
+    // "vector" is pure-filter and contributes nothing.
+    "b39_bool_filter" -> ((s, d) =>
+      DocumentsIndex.bm25Bool(s, d, Seq("hash"), Seq("join"), Nil,
+        filter = Seq("vector", "join"))),
     // B23 more_like_this: doc 7's top-5 tf·idf terms as a scored OR, the
     // source doc excluded (selection score rounded 6 dp in BOTH engines so
     // the chosen term set is identical).
@@ -777,6 +785,30 @@ object SparkEntry {
          |  GROUP BY tf.doc_id)
          |SELECT doc_id, round(score, 6) AS score FROM sc
          |WHERE mcnt = 1 AND scnt >= 2
+         |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
+    // filter-context twin: b17's scored aggregate over (must ∪ should) ONLY
+    // — 'vector' is filter-context so it never enters the scoring sum — with
+    // membership enforced by a separate all-filter-terms conjunction
+    // (count(DISTINCT) = |filter|), mirroring the engine's ids-only
+    // filter frame semi-joined to the scored frame
+    "b39_bool_filter" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+         |             * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score,
+         |         count(DISTINCT CASE WHEN tf.term IN ('hash') THEN tf.term END) AS mcnt
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
+         |  WHERE tf.term IN ('hash', 'join')
+         |  GROUP BY tf.doc_id),
+         |fl AS (SELECT doc_id FROM tf WHERE term IN ('vector', 'join')
+         |       GROUP BY 1 HAVING count(DISTINCT term) = 2)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |WHERE mcnt = 1 AND doc_id IN (SELECT doc_id FROM fl)
          |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
     "a19_cardinality" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,

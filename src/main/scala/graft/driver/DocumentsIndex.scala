@@ -220,9 +220,11 @@ object DocumentsIndex {
     * protocol.
     */
   def bm25Bool(spark: SparkSession, sfDir: String, must: Seq[String],
-      should: Seq[String], mustNot: Seq[String], minShould: Int = 0): DataFrame =
+      should: Seq[String], mustNot: Seq[String], minShould: Int = 0,
+      filter: Seq[String] = Nil): DataFrame =
     rankedByDocId(spark,
-      reader(spark, sfDir).searchBoolDf(must, should, mustNot, minShould),
+      reader(spark, sfDir).searchBoolDf(must, should, mustNot, minShould,
+        filter = filter),
       indexDir(spark, sfDir))
 
   /** ES `search_after` deep pagination: page 2 of a BM25 ranking via the

@@ -29,13 +29,18 @@ object BoolMatcher {
   def scoreBucket(termBlocks: Map[String, Array[PostingBlock]],
       scoring: Array[(String, Double)], mustT: Array[String], notT: Array[String],
       lo: Long, hi: Long, k: Int, avgDl: Double, p: Bm25Params,
-      minShould: Int = 0): Array[SearchHit] = {
+      minShould: Int = 0, filterT: Array[String] = Array.empty): Array[SearchHit] = {
     val views = scala.collection.mutable.HashMap.empty[String, PostingsView]
     def viewOf(t: String): PostingsView =
       views.getOrElseUpdate(t, new PostingsView(termBlocks.getOrElse(t, Array.empty)))
 
-    val mustViews = mustT.map(viewOf)
-    if (mustT.nonEmpty && mustViews.exists(_.blocks.isEmpty)) return Array.empty
+    // ES `filter` context: required like must, contributes NO score. The
+    // conjunction walk below treats (must ∪ filter) uniformly — a filter
+    // term may even be the rarest driver (filters are often the most
+    // selective clause) — but only must terms have scoring slots.
+    val conjT: Array[String] = (mustT ++ filterT).distinct
+    val mustViews = conjT.map(viewOf)
+    if (conjT.nonEmpty && mustViews.exists(_.blocks.isEmpty)) return Array.empty
     val notViews = notT.map(viewOf)
     val scoringViews: Array[(String, Double, PostingsView)] =
       scoring.map { case (t, idf) => (t, idf, viewOf(t)) }
@@ -78,14 +83,15 @@ object BoolMatcher {
       }
     }
 
-    if (mustT.nonEmpty) {
-      // conjunction drives: walk the rarest must term's candidates, filter
-      // by the other musts before any payload decode
-      val driverIdx = mustT.indices.minBy(j => mustViews(j).total)
+    if (conjT.nonEmpty) {
+      // conjunction drives: walk the rarest required term's candidates
+      // (must OR filter), check the other required terms before any payload
+      // decode. Slot -1 = a pure-filter term with no scoring contribution.
+      val driverIdx = conjT.indices.minBy(j => mustViews(j).total)
       val driver = mustViews(driverIdx)
-      val driverSlot = scoringIdx(mustT(driverIdx))
-      val otherMusts: Array[(PostingsView, Int)] = mustT.indices
-        .filter(_ != driverIdx).map(j => (mustViews(j), scoringIdx(mustT(j)))).toArray
+      val driverSlot = scoringIdx.getOrElse(conjT(driverIdx), -1)
+      val otherMusts: Array[(PostingsView, Int)] = conjT.indices
+        .filter(_ != driverIdx).map(j => (mustViews(j), scoringIdx.getOrElse(conjT(j), -1))).toArray
       // handles parked here during membership; pre is written only AFTER
       // the conjunction passes — a rejected candidate (the common case for
       // selective musts) pays exactly its failed binary searches, not an
@@ -107,10 +113,10 @@ object BoolMatcher {
             }
             if (ok) {
               java.util.Arrays.fill(pre.asInstanceOf[Array[AnyRef]], null)
-              pre(driverSlot) = (bi, i)
+              if (driverSlot >= 0) pre(driverSlot) = (bi, i)
               m = 0
               while (m < otherMusts.length) {
-                pre(otherMusts(m)._2) = mustHandles(m)
+                if (otherMusts(m)._2 >= 0) pre(otherMusts(m)._2) = mustHandles(m)
                 m += 1
               }
               scoreDoc(d)

@@ -321,23 +321,35 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * (should ∩ must_not gets NO credit: the doc can't contain it, so that
     * clause never matches, and stripping it is already exact).
     */
-  private def boolClauses(must: Seq[String], should: Seq[String], mustNot: Seq[String])
-      : Option[(Array[String], Array[String], Array[String], Map[String, BlockMaxWand.TermMeta], Int)] = {
+  private def boolClauses(must: Seq[String], should: Seq[String], mustNot: Seq[String],
+      filter: Seq[String] = Nil)
+      : Option[(Array[String], Array[String], Array[String], Array[String], Map[String, BlockMaxWand.TermMeta], Int)] = {
     val mustT = must.flatMap(CodeTokenizer.tokenize).distinct.sorted.toArray
     val notT = mustNot.flatMap(CodeTokenizer.tokenize).distinct.sorted.toArray
+    // ES `filter` context: required like must, NEVER scores. A filter term
+    // duplicating a must term is redundant (dropped); filter ∧ must_not is
+    // unsatisfiable; a filter term absent from the index matches nothing.
+    val filterT = filter.flatMap(CodeTokenizer.tokenize).distinct.sorted
+      .filterNot(mustT.contains).toArray
     val shouldAll = should.flatMap(CodeTokenizer.tokenize).distinct.sorted
     val shouldCredit = shouldAll.count(mustT.contains)
+    // a should clause duplicating a FILTER clause is NOT stripped: filter
+    // forces the term present, so the should clause both scores and counts
+    // toward minimum_should_match in every matching doc (ES semantics) —
+    // and there is no double-count, because filter itself contributes none
     val shouldT = shouldAll
       .filterNot(t => mustT.contains(t) || notT.contains(t)).toArray
     if (mustT.exists(notT.contains)) return None // must ∧ must_not = never
+    if (filterT.exists(notT.contains)) return None // filter ∧ must_not = never
     val scoringTerms = (mustT ++ shouldT).distinct.sorted
-    if (scoringTerms.isEmpty) return None
-    val allMeta = termMeta((scoringTerms ++ notT).distinct.sorted)
+    if (scoringTerms.isEmpty && filterT.isEmpty) return None
+    val allMeta = termMeta((scoringTerms ++ notT ++ filterT).distinct.sorted)
+    if (filterT.exists(t => !allMeta.contains(t))) return None // absent filter term
     val meta = allMeta.view.filterKeys(scoringTerms.contains).toMap
     if (mustT.exists(t => !meta.contains(t))) return None
-    if (meta.isEmpty) return None
-    Some((mustT, shouldT.filter(meta.contains), notT.filter(allMeta.contains), meta,
-      shouldCredit))
+    if (meta.isEmpty && filterT.isEmpty) return None
+    Some((mustT, shouldT.filter(meta.contains), notT.filter(allMeta.contains), filterT,
+      meta, shouldCredit))
   }
 
   /** ES per-clause `boost` (bool clause / term query boost), keyed by
@@ -378,9 +390,10 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     */
   def searchBool(must: Seq[String], should: Seq[String] = Nil,
       mustNot: Seq[String] = Nil, k: Int = 10, minShould: Int = 0,
-      boosts: Map[String, Double] = Map.empty): Array[SearchHit] = {
-    val clauses = boolClauses(must, should, mustNot).getOrElse(return Array.empty)
-    val (mustT, shouldT, notT, meta0, shouldCredit) = clauses
+      boosts: Map[String, Double] = Map.empty,
+      filter: Seq[String] = Nil): Array[SearchHit] = {
+    val clauses = boolClauses(must, should, mustNot, filter).getOrElse(return Array.empty)
+    val (mustT, shouldT, notT, filterT, meta0, shouldCredit) = clauses
     val meta = applyClauseBoosts(meta0, boosts)
     // minimum_should_match counts MATCHING should clauses; a should clause
     // duplicating a must clause always matches (ES credits it), so the
@@ -392,20 +405,22 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     // a bool with no must and no must_not IS a `match` (pure SHOULD-OR with
     // identical scoring) — serve it through Block-Max WAND so it gets
     // θ-pruning instead of the union walk below. effShould >= 2 disables
-    // the route: WAND has no per-doc clause-count floor.
-    if (mustT.isEmpty && notT.isEmpty && effShould <= 1) return bmwTopK(meta, k)
+    // the route: WAND has no per-doc clause-count floor. Any filter clause
+    // disables it too: WAND has no membership conjunction.
+    if (mustT.isEmpty && notT.isEmpty && filterT.isEmpty && effShould <= 1)
+      return bmwTopK(meta, k)
     val scoring = (mustT ++ shouldT).distinct.sorted.map(t => (t, meta(t).idf))
-    val scanTerms = ((mustT ++ shouldT).toSeq ++ notT.toSeq).distinct.sorted
-    val (scoringB, mustB, notB) =
+    val scanTerms = ((mustT ++ shouldT).toSeq ++ notT.toSeq ++ filterT.toSeq).distinct.sorted
+    val (scoringB, mustB, notB, filterB) =
       (spark.sparkContext.broadcast(scoring), spark.sparkContext.broadcast(mustT),
-        spark.sparkContext.broadcast(notT))
+        spark.sparkContext.broadcast(notT), spark.sparkContext.broadcast(filterT))
     val avgDl = stats.avgDl
     val pp = p
     val kk = k
     val ms = effShould
     bucketedBlocks[SearchHit](scanTerms) { (lo, hi, byTerm) =>
       BoolMatcher.scoreBucket(byTerm, scoringB.value, mustB.value, notB.value,
-        lo, hi, kk, avgDl, pp, ms).iterator
+        lo, hi, kk, avgDl, pp, ms, filterB.value).iterator
     }
       .orderBy(desc("score"), asc("docId")).limit(k)
       .collect()
@@ -419,31 +434,51 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     */
   def searchBoolDf(must: Seq[String], should: Seq[String] = Nil,
       mustNot: Seq[String] = Nil, minShould: Int = 0,
-      boosts: Map[String, Double] = Map.empty): DataFrame = {
+      boosts: Map[String, Double] = Map.empty,
+      filter: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
-    val clauses = boolClauses(must, should, mustNot).getOrElse(return emptyHits)
-    val (mustT, shouldT, notT, meta0, shouldCredit) = clauses
+    val clauses = boolClauses(must, should, mustNot, filter).getOrElse(return emptyHits)
+    val (mustT, shouldT, notT, filterT, meta0, shouldCredit) = clauses
     val meta = applyClauseBoosts(meta0, boosts)
     // must∩should overlap always matches → credit it against the floor
     // (same rule as searchBool; keeps both paths ES-consistent)
     val effShould = math.max(0, minShould - shouldCredit)
     if (effShould > shouldT.length) return emptyHits
+    // ES filter context, relationally: docs containing ALL filter terms,
+    // as an ids-only membership conjunction (no payloads — filter never
+    // scores), semi-joined below. Pure-filter bools (no scoring clause)
+    // serve this frame directly at the ES constant score of 0.
+    val filterIds: Option[DataFrame] = if (filterT.isEmpty) None else Some(
+      idScanWithTerm(filterT.toSeq)
+        .as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, f, c, d) =>
+          PostingsCodec.decodeDocIds(f, c, d).iterator.map(id => (id, t))
+        }
+        .toDF("docId", "term")
+        .groupBy("docId").agg(countDistinct("term").as("fcnt"))
+        .where(col("fcnt") === filterT.length)
+        .select("docId"))
     // ONE aggregate, ONE exchange: the sorted (term, contrib) array is
     // collected once and yields the pinned score fold AND BOTH presence
     // counts (must conjunction, minimum_should_match floor —
     // array_intersect dedups) — a countDistinct(when) would plan a second
     // expand+exchange for the distinct phase
-    val scored = contribs(meta)
-      .groupBy("docId")
-      .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("arr"))
-      .select(col("docId"),
-        aggregate(col("arr"), lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"),
-        size(array_intersect(transform(col("arr"), x => x.getField("term")),
-          lit(mustT))).as("mcnt"),
-        size(array_intersect(transform(col("arr"), x => x.getField("term")),
-          lit(shouldT))).as("scnt"))
-      .where(col("mcnt") === mustT.length && col("scnt") >= effShould)
-      .select("docId", "score")
+    val scoredBase =
+      if (meta.isEmpty) filterIds.get.select(col("docId"), lit(0.0).as("score"))
+      else contribs(meta)
+        .groupBy("docId")
+        .agg(sort_array(collect_list(struct(col("term"), col("contrib")))).as("arr"))
+        .select(col("docId"),
+          aggregate(col("arr"), lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"),
+          size(array_intersect(transform(col("arr"), x => x.getField("term")),
+            lit(mustT))).as("mcnt"),
+          size(array_intersect(transform(col("arr"), x => x.getField("term")),
+            lit(shouldT))).as("scnt"))
+        .where(col("mcnt") === mustT.length && col("scnt") >= effShould)
+        .select("docId", "score")
+    val scored =
+      if (meta.isEmpty || filterIds.isEmpty) scoredBase
+      else scoredBase.join(filterIds.get, Seq("docId"), "left_semi")
     if (notT.isEmpty) scored // boolClauses already dropped absent not-terms
     else {
       // ids-only at the SCAN level too: the raw per-segment scan (NOT

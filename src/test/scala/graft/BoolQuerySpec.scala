@@ -370,6 +370,48 @@ class BoolQuerySpec extends SparkSpec with BeforeAndAfterAll {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("filter context: required like must, NEVER scores; both paths agree") {
+    // combined-oracle expectation: bool-with-filter == the no-filter oracle
+    // restricted to docs containing ALL filter terms — scores UNCHANGED
+    // (that equality is exactly "filter contributes no score"); a pure
+    // -filter bool is the filter doc set at the ES constant score 0
+    def docsWith(t: String): Set[Long] =
+      oracle.topKBool(Nil, Seq(t), Nil, N.toInt + 1).map(_.docId).toSet
+    var nonTrivial = 0
+    for ((m, sh, f, ms) <- Seq(
+        (Seq("def"), Seq("val"), Seq("class"), 0),           // plain filter
+        (Seq("def"), Seq("val"), Seq("class", "val"), 0),    // filter ∩ should: val still scores
+        (Nil, Nil, Seq("buf_buf"), 0),                       // pure filter -> constant 0
+        (Nil, Seq("val"), Seq("z100_id", "def"), 0),         // 2-term filter conjunction
+        (Nil, Seq("val", "class"), Seq("val"), 2),           // filter-forced should credits msm
+        (Seq("def"), Nil, Seq("qqqzzznotfound"), 0))) {      // absent filter term -> empty
+      val fset = f.map(docsWith).reduce(_ intersect _)
+      val want: Seq[(Long, Double)] =
+        if ((m ++ sh).isEmpty) fset.toSeq.sorted.map(d => (d, 0.0))
+        else oracle.topKBool(m, sh, Nil, N.toInt + 1, ms)
+          .collect { case h if fset.contains(h.docId) => (h.docId, h.score) }.toSeq
+      val got = reader.searchBool(m, sh, Nil, N.toInt + 1, ms, filter = f)
+        .map(h => (h.docId, h.score)).toSeq
+      assert(got.map(_._1) == want.map(_._1), s"filter bool ranks for ($m, $sh, $f, ms=$ms)")
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g._2 - w._2) <= 1e-9 * math.max(1.0, math.abs(w._2)),
+          s"filter must not change scores for ($m, $sh, $f)")
+      }
+      val gotDf = reader.searchBoolDf(m, sh, Nil, ms, filter = f)
+        .orderBy(desc("score"), asc("docId")).as[(Long, Double)].collect().toSeq
+      assert(gotDf.map(_._1) == got.map(_._1), s"filter paths rank-diverge for ($m, $sh, $f)")
+      gotDf.zip(got).foreach { case (a, b) =>
+        assert(math.abs(a._2 - b._2) <= 1e-12 * math.max(1.0, math.abs(b._2)))
+      }
+      val unfiltered = oracle.topKBool(m, sh, Nil, N.toInt + 1, ms).map(_.docId).toSeq
+      if (want.nonEmpty && want.map(_._1) != unfiltered) nonTrivial += 1
+    }
+    assert(nonTrivial >= 3, "filter never shrank a result — fixture too sparse")
+    // filter ∧ must_not is unsatisfiable by construction — both paths empty
+    assert(reader.searchBool(Seq("def"), Nil, Seq("val"), 10, filter = Seq("val")).isEmpty)
+    assert(reader.searchBoolDf(Seq("def"), Nil, Seq("val"), filter = Seq("val")).isEmpty)
+  }
+
   test("bool across base ∪ delta segments") {
     val ddir = "/tmp/graft_test_bool_delta"
     Tables.delete(spark, "/tmp", "graft_test_bool_delta")
