@@ -191,6 +191,17 @@ object SparkEntry {
     // cut by the total order (the bounded path's modifier-max bound is
     // documented at DocumentsIndex.functionScore, not built).
     "b38_function_score" -> ((s, d) => DocumentsIndex.functionScore(s, d, "spark join", 20)),
+    // B19 terms agg + avg SUB-aggregation (ES sub-aggs): per tags-term
+    // bucket, doc_count + mean doc character count — ids-only postings scan
+    // joined to the doc-values frame, one map-side-combined groupBy.
+    "b40_terms_stats" -> ((s, d) => DocumentsIndex.termsStats(s, d, 10)),
+    // B16 constant_score: docs containing ALL filter terms at the constant
+    // boost — filter context end-to-end, no BM25, no payload decode.
+    "b41_constant_score" -> ((s, d) =>
+      DocumentsIndex.constantScore(s, d, Seq("vector", "order"), boost = 1.5)),
+    // B25 completion suggester (prefix autocomplete over the dictionary):
+    // top-4 "s"-prefixed terms by df — the cut bites (6 candidates here).
+    "b42_completion" -> ((s, d) => DocumentsIndex.completionSuggest(s, d, "s", 4)),
 
     // -- Layer A: toolchain operators (SURVEY.md §2.1/2.2) -----------------
     "a01_scan_projection" -> ((s, d) =>
@@ -305,6 +316,19 @@ object SparkEntry {
         .groupBy("range_lo")
         .agg(count(lit(1)).as("n"), round(avg("n_chars"), 6).as("avg_chars"))
         .orderBy("range_lo")),
+    // A15 family: percentiles aggregation (ES `percentiles` agg). This row
+    // serves the EXACT percentile (linear interpolation at rank p·(n−1) —
+    // the same definition DuckDB's quantile_cont pins); ES defaults to
+    // t-digest, and the mergeable 100 TB path here is approx_percentile
+    // (accuracy-gated in sbt, same split as a19's cardinality row).
+    "a24_percentiles" -> ((s, d) =>
+      tbl(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.50)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"))
+        .orderBy("l_returnflag")),
     // A4: LDJ (line-delimited JSON) source + sink — the es2json/esmarc I/O
     // format: write the documents table as gzip LDJ, read it back, and
     // return a content digest per row. The oracle is a plain SELECT over
@@ -810,6 +834,29 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score FROM sc
          |WHERE mcnt = 1 AND doc_id IN (SELECT doc_id FROM fl)
          |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
+    // terms + avg sub-agg twin: distinct (term, doc) membership from the
+    // tags tokenization joined to the doc value; df = member count (the
+    // same distinct-doc invariant the dictionary df carries)
+    "b40_terms_stats" ->
+      s"""WITH ${tokCteOver("concat_ws(' ', lang, source)", "gtok")},
+         |m AS (SELECT DISTINCT term, doc_id FROM gtok)
+         |SELECT term, count(*) AS df,
+         |       round(avg(cast(n_chars AS double)), 6) AS avg_chars
+         |FROM m JOIN documents USING (doc_id)
+         |GROUP BY term ORDER BY df DESC, term LIMIT 10""".stripMargin,
+    // constant_score twin: the filter membership conjunction at the literal
+    // boost — no scoring CTE at all
+    "b41_constant_score" ->
+      s"""WITH $TokCte,
+         |fl AS (SELECT doc_id FROM tok WHERE term IN ('order', 'vector')
+         |       GROUP BY 1 HAVING count(DISTINCT term) = 2)
+         |SELECT doc_id, cast(1.5 AS double) AS score FROM fl ORDER BY doc_id""".stripMargin,
+    // completion twin: df ranking restricted to the prefix range
+    "b42_completion" ->
+      s"""WITH $TokCte,
+         |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+         |        WHERE term LIKE 's%' GROUP BY 1)
+         |SELECT term, df FROM dfs ORDER BY df DESC, term LIMIT 4""".stripMargin,
     "a19_cardinality" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
         |       count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS cnt
@@ -910,6 +957,31 @@ object SparkEntry {
     "a21_date_histogram" ->
       """SELECT cast(ts AS date) AS day, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // extended_stats twin: the same seven moments; var/std at 4 dp absorbs
+    // the engines' stable-vs-naive moment-algorithm drift (sub-1e-9)
+    "a22_extended_stats" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       round(min(l_quantity), 2) AS min_qty,
+        |       round(max(l_quantity), 2) AS max_qty,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       round(var_pop(l_quantity), 4) AS var_qty,
+        |       round(stddev_pop(l_quantity), 4) AS std_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // range-agg twin: the CASE bucket bounds spelled identically
+    "a23_range_agg" ->
+      """SELECT CASE WHEN n_chars < 500 THEN 0 WHEN n_chars < 1500 THEN 500 ELSE 1500 END AS range_lo,
+        |       count(*) AS n, round(avg(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // percentiles twin: quantile_cont pins the same exact linear
+    // interpolation (rank p·(n−1)) as Spark's percentile
+    "a24_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |       round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+        |       round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |       round(quantile_cont(l_quantity, 0.95), 6) AS p95
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // histogram twin: dl recomputed from raw text (LEFT JOIN keeps dl = 0
     // docs — the engine registry indexes every doc), fixed-width floor
     // buckets; integer-exact, no float protocol

@@ -420,6 +420,40 @@ object DocumentsIndex {
       maxEdits: Int = 2, size: Int = 5): DataFrame =
     reader(spark, sfDir).suggestTermsDf(input, maxEdits, size)
 
+  /** ES completion suggester over the text index dictionary (IndexReader
+    * semantics: prefix range scan ranked by df — the corpus-derived weight).
+    */
+  def completionSuggest(spark: SparkSession, sfDir: String, prefix: String,
+      size: Int = 5): DataFrame =
+    reader(spark, sfDir).completionSuggestDf(prefix, size)
+
+  /** ES `terms` agg with an `avg` sub-aggregation over the tags sub-index:
+    * per tags-term bucket, doc_count + mean document character count (the
+    * doc value a curator's facet panel shows next to each facet). The
+    * doc-values frame = the tags registry's docId -> doc_id mapping joined
+    * to the documents table's n_chars — the engine-side analog of ES
+    * reading a doc-values column during bucket collection.
+    */
+  def termsStats(spark: SparkSession, sfDir: String, size: Int): DataFrame = {
+    val tagsIdx = tagsIndexDir(spark, sfDir)
+    val values = docIdMapOf(spark, tagsIdx)
+      .join(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("n_chars").cast("double").as("value")),
+        Seq("doc_id"))
+      .select("docId", "value")
+    tagsReader(spark, sfDir).termsStatsDf(size, values)
+      .select(col("term"), col("df"), round(col("avg_value"), 6).as("avg_chars"))
+  }
+
+  /** ES `constant_score` over the text index: every doc containing ALL
+    * filter terms, scored at the constant `boost` (filter context — no BM25
+    * anywhere), keyed by doc_id under the shared output protocol.
+    */
+  def constantScore(spark: SparkSession, sfDir: String, filter: Seq[String],
+      boost: Double): DataFrame =
+    rankedByDocId(spark, reader(spark, sfDir).constantScoreDf(filter, boost),
+      indexDir(spark, sfDir))
+
   /** ES `function_score` with `field_value_factor` (modifier = log1p over
     * the doc-length doc value): final = BM25(query) × ln(1 + dl/64) — dl
     * read from the engine registry, the doc-values read ES does. The factor

@@ -863,6 +863,77 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     merged.orderBy(asc("dist"), desc("df"), asc("term")).limit(size)
   }
 
+  /** ES `completion` suggester analog (prefix autocomplete — `upstream:` ES
+    * completion suggester; Lucene builds a dedicated weighted FST at index
+    * time): the term-sorted dictionary IS that structure here — a range scan
+    * over [prefix, bump(prefix)) ranked (df desc, term asc), top `size` as a
+    * plan (TakeOrderedAndProject), exactly [[expandPrefixCapped]]'s scan with
+    * the df kept in the output. PINNED WEIGHT: document frequency — ES ranks
+    * completions by an indexed per-suggestion weight; df is the
+    * corpus-derived analog (no weight field exists in this schema).
+    * Dictionary-only: no postings, no documents touched.
+    */
+  def completionSuggestDf(prefix: String, size: Int): DataFrame = {
+    require(size > 0, "size must be positive")
+    val (lo, hi) = prefixBounds(prefix)
+    val scans = segments.map(seg =>
+      Tables.read(spark, seg, InvertedIndex.DictTable)
+        .where(col("term") >= lo && col("term") < hi)
+        .select(col("term"), col("df")))
+    val merged =
+      if (segments.size == 1) scans.head
+      else scans.reduce(_ unionByName _).groupBy("term").agg(sum("df").as("df"))
+    merged.orderBy(desc("df"), asc("term")).limit(size)
+  }
+
+  /** ES `terms` aggregation WITH a metric sub-aggregation (`upstream:` ES
+    * sub-aggs — a `terms` bucket carrying an `avg` over a doc value): per
+    * top-term bucket, doc_count plus the mean of a per-doc numeric.
+    * `docValues` = (docId, value), one row per doc.
+    *
+    * Plan shape: ONE full ids-only postings scan (term + docIds — no
+    * tf/dl/pos payloads in ReadSchema) joined to the doc-values frame, then
+    * one map-side-combinable groupBy(term) computing count AND the mean
+    * together, cut by TakeOrderedAndProject under the terms-agg
+    * (df desc, term asc) order. count(*) per term IS df: a doc appears at
+    * most once in a term's merged postings — the invariant df itself rests
+    * on (same as [[significantTermsDf]]'s foreground counts). At 100 TB
+    * this is the ES cost model — bucket collection reads doc values for
+    * every (term, doc) pair; ES's own mitigations (shard_size, sampler)
+    * bound the same two inputs and change nothing structural here.
+    */
+  def termsStatsDf(size: Int, docValues: DataFrame): DataFrame = {
+    require(size > 0, "size must be positive")
+    import spark.implicits._
+    val pairs = segments.map { seg =>
+      Tables.read(spark, seg, InvertedIndex.PostingsTable)
+        .select(col("term"), col("firstDocId"), col("count"), col("docDeltas"))
+    }.reduce(_ unionByName _)
+      .as[(String, Long, Int, Array[Byte])]
+      .flatMap { case (t, f, c, d) =>
+        PostingsCodec.decodeDocIds(f, c, d).iterator.map(id => (id, t))
+      }
+      .toDF("docId", "term")
+    pairs.join(docValues, Seq("docId"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), avg("value").as("avg_value"))
+      .orderBy(desc("df"), asc("term")).limit(size)
+  }
+
+  /** ES `constant_score`: filter-context clauses with `boost` emitted as the
+    * score of every matching doc — no BM25, no payload decode anywhere (the
+    * underlying frame is [[searchBoolDf]]'s pure-filter ids-only membership
+    * conjunction). The serving form of "filters are cache-friendly": the
+    * same membership frame under any boost differs only by a literal.
+    */
+  def constantScoreDf(filter: Seq[String], boost: Double = 1.0): DataFrame = {
+    require(filter.nonEmpty, "constant_score requires at least one filter clause")
+    require(boost > 0.0 && !boost.isInfinite && !boost.isNaN,
+      s"boost must be positive finite: $boost")
+    searchBoolDf(Nil, Nil, Nil, filter = filter)
+      .select(col("docId"), lit(boost).as("score"))
+  }
+
   /** Bounded top-k over the fuzzy expansion — [[matchFuzzyDf]]'s serving
     * form (a client asks top-10, not the full scored match set): the capped
     * expansion's term metas feed the SAME Block-Max WAND as a plain match

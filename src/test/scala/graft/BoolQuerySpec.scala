@@ -412,6 +412,53 @@ class BoolQuerySpec extends SparkSpec with BeforeAndAfterAll {
     assert(reader.searchBoolDf(Seq("def"), Nil, Seq("val"), filter = Seq("val")).isEmpty)
   }
 
+  test("constant_score: filter doc set at the constant boost, nothing else") {
+    def docsWith(t: String): Set[Long] =
+      oracle.topKBool(Nil, Seq(t), Nil, N.toInt + 1).map(_.docId).toSet
+    for ((f, boost) <- Seq((Seq("def", "val"), 1.5), (Seq("buf_buf"), 0.25))) {
+      val want = f.map(docsWith).reduce(_ intersect _)
+      val got = reader.constantScoreDf(f, boost).as[(Long, Double)].collect()
+      assert(got.map(_._1).toSet == want, s"constant_score doc set for $f")
+      assert(got.forall(_._2 == boost), s"constant_score must emit exactly $boost")
+    }
+    intercept[IllegalArgumentException](reader.constantScoreDf(Nil, 1.0))
+    intercept[IllegalArgumentException](reader.constantScoreDf(Seq("def"), 0.0))
+    intercept[IllegalArgumentException](reader.constantScoreDf(Seq("def"), -1.0))
+  }
+
+  test("completion suggester == brute prefix-restricted df ranking") {
+    val rawRows = oracle.rows.collect()
+    val dfMap = rawRows.groupBy(_._2)
+      .map { case (t, rs) => t -> rs.map(_._1).distinct.length.toLong }
+    for (p <- Seq("de", "b", "z1"); size <- Seq(1, 3, 100)) {
+      val want = dfMap.filter(_._1.startsWith(p))
+        .toSeq.sortBy { case (t, df) => (-df, t) }.take(size)
+      val got = reader.completionSuggestDf(p, size).as[(String, Long)].collect().toSeq
+      assert(got == want, s"completion for '$p' size=$size")
+    }
+    assert(reader.completionSuggestDf("qqq", 5).isEmpty)
+    intercept[IllegalArgumentException](reader.completionSuggestDf("de", 0))
+  }
+
+  test("terms agg + avg sub-agg == brute per-term member mean") {
+    val rawRows = oracle.rows.collect()
+    // deterministic doc value keyed by docId — any doc-values column works
+    val values = spark.createDataset(rawRows.map(_._1).distinct.toSeq
+      .map(d => (d, (d % 97).toDouble))).toDF("docId", "value")
+    val want = rawRows.groupBy(_._2).map { case (t, rs) =>
+      val members = rs.map(_._1).distinct
+      (t, members.length.toLong, members.map(d => (d % 97).toDouble).sum / members.length)
+    }.toSeq.sortBy { case (t, df, _) => (-df, t) }
+    for (size <- Seq(3, 25)) {
+      val got = reader.termsStatsDf(size, values).as[(String, Long, Double)].collect().toSeq
+      assert(got.map(g => (g._1, g._2)) == want.take(size).map(w => (w._1, w._2)),
+        s"terms_stats buckets top-$size")
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g._3 - w._3) <= 1e-9, s"terms_stats mean for ${g._1}")
+      }
+    }
+  }
+
   test("bool across base ∪ delta segments") {
     val ddir = "/tmp/graft_test_bool_delta"
     Tables.delete(spark, "/tmp", "graft_test_bool_delta")

@@ -172,6 +172,33 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("percentiles: exact == sorted-interpolation definition; approx (100 TB path) within rank tolerance") {
+    // driver row a24 serves the EXACT percentile (linear interpolation at
+    // rank p·(n−1) — the definition quantile_cont pins too); at corpus
+    // scale the same query swaps in approx_percentile, whose quantile
+    // -sketch partials merge map-side (no per-group full sort). Gates:
+    // exact matches the brute definition; approx lands within ±1% RANK of
+    // exact on a skewed distribution.
+    val df = spark.range(0, 100001).toDF("id")
+      .withColumn("v", (col("id") * col("id")) % 9973)
+    val vals = df.select("v").as[Long].collect().sorted
+    def brute(p: Double): Double = {
+      val rank = p * (vals.length - 1)
+      val lo = vals(rank.toInt).toDouble
+      val hi = vals(math.ceil(rank).toInt).toDouble
+      lo + (hi - lo) * (rank - rank.toInt)
+    }
+    for (p <- Seq(0.25, 0.5, 0.75, 0.95)) {
+      val exact = df.agg(expr(s"percentile(v, $p)")).head.getDouble(0)
+      assert(math.abs(exact - brute(p)) < 1e-9, s"exact percentile definition at p=$p")
+      val approx = df.agg(expr(s"approx_percentile(v, $p, 1000)")).head.getLong(0)
+      val loRank = math.max(0, (p * vals.length).toInt - vals.length / 100)
+      val hiRank = math.min(vals.length - 1, (p * vals.length).toInt + vals.length / 100)
+      assert(approx >= vals(loRank) && approx <= vals(hiRank),
+        s"approx_percentile p=$p: $approx outside rank band [${vals(loRank)}, ${vals(hiRank)}]")
+    }
+  }
+
   test("geo: haversine known distances; bbox prefilter is a pure optimization") {
     // a 0.1°-grid of points around the globe via the deterministic derivation
     val keys = spark.range(0, 5000).toDF("k")
