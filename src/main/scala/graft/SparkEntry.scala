@@ -202,6 +202,12 @@ object SparkEntry {
     // B25 completion suggester (prefix autocomplete over the dictionary):
     // top-4 "s"-prefixed terms by df — the cut bites (6 candidates here).
     "b42_completion" -> ((s, d) => DocumentsIndex.completionSuggest(s, d, "s", 4)),
+    // B1 analyzer configurability (ES standard analyzer + stop filter): the
+    // SAME corpus indexed through Analyzer(stopwords = {the, a}) — "the" in
+    // the query is analyzed away by the index's sidecar-loaded analyzer,
+    // and every score shifts because dl/avgdl count kept tokens only.
+    "b43_stopword_match" -> ((s, d) =>
+      DocumentsIndex.bm25Stopword(s, d, "the join vector", 10)),
 
     // -- Layer A: toolchain operators (SURVEY.md §2.1/2.2) -----------------
     "a01_scan_projection" -> ((s, d) =>
@@ -449,14 +455,25 @@ object SparkEntry {
     * drop empty -> truncate 64). `name` prefixes the CTE so several fields'
     * chains can coexist in one query (the multi-field twins).
     */
-  private def tokCteOver(fieldExpr: String, name: String = "tok"): String =
+  private def tokCteOver(fieldExpr: String, name: String = "tok",
+      extraPred: String = ""): String =
     s"""$name AS (
        |  SELECT doc_id, substr(t.term, 1, 64) AS term
        |  FROM documents, unnest(regexp_split_to_array(lower($fieldExpr), '[^a-z0-9_]+')) AS t(term)
-       |  WHERE t.term <> ''
+       |  WHERE t.term <> ''$extraPred
        |)""".stripMargin
 
   private val TokCte = tokCteOver("text")
+
+  /** The stop-analyzed twin token stream: the SAME Analyzer value the
+    * engine's stop index is built with prints its own NOT IN fragment —
+    * one source of truth for the stopword list (SURVEY.md §7.8). Filtering
+    * INSIDE the CTE makes tf, dl, df and N all see the filtered stream,
+    * which is exactly the engine's build-time semantics (Lucene norms
+    * count emitted tokens only).
+    */
+  private val StopTokCte = tokCteOver("text", "tok",
+    graft.tokenize.Analyzer(DocumentsIndex.StopwordSet).twinTokPredicate)
 
   /** Per-field BM25 scoring CTE chain (prefix `pf`): every doc with at least
     * one query term in the FIELD, scored under the field's OWN df/N/avgdl —
@@ -488,9 +505,9 @@ object SparkEntry {
     * modifier product — both must transform BEFORE the 6-dp rounding,
     * exactly like the engine).
     */
-  private def bm25Ctes(terms: Seq[String]): String = {
+  private def bm25Ctes(terms: Seq[String], tokCte: String = TokCte): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
-    s"""$TokCte,
+    s"""$tokCte,
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
        |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
@@ -504,9 +521,10 @@ object SparkEntry {
        |  GROUP BY tf.doc_id)""".stripMargin
   }
 
-  private def bm25Sql(terms: Seq[String], limit: Int): String = {
+  private def bm25Sql(terms: Seq[String], limit: Int,
+      tokCte: String = TokCte): String = {
     val limitClause = if (limit > 0) s" LIMIT $limit" else ""
-    s"""WITH ${bm25Ctes(terms)}
+    s"""WITH ${bm25Ctes(terms, tokCte)}
        |SELECT doc_id, round(score, 6) AS score FROM sc
        |ORDER BY round(score, 6) DESC, doc_id$limitClause""".stripMargin
   }
@@ -857,6 +875,10 @@ object SparkEntry {
          |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
          |        WHERE term LIKE 's%' GROUP BY 1)
          |SELECT term, df FROM dfs ORDER BY df DESC, term LIMIT 4""".stripMargin,
+    // stopword twin: the ordinary BM25 SQL over the STOP-FILTERED token
+    // stream ('the' excluded from the query terms too — the engine's
+    // analyzer drops it at query compile)
+    "b43_stopword_match" -> bm25Sql(Seq("join", "vector"), 10, StopTokCte),
     "a19_cardinality" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
         |       count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS cnt

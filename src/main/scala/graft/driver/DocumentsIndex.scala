@@ -32,7 +32,7 @@ object DocumentsIndex {
     * timings).
     */
   def rebuild(spark: SparkSession, sfDir: String): Double = synchronized {
-    for (idx <- Seq(dirFor(sfDir), dirFor(sfDir) + "_tags")) {
+    for (idx <- Seq(dirFor(sfDir), dirFor(sfDir) + "_tags", dirFor(sfDir) + "_stop")) {
       val p = new org.apache.hadoop.fs.Path(idx)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
@@ -40,9 +40,11 @@ object DocumentsIndex {
     }
     cache.remove(sfDir)
     cache.remove(s"$sfDir#tags")
+    cache.remove(s"$sfDir#stop")
     val t0 = System.nanoTime()
     indexDir(spark, sfDir)
     tagsIndexDir(spark, sfDir)
+    stopIndexDir(spark, sfDir)
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -612,6 +614,51 @@ object DocumentsIndex {
     val idx = tagsIndexDir(spark, sfDir)
     readers.getOrElseUpdate(idx, new IndexReader(spark, idx))
   }
+
+  /** The stopword list the driver's stop-analyzed index pins (both corpus
+    * terms, so the filter visibly changes dl/avgdl and hence every score).
+    * SparkEntry's twin SQL derives its NOT IN fragment from the SAME
+    * Analyzer value — one source of truth.
+    */
+  val StopwordSet: Set[String] = Set("the", "a")
+
+  /** Stopword-analyzed text index (SURVEY.md §7.8): the SAME documents
+    * source built through Analyzer(StopwordSet) — ES's standard analyzer
+    * with a stop filter. The resume check includes the ANALYZER sidecar: a
+    * cached dir built with a DIFFERENT stopword set is rebuilt, never
+    * silently served.
+    */
+  def stopIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    cache.getOrElseUpdate(s"$sfDir#stop", {
+      val idx = dirFor(sfDir) + "_stop"
+      val want = graft.tokenize.Analyzer(StopwordSet)
+      if (!Manifests.isComplete(spark, idx, "dictionary") ||
+          !InvertedIndex.formatVersionOk(spark, idx) ||
+          InvertedIndex.readAnalyzer(spark, idx) != want) {
+        val p = new org.apache.hadoop.fs.Path(idx)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        InvertedIndex.build(spark, docsSource(spark, sfDir), idx,
+          driverCfg(spark).copy(analyzer = want), runId = "driver-stop")
+      }
+      idx
+    })
+  }
+
+  def stopReader(spark: SparkSession, sfDir: String): IndexReader = synchronized {
+    val idx = stopIndexDir(spark, sfDir)
+    readers.getOrElseUpdate(idx, new IndexReader(spark, idx))
+  }
+
+  /** BM25 match THROUGH the stopword-analyzed index: query text is analyzed
+    * by the index's own analyzer (sidecar-loaded), so stopwords in the
+    * query drop out exactly as at build time; scores differ from the
+    * default index's because dl/avgdl count kept tokens only (Lucene
+    * norms).
+    */
+  def bm25Stopword(spark: SparkSession, sfDir: String, query: String,
+      k: Int): DataFrame =
+    bm25Of(spark, stopReader(spark, sfDir), stopIndexDir(spark, sfDir), query, k)
 
   /** Fielded match on the tags field — rank-all (fielded queries over
     * categorical metadata produce huge tie groups, so the exact distributed

@@ -79,6 +79,14 @@ object DeltaIndex {
   def addDocuments(spark: SparkSession, indexDir: String, newDocs: Dataset[CodeFile],
       cfg: IndexConfig, runId: String = "delta"): String = {
     InvertedIndex.assertFormatVersion(spark, indexDir)
+    // a delta built with a different analyzer than its base would serve a
+    // mixed-analyzer union — the exact mistake ES blocks with per-field
+    // mapping immutability; the sidecar makes it loud here
+    val baseAnalyzer = InvertedIndex.readAnalyzer(spark, indexDir)
+    require(cfg.analyzer == baseAnalyzer,
+      s"addDocuments: cfg.analyzer ${cfg.analyzer.serialized} differs from the base " +
+        s"index's built analyzer ${baseAnalyzer.serialized} at $indexDir — " +
+        "an index's analyzer is immutable; rebuild to change it")
     val segs = segmentDirs(spark, indexDir)
     val newKeys = newDocs.toDF().select("repo", "path", "commit")
     for (seg <- segs) {

@@ -5,7 +5,7 @@ import graft.fixtures.CodeFile
 import graft.io.Tables
 import graft.lineage.Manifests
 import graft.query.{Bm25, Bm25Params}
-import graft.tokenize.CodeTokenizer
+import graft.tokenize.{Analyzer, CodeTokenizer}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -117,6 +117,12 @@ final case class IndexConfig(
       * ever serve frequency queries (e.g. categorical tag fields).
       */
     storePositions: Boolean = true,
+    /** Analyzer this index is built with (SURVEY.md §7.8): the pinned
+      * tokenizer plus an optional stopword list. Written to an ANALYZER
+      * sidecar at commit; readers use THAT analyzer for query compile and
+      * refuse mixed-analyzer segment unions (ES mapping immutability).
+      */
+    analyzer: Analyzer = Analyzer.default,
     bm25: Bm25Params = Bm25.Default)
 
 object IndexConfig {
@@ -229,6 +235,21 @@ object InvertedIndex {
     */
   def hasPositions(spark: SparkSession, indexDir: String): Boolean =
     readSidecar(spark, positionsPath(indexDir)).contains("1")
+
+  private def analyzerPath(indexDir: String) = new org.apache.hadoop.fs.Path(s"$indexDir/ANALYZER")
+
+  private def writeAnalyzer(spark: SparkSession, indexDir: String, a: Analyzer): Unit =
+    writeSidecar(spark, analyzerPath(indexDir), a.serialized)
+
+  /** The analyzer the index at `indexDir` was BUILT with — the only one its
+    * readers may compile queries through. A missing sidecar means a
+    * pre-analyzer-era index: those were all built with the default (the
+    * sidecar write is unconditional from this version on), so absent =
+    * default, NOT an error — the FORMAT_VERSION is unchanged because the
+    * table layout is unchanged.
+    */
+  def readAnalyzer(spark: SparkSession, indexDir: String): Analyzer =
+    readSidecar(spark, analyzerPath(indexDir)).map(Analyzer.parse).getOrElse(Analyzer.default)
 
   private def planGeometryPath(indexDir: String) = new org.apache.hadoop.fs.Path(s"$indexDir/PLAN_GEOMETRY")
 
@@ -382,8 +403,9 @@ object InvertedIndex {
   def buildRegistry(spark: SparkSession, src: Dataset[CodeFile], cfg: IndexConfig,
       plan: DocIdPlan): Dataset[DocRow] = {
     import spark.implicits._
+    val az = cfg.analyzer
     val slim = src.map(f => DocMeta(f.repo, f.path, f.commit, f.lang,
-      CodeTokenizer.countTokens(f.content), graft.fixtures.CorpusGen.sha256Hex(f.content)))
+      CodeTokenizer.countTokens(f.content, az), graft.fixtures.CorpusGen.sha256Hex(f.content)))
     withDocIds(spark, slim, plan) { (id, m) =>
       DocRow(id, m.repo, m.path, m.commit, m.lang, m.dl, m.sha256)
     }
@@ -422,7 +444,7 @@ object InvertedIndex {
     val dfSource = if (cfg.dfSampleFraction >= 1.0) src else src.sample(withReplacement = false, cfg.dfSampleFraction, 42L)
     val scale = 1.0 / math.min(1.0, cfg.dfSampleFraction)
     dfSource
-      .flatMap(f => CodeTokenizer.tfCount(f.content).iterator.map(_._1))
+      .flatMap(f => CodeTokenizer.tfCount(f.content, cfg.analyzer).iterator.map(_._1))
       .groupBy("value").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * scale > cfg.heavyDfThreshold)
       .collect()
@@ -478,6 +500,7 @@ object InvertedIndex {
     val sliceL = sliceIdx.toLong
 
     val storePos = cfg.storePositions
+    val az = cfg.analyzer
     val salted = withDocIds(spark, sliced, plan, pidRange)((id, f) => (id, f.content))
       .flatMap { case (docId, content) =>
         val h = heavyB.value
@@ -490,11 +513,11 @@ object InvertedIndex {
         if (storePos) {
           // positions arrive already VByte-encoded from the counter — the
           // payload is final here and merely concatenates downstream
-          val m = CodeTokenizer.tfPos(content)
+          val m = CodeTokenizer.tfPos(content, az)
           val dl = m.dl
           m.iterator.map { case (t, tf, pos) => TermPosting(t, saltOf(t), docId, tf, dl, pos) }
         } else {
-          val m = CodeTokenizer.tfCount(content)
+          val m = CodeTokenizer.tfCount(content, az)
           val dl = m.dl
           m.iterator.map { case (t, tf) =>
             TermPosting(t, saltOf(t), docId, tf, dl, Array.emptyByteArray)
@@ -792,6 +815,7 @@ object InvertedIndex {
       // query against postings whose pos payloads were never stored.
       writeTermBuckets(spark, indexDir, cfg.termBuckets)
       writePositionsFlag(spark, indexDir, cfg.storePositions)
+      writeAnalyzer(spark, indexDir, cfg.analyzer)
       stats.numDocs
     }
     results ++= sliceResults.result()

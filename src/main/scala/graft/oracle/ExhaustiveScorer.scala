@@ -40,9 +40,9 @@ object ExhaustiveScorer {
       */
     def topKBool(must: Seq[String], should: Seq[String], mustNot: Seq[String],
         k: Int, minShould: Int = 0): Array[Scored] = {
-      val mustT = must.flatMap(CodeTokenizer.tokenize).distinct.sorted
-      val notT = mustNot.flatMap(CodeTokenizer.tokenize).distinct.sorted
-      val shouldAll = should.flatMap(CodeTokenizer.tokenize).distinct.sorted
+      val mustT = must.flatMap(CodeTokenizer.tokenize(_)).distinct.sorted
+      val notT = mustNot.flatMap(CodeTokenizer.tokenize(_)).distinct.sorted
+      val shouldAll = should.flatMap(CodeTokenizer.tokenize(_)).distinct.sorted
       val shouldT = shouldAll.filterNot(t => mustT.contains(t) || notT.contains(t))
       val effMinShould = math.max(0, minShould - shouldAll.count(mustT.contains))
       if (mustT.exists(notT.contains)) return Array.empty

@@ -64,6 +64,20 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   private lazy val segHasPositions: Seq[Boolean] =
     segments.map(InvertedIndex.hasPositions(spark, _))
 
+  /** The analyzer every segment of this index was BUILT with — queries are
+    * compiled through it (SURVEY.md §7.8). Segments must agree: a
+    * mixed-analyzer union has no consistent token stream to answer with
+    * (DeltaIndex.addDocuments enforces this at write time; this read-side
+    * check makes an externally-assembled mismatch loud too).
+    */
+  lazy val analyzer: graft.tokenize.Analyzer = {
+    val as = segments.map(InvertedIndex.readAnalyzer(spark, _)).distinct
+    require(as.size == 1,
+      s"segments of $indexDir disagree on the built analyzer " +
+        s"(${as.map(_.serialized).mkString(" vs ")}) — rebuild to unify")
+    as.head
+  }
+
   // registered once per reader for BMW skip-evidence (BASELINE.md rule 4)
   val decodedBlocksAcc: LongAccumulator = spark.sparkContext.longAccumulator("graft.bmw.decodedBlocks")
   val skippedBlocksAcc: LongAccumulator = spark.sparkContext.longAccumulator("graft.bmw.skippedBlocks")
@@ -75,7 +89,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[Array[String]]]()
 
   def analyze(query: String): Array[String] =
-    CodeTokenizer.tokenize(query).distinct.sorted
+    CodeTokenizer.tokenize(query, analyzer).distinct.sorted
 
   /** Dictionary lookup for the query terms: tiny per-segment collects merged
     * on the driver (df/cf sum; bound material max/min), broadcast by the
@@ -324,14 +338,14 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   private def boolClauses(must: Seq[String], should: Seq[String], mustNot: Seq[String],
       filter: Seq[String] = Nil)
       : Option[(Array[String], Array[String], Array[String], Array[String], Map[String, BlockMaxWand.TermMeta], Int)] = {
-    val mustT = must.flatMap(CodeTokenizer.tokenize).distinct.sorted.toArray
-    val notT = mustNot.flatMap(CodeTokenizer.tokenize).distinct.sorted.toArray
+    val mustT = must.flatMap(CodeTokenizer.tokenize(_, analyzer)).distinct.sorted.toArray
+    val notT = mustNot.flatMap(CodeTokenizer.tokenize(_, analyzer)).distinct.sorted.toArray
     // ES `filter` context: required like must, NEVER scores. A filter term
     // duplicating a must term is redundant (dropped); filter ∧ must_not is
     // unsatisfiable; a filter term absent from the index matches nothing.
-    val filterT = filter.flatMap(CodeTokenizer.tokenize).distinct.sorted
+    val filterT = filter.flatMap(CodeTokenizer.tokenize(_, analyzer)).distinct.sorted
       .filterNot(mustT.contains).toArray
-    val shouldAll = should.flatMap(CodeTokenizer.tokenize).distinct.sorted
+    val shouldAll = should.flatMap(CodeTokenizer.tokenize(_, analyzer)).distinct.sorted
     val shouldCredit = shouldAll.count(mustT.contains)
     // a should clause duplicating a FILTER clause is NOT stripped: filter
     // forces the term present, so the should clause both scores and counts
@@ -1082,10 +1096,29 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   private def emptyPositional(countCol: String): DataFrame =
     emptyResult(countCol, org.apache.spark.sql.types.IntegerType)
 
+  /** Tokenize positional-query text under the index analyzer. PINNED: a
+    * stopword INSIDE a phrase/span query is rejected loudly — the index
+    * preserves stopword positions as gaps (so stopword-free phrases behave
+    * exactly like ES over stop-analyzed fields), but matching ACROSS a
+    * query-side gap (ES analyzes the query with the same stop filter and
+    * matches x@0..y@2 over the hole) is not supported; refusing beats
+    * silently diverging.
+    */
+  private def positionalTokens(text: String, what: String): Array[String] = {
+    val toks = CodeTokenizer.tokenize(text)
+    if (!analyzer.isDefault) {
+      val stopped = toks.filterNot(analyzer.keep)
+      require(stopped.isEmpty,
+        s"$what contains stopword(s) ${stopped.distinct.mkString(",")} of this index's " +
+          "analyzer — positional queries across stopword gaps are not supported (pinned)")
+    }
+    toks
+  }
+
   def matchPhraseDf(phrase: String, slop: Int = 0): DataFrame = {
     requirePositions("phrase")
     val emptyOut = emptyPositional("phrase_tf")
-    val tokens = CodeTokenizer.tokenize(phrase)
+    val tokens = positionalTokens(phrase, "match_phrase")
     if (tokens.isEmpty) return emptyOut
     val distinct = tokens.distinct.toSeq.sorted
     val meta = termMeta(distinct.toArray)
@@ -1110,7 +1143,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   def matchSpanNearDf(query: String, slop: Int): DataFrame = {
     requirePositions("span")
     val emptyOut = emptyPositional("min_gap")
-    val terms = CodeTokenizer.tokenize(query).distinct.sorted
+    val terms = positionalTokens(query, "span_near").distinct.sorted
     if (terms.isEmpty) return emptyOut
     val meta = termMeta(terms)
     if (terms.exists(t => !meta.contains(t))) return emptyOut // conjunctive
@@ -1137,7 +1170,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       slop: Int = 0): DataFrame = {
     requirePositions("phrase")
     val emptyOut = emptyPositional("phrase_tf")
-    val tokens = CodeTokenizer.tokenize(phrase)
+    val tokens = positionalTokens(phrase, "match_phrase_prefix")
     if (tokens.isEmpty) return emptyOut
     val fixed = tokens.init
     // fixed slots are conjunctive: any df=0 token kills the phrase — ONE

@@ -271,6 +271,70 @@ object CodeTokenizer extends Serializable {
     m
   }
 
+  /** Analyzer-aware [[tokenize]]: the pinned token stream with stopwords
+    * removed (positions are NOT represented here — use [[tfPos]] for the
+    * gap-preserving positional form).
+    */
+  def tokenize(content: String, a: Analyzer): Array[String] =
+    if (a.isDefault) tokenize(content) else tokenize(content).filter(a.keep)
+
+  /** Analyzer-aware token count: dl counts EMITTED (non-stopword) tokens
+    * only — Lucene norms do the same.
+    */
+  def countTokens(content: String, a: Analyzer): Int =
+    if (a.isDefault) countTokens(content)
+    else tokenize(content).count(a.keep)
+
+  /** Analyzer-aware positional invert: a stopword is skipped but its
+    * POSITION survives as a gap (kept tokens carry their index in the FULL
+    * stream — Lucene StopFilter's enable_position_increments), while dl
+    * counts kept tokens only.
+    */
+  def tfPos(content: String, a: Analyzer): TfPosCounter = {
+    if (a.isDefault) return tfPos(content)
+    val m = new TfPosCounter()
+    if (content == null || content.isEmpty) return m
+    val s = content.toLowerCase(java.util.Locale.ROOT)
+    val n = s.length
+    var pos = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && !isWordChar(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && isWordChar(s.charAt(i))) i += 1
+        val len = math.min(i - start, MaxTermLen)
+        val t = s.substring(start, start + len)
+        if (a.keep(t)) { m.add(t, pos); m.dl += 1 }
+        pos += 1
+      }
+    }
+    m
+  }
+
+  /** Analyzer-aware tf invert (no positions): stopwords excluded from both
+    * tf and dl.
+    */
+  def tfCount(content: String, a: Analyzer): TfCounter = {
+    if (a.isDefault) return tfCount(content)
+    val m = new TfCounter()
+    if (content == null || content.isEmpty) return m
+    val s = content.toLowerCase(java.util.Locale.ROOT)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      while (i < n && !isWordChar(s.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && isWordChar(s.charAt(i))) i += 1
+        val len = math.min(i - start, MaxTermLen)
+        val t = s.substring(start, start + len)
+        if (a.keep(t)) { m.addN(t, 1); m.dl += 1 }
+      }
+    }
+    m
+  }
+
   /** One-pass (term -> tf) map plus document length (total token count).
     * This IS the SPIMI in-memory invert step at per-document granularity:
     * a document is wholly contained in one row, so tf needs no shuffle
