@@ -774,6 +774,12 @@ object SparkEntry {
           |  )
           |),
           |""".stripMargin +
+        // PRECONDITION (sbt-gated in SigCollapseSpec): no corpus token has
+        // 'hash'/'join' as a proper affix — otherwise a window cut slicing
+        // such a token (e.g. 'joined' -> 'join' at the fragment edge) would
+        // create a false \b boundary the engine's full-text tokenizer never
+        // sees; the 'i' flag mirrors the analyzer's lowercasing for any
+        // non-lowercase raw text (the gate also pins lowercase today)
         """h AS (
           |  SELECT d.doc_id, d.text,
           |         strpos(' ' || lower(d.text) || ' ', ' hash ') AS ph,
@@ -788,7 +794,7 @@ object SparkEntry {
           |         substr(text, greatest(1, p - 30), p + 4 + 30 - greatest(1, p - 30)) AS frag
           |  FROM a)
           |SELECT doc_id,
-          |       regexp_replace(frag, '\b(hash|join)\b', '<em>\1</em>', 'g') AS highlight
+          |       regexp_replace(frag, '\b(hash|join)\b', '<em>\1</em>', 'gi') AS highlight
           |FROM f ORDER BY doc_id""".stripMargin),
     // span-near twin (2 terms, unordered): min over position pairs of
     // |p1 - p0| - 1 is exactly the minimal covering gap

@@ -305,7 +305,12 @@ object DocumentsIndex {
       val page = pageDf.collect() // <= k rows, bounded
       // hits are (score desc, docId asc) — last hit is the fetch tail
       if (page.length == k && page.last.getDouble(1) > round6(hits.last.score))
-        return pageDf
+        // the stability check just executed the plan; serve the collected
+        // rows as a LocalRelation instead of returning the live plan,
+        // which would make the caller's action re-run the registry join —
+        // two jobs per page in a paging client that exists to pay one
+        return spark.createDataFrame(
+          java.util.Arrays.asList(page: _*), pageDf.schema)
     }
     fallback
   }
@@ -475,8 +480,14 @@ object DocumentsIndex {
       k: Int): DataFrame = {
     val idx = indexDir(spark, sfDir)
     val raw = reader(spark, sfDir).scoreAllDf(query)
-    val dl = Tables.read(spark, idx, InvertedIndex.DocsTable)
-      .select(col("docId"), col("dl"))
+    // dl from EVERY committed segment: delta docs register in their own
+    // docs table (same base-only-read trap docIdMapOf documents) — a base
+    // -only read here would silently drop every delta doc from the inner
+    // join on a delta-served index
+    val dl = DeltaIndex.segmentDirs(spark, idx)
+      .map(seg => Tables.read(spark, seg, InvertedIndex.DocsTable)
+        .select(col("docId"), col("dl")))
+      .reduce(_ unionByName _)
     val modified = raw.join(dl, Seq("docId"))
       .select(col("docId"),
         (col("score") * log(lit(1.0) + col("dl") / 64.0)).as("score"))

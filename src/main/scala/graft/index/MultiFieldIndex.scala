@@ -36,18 +36,24 @@ object MultiFieldIndex {
     * Boosts must be positive — a zero boost silently dropping a field is a
     * caller bug, ES rejects it too.
     */
-  def parseFieldBoost(spec: String): (String, Double) = spec.split('^') match {
-    case Array(f) => (f, 1.0)
-    case Array(f, b) =>
-      val boost = b.toDouble
+  def parseFieldBoost(spec: String): (String, Double) = {
+    // NOT split('^'): scala's split drops trailing empties, so the typo
+    // "text^" would silently parse as boost 1.0 instead of failing loudly
+    val i = spec.indexOf('^')
+    if (i < 0) (spec, 1.0)
+    else {
+      val f = spec.substring(0, i)
+      require(f.nonEmpty && spec.indexOf('^', i + 1) < 0, s"bad field spec '$spec'")
+      val boost =
+        try spec.substring(i + 1).toDouble
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(s"bad field spec '$spec'")
+        }
       require(boost > 0.0, s"field boost must be positive: '$spec'")
       (f, boost)
-    case _ => throw new IllegalArgumentException(s"bad field spec '$spec'")
+    }
   }
-
-  private def boostMeta(meta: Map[String, graft.query.BlockMaxWand.TermMeta],
-      boost: Double): Map[String, graft.query.BlockMaxWand.TermMeta] =
-    graft.query.BlockMaxWand.boostMeta(meta, boost)
 
   /** Build one sub-index per (field name -> string column) over a source
     * carrying the (repo, path, commit, lang) key columns. Null field values
@@ -82,13 +88,12 @@ object MultiFieldIndex {
       query: String, tieBreaker: Double = 1.0): DataFrame = {
     require(fields.nonEmpty, "multiMatch needs at least one field")
     require(tieBreaker >= 0.0 && tieBreaker <= 1.0, s"tie_breaker in [0,1], got $tieBreaker")
-    val perField = fields.map(parseFieldBoost).map { case (f, boost) =>
+    val parsed = fields.map(parseFieldBoost)
+    val perField = parsed.map { case (f, boost) =>
       reader(spark, dir, f).scoreAllDf(query, boost).withColumnRenamed("score", s"score_$f")
     }
     val joined = perField.reduce((a, b) => a.join(b, Seq("docId"), "full_outer"))
-    val perCol = fields.map(parseFieldBoost).map { case (f, _) =>
-      coalesce(col(s"score_$f"), lit(0.0))
-    }
+    val perCol = parsed.map { case (f, _) => coalesce(col(s"score_$f"), lit(0.0)) }
     // field-order left fold == the WAND path's gsSum addition order;
     // best_fields combine mirrors scoreCursors' max + tb·(sum − max)
     val sum = perCol.reduce(_ + _)
@@ -154,7 +159,9 @@ object MultiFieldIndex {
     require(tieBreaker >= 0.0 && tieBreaker <= 1.0, s"tie_breaker in [0,1], got $tieBreaker")
     val fieldBoosts = if (boosts.isEmpty) Seq.fill(readers.size)(1.0) else boosts
     val qterms = readers.head.analyze(query)
-    val metas = readers.zip(fieldBoosts).map { case (r, b) => boostMeta(r.termMeta(qterms), b) }
+    val metas = readers.zip(fieldBoosts).map { case (r, b) =>
+      graft.query.BlockMaxWand.boostMeta(r.termMeta(qterms), b)
+    }
     if (metas.forall(_.isEmpty)) return spark.emptyDataset[graft.query.SearchHit]
     val perDocCounts = readers.map(_.stats.numDocs)
     require(perDocCounts.distinct.size == 1,

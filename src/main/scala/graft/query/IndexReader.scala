@@ -85,6 +85,11 @@ final class IndexReader(spark: SparkSession, indexDir: String,
 
   // memo for matchPrefixDf's bounded expansion probe — see the HOT-PREFIX
   // MEMO note there. @transient: driver-side cache, never shipped.
+  // BOUNDED: readers are cached process-wide (DocumentsIndex.readers), so a
+  // serving process answering arbitrary user prefixes would otherwise grow
+  // this map forever — at the cap the map resets wholesale (hot prefixes
+  // re-memoize within one probe; an LRU would buy little over that here).
+  private val PrefixProbeCacheMax = 4096
   @transient private lazy val prefixProbeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[Array[String]]]()
 
@@ -492,6 +497,15 @@ final class IndexReader(spark: SparkSession, indexDir: String,
         .select("docId", "score")
     val scored =
       if (meta.isEmpty || filterIds.isEmpty) scoredBase
+      else if (mustT.isEmpty && effShould == 0)
+        // ES filter context: with no must conjunction and no effective
+        // minimum_should_match floor, the filter conjunction IS the match
+        // set — a doc matching every filter term but no scoring term still
+        // matches, at score 0 (the bucketed path's conjunction walk already
+        // offers such docs; a semi-join here would silently drop them and
+        // the two paths would disagree exactly where ES says they match)
+        filterIds.get.join(scoredBase, Seq("docId"), "left_outer")
+          .select(col("docId"), coalesce(col("score"), lit(0.0)).as("score"))
       else scoredBase.join(filterIds.get, Seq("docId"), "left_semi")
     if (notT.isEmpty) scored // boolClauses already dropped absent not-terms
     else {
@@ -686,6 +700,25 @@ final class IndexReader(spark: SparkSession, indexDir: String,
           val body = pat.substring(i + 1, close)
           require(body.forall(c => isLit(c) || c == '-'),
             s"class may contain only [a-z0-9_-]: '[$body]' in '$pattern'")
+          // a '-' BETWEEN two members is a java range: require same
+          // category (letter-letter or digit-digit) and lo <= hi, so an
+          // inverted range like [z-a] fails HERE, not as a
+          // PatternSyntaxException inside an executor task, and a
+          // cross-category range like [0-_] can't match chars outside the
+          // charset this validator promises ('-' at the body's edges is a
+          // literal dash — java-valid, just unmatchable against [a-z0-9_]
+          // dictionary terms)
+          var j = 1
+          while (j < body.length - 1) {
+            if (body(j) == '-') {
+              val (lo, hi) = (body(j - 1), body(j + 1))
+              val sameCat = (lo.isDigit && hi.isDigit) ||
+                (lo >= 'a' && lo <= 'z' && hi >= 'a' && hi <= 'z')
+              require(sameCat && lo <= hi,
+                s"bad class range '$lo-$hi' in '$pattern'")
+            }
+            j += 1
+          }
           i = close
           prev = 'a'
         case '*' | '+' | '?' =>
@@ -1005,15 +1038,18 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     // one Option[Array[<= cap terms]] per distinct queried prefix.
     val expanded: Option[Array[String]] =
       if (pruneCap <= 0) None
-      else prefixProbeCache.computeIfAbsent((lo, pruneCap), _ => {
-        val per = segments.map(seg =>
-          Tables.read(spark, seg, InvertedIndex.DictTable)
-            .where(col("term") >= lo && col("term") < hi)
-            .select("term").limit(pruneCap + 1).collect().map(_.getString(0)))
-        val terms = per.flatten.distinct.toArray
-        if (per.forall(_.length <= pruneCap) && terms.length <= pruneCap) Some(terms)
-        else None
-      })
+      else {
+        if (prefixProbeCache.size >= PrefixProbeCacheMax) prefixProbeCache.clear()
+        prefixProbeCache.computeIfAbsent((lo, pruneCap), _ => {
+          val per = segments.map(seg =>
+            Tables.read(spark, seg, InvertedIndex.DictTable)
+              .where(col("term") >= lo && col("term") < hi)
+              .select("term").limit(pruneCap + 1).collect().map(_.getString(0)))
+          val terms = per.flatten.distinct.toArray
+          if (per.forall(_.length <= pruneCap) && terms.length <= pruneCap) Some(terms)
+          else None
+        })
+      }
     val scans = segments.zip(segBuckets).map { case (seg, b) =>
       val rangePred = col("term") >= lo && col("term") < hi
       val pred = expanded match {
@@ -1207,7 +1243,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * [[scoreAllDf]] and the expansion queries (fuzzy/wildcard scored form):
     * whatever produced the terms, scoring is the same Σ idf·tfNorm fold.
     * `boost` scales every term's idf BEFORE the fold (the meta level —
-    * see MultiFieldIndex.boostMeta for why bounds and sums scale there),
+    * see BlockMaxWand.boostMeta for why bounds and sums scale there),
     * so a boosted field's rank-all is bit-identical to its boosted WAND.
     */
   def scoreAllTerms(terms: Array[String], boost: Double = 1.0): DataFrame = {

@@ -378,18 +378,28 @@ class BoolQuerySpec extends SparkSpec with BeforeAndAfterAll {
     def docsWith(t: String): Set[Long] =
       oracle.topKBool(Nil, Seq(t), Nil, N.toInt + 1).map(_.docId).toSet
     var nonTrivial = 0
+    var zeroScored = 0
     for ((m, sh, f, ms) <- Seq(
         (Seq("def"), Seq("val"), Seq("class"), 0),           // plain filter
         (Seq("def"), Seq("val"), Seq("class", "val"), 0),    // filter ∩ should: val still scores
         (Nil, Nil, Seq("buf_buf"), 0),                       // pure filter -> constant 0
         (Nil, Seq("val"), Seq("z100_id", "def"), 0),         // 2-term filter conjunction
+        (Nil, Seq("z100_id"), Seq("def"), 0),                // filter docs w/o ANY should term
         (Nil, Seq("val", "class"), Seq("val"), 2),           // filter-forced should credits msm
         (Seq("def"), Nil, Seq("qqqzzznotfound"), 0))) {      // absent filter term -> empty
       val fset = f.map(docsWith).reduce(_ intersect _)
-      val want: Seq[(Long, Double)] =
-        if ((m ++ sh).isEmpty) fset.toSeq.sorted.map(d => (d, 0.0))
+      val scoredWant: Seq[(Long, Double)] =
+        if ((m ++ sh).isEmpty) Seq.empty
         else oracle.topKBool(m, sh, Nil, N.toInt + 1, ms)
           .collect { case h if fset.contains(h.docId) => (h.docId, h.score) }.toSeq
+      // ES filter context: with no must conjunction and no msm floor the
+      // FILTER is the match set — a filter-matching doc with no scoring
+      // term matches at score 0 (sorts after every BM25 hit, docId asc)
+      val zeroWant: Seq[(Long, Double)] =
+        if (m.nonEmpty || ms > 0) Seq.empty
+        else (fset -- scoredWant.map(_._1)).toSeq.sorted.map(d => (d, 0.0))
+      if (zeroWant.nonEmpty && (m ++ sh).nonEmpty) zeroScored += 1
+      val want = scoredWant ++ zeroWant
       val got = reader.searchBool(m, sh, Nil, N.toInt + 1, ms, filter = f)
         .map(h => (h.docId, h.score)).toSeq
       assert(got.map(_._1) == want.map(_._1), s"filter bool ranks for ($m, $sh, $f, ms=$ms)")
@@ -407,6 +417,8 @@ class BoolQuerySpec extends SparkSpec with BeforeAndAfterAll {
       if (want.nonEmpty && want.map(_._1) != unfiltered) nonTrivial += 1
     }
     assert(nonTrivial >= 3, "filter never shrank a result — fixture too sparse")
+    assert(zeroScored >= 1,
+      "no case exercised filter-matched docs with zero scoring terms — fixture too sparse")
     // filter ∧ must_not is unsatisfiable by construction — both paths empty
     assert(reader.searchBool(Seq("def"), Nil, Seq("val"), 10, filter = Seq("val")).isEmpty)
     assert(reader.searchBoolDf(Seq("def"), Nil, Seq("val"), filter = Seq("val")).isEmpty)

@@ -120,6 +120,29 @@ class SigCollapseSpec extends SparkSpec with BeforeAndAfterAll {
       "fixture too weak: modifier did not re-order the top-20 — pick a different query")
   }
 
+  test("b33 twin preconditions: affix-safe vocabulary, analyzer-charset + space text") {
+    assume(haveData, s"$sfDir not mounted")
+    // The b33_highlight_multi DuckDB twin wraps matches with \b boundaries
+    // over a WINDOW-CUT fragment. A corpus token containing a query term as
+    // a proper affix (e.g. 'joined') could be sliced at the window edge
+    // into a string where \b falsely matches — the engine's full-text
+    // char-offset tokenizer (HighlightOps.fragmentMulti) never sees that
+    // boundary. This gate turns the documented corpus precondition into a
+    // loud failure if the fixtures ever change: rework the twin first.
+    val vocab = docTok.flatMap(_._3).toSet
+    for (q <- Seq("hash", "join")) {
+      val bad = vocab.filter(t => t != q && t.contains(q))
+      assert(bad.isEmpty,
+        s"corpus token(s) $bad contain '$q' — the b33 twin's \\b wrapping can falsely match a window-cut slice")
+    }
+    // the padded-strpos anchor additionally assumes space-separated
+    // analyzer-charset text (shared with the pinned b28 v1 twin)
+    val nonSimple = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(!col("text").rlike("^[a-z0-9_ ]*$")).count()
+    assert(nonSimple == 0,
+      "b33/b28 twins assume space-separated lowercase analyzer-charset text; fixture changed — rework the twins")
+  }
+
   test("extended_stats moments == two-pass exact computation at the pinned 4-dp rounding") {
     assume(haveData, s"$sfDir not mounted")
     val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
