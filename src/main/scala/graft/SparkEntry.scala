@@ -208,6 +208,39 @@ object SparkEntry {
     // and every score shifts because dl/avgdl count kept tokens only.
     "b43_stopword_match" -> ((s, d) =>
       DocumentsIndex.bm25Stopword(s, d, "the join vector", 10)),
+    // B15 SCORED phrase (Lucene PhraseQuery × BM25Similarity): the phrase as
+    // ONE pseudo-term — tf = the matching-start count, idf = the Σ over the
+    // token sequence — so "hash join" RANKS docs instead of counting starts
+    // (b16 is the count form).
+    "b44_phrase_scored" -> ((s, d) => DocumentsIndex.phraseScored(s, d, "hash join")),
+    // B13 dis_max (Lucene DisjunctionMaxQuery): the best of two match
+    // subqueries wins; tie_breaker 0.5 (exact in binary FP) folds the
+    // loser's score in.
+    "b45_dis_max" -> ((s, d) =>
+      DocumentsIndex.disMax(s, d, Seq("hash table", "sort merge"), 0.5)),
+    // B10 top_hits aggregation: the best 3 "spark join" hits per lang group
+    // via the bounded map-side-combinable TopHitsAgg — collapse (b35)
+    // generalized from size 1 to n, still never a window.
+    "b46_top_hits" -> ((s, d) => DocumentsIndex.topHitsByLang(s, d, "spark join", 3)),
+    // B16 boosting query (ES `boosting`): "hash table" matches demoted ×0.5
+    // (exact — power of two) when the doc also matches the negative query.
+    "b48_boosting" -> ((s, d) =>
+      DocumentsIndex.boosting(s, d, "hash table", "vector", 0.5)),
+    // B27 query_string (Lucene classic syntax, pinned v1 grammar): required
+    // term + optional scored phrase + optional constant-score prefix +
+    // prohibited term, all in one parsed query.
+    "b49_query_string" -> ((s, d) =>
+      DocumentsIndex.queryString(s, d, "+hash \"hash join\" tabl* -vector")),
+    // B19 composite aggregation (the PAGINATED facet): a keyset page of the
+    // tags dictionary strictly after 'en' — 5 KEY-ordered buckets (composite
+    // orders by key, not count).
+    "a25_composite" -> ((s, d) => DocumentsIndex.termsComposite(s, d, 5, Some("en"))),
+    // B19 filters aggregation: named term-conjunction buckets with doc
+    // counts; the 'none' bucket's conjunct is absent from the index, so its
+    // count is 0 (ES keeps the named bucket).
+    "a26_filters_agg" -> ((s, d) => DocumentsIndex.filtersAgg(s, d, Seq(
+      "both" -> Seq("hash join"), "none" -> Seq("hash qqqzzznotfound"),
+      "sorted" -> Seq("sort order")))),
 
     // -- Layer A: toolchain operators (SURVEY.md §2.1/2.2) -----------------
     "a01_scan_projection" -> ((s, d) =>
@@ -885,6 +918,131 @@ object SparkEntry {
     // stream ('the' excluded from the query terms too — the engine's
     // analyzer drops it at query compile)
     "b43_stopword_match" -> bm25Sql(Seq("join", "vector"), 10, StopTokCte),
+    // scored-phrase twin: phrase_tf from the positional CTE, the idf SUM
+    // spelled as two scalar subqueries added in TOKEN order (the engine's
+    // driver-side left fold), tfNorm spelled exactly like the bm25 chains
+    "b44_phrase_scored" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS a
+        |  FROM documents),
+        |t0 AS (SELECT doc_id, unnest(a) AS term0, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |toks AS (SELECT doc_id, substr(term0, 1, 64) AS term, pos FROM t0),
+        |ph AS (
+        |  SELECT p0.doc_id, count(*) AS ptf
+        |  FROM toks p0 JOIN toks p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+        |  WHERE p0.term = 'hash' AND p1.term = 'join'
+        |  GROUP BY 1),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        |        WHERE term IN ('hash', 'join') GROUP BY 1),
+        |isum AS (
+        |  SELECT (SELECT ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+        |          FROM dfx CROSS JOIN st WHERE dfx.term = 'hash')
+        |       + (SELECT ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+        |          FROM dfx CROSS JOIN st WHERE dfx.term = 'join') AS v),
+        |sc AS (
+        |  SELECT ph.doc_id,
+        |         isum.v * (ph.ptf / (ph.ptf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score
+        |  FROM ph JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN isum)
+        |SELECT doc_id, round(score, 6) AS score FROM sc
+        |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
+    // dis_max twin: two independent scoring chains, combine spelled exactly
+    // like the engine's greatest + tb·(sum − max) fold (tb = 0.5, exact FP)
+    "b45_dis_max" ->
+      s"""WITH ${fieldBm25Ctes("text", "p", Seq("hash", "table"))},
+         |${fieldBm25Ctes("text", "q", Seq("merge", "sort"))}
+         |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |       round(greatest(coalesce(a.score, 0), coalesce(b.score, 0))
+         |             + 0.5 * ((coalesce(a.score, 0) + coalesce(b.score, 0))
+         |                      - greatest(coalesce(a.score, 0), coalesce(b.score, 0))), 6) AS score
+         |FROM psc a FULL OUTER JOIN qsc b ON a.doc_id = b.doc_id
+         |ORDER BY round(greatest(coalesce(a.score, 0), coalesce(b.score, 0))
+         |             + 0.5 * ((coalesce(a.score, 0) + coalesce(b.score, 0))
+         |                      - greatest(coalesce(a.score, 0), coalesce(b.score, 0))), 6) DESC,
+         |         coalesce(a.doc_id, b.doc_id)""".stripMargin,
+    // top_hits twin: the twin MAY window (DuckDB's input is small — the
+    // engine side must not, which the no-Window sbt gate pins); ranks on
+    // the 6-dp ROUNDED score exactly like the engine's aggregate input
+    "b46_top_hits" ->
+      s"""WITH ${bm25Ctes(Seq("join", "spark"))},
+         |r AS (
+         |  SELECT d.lang, s.doc_id, round(s.score, 6) AS score,
+         |         row_number() OVER (PARTITION BY d.lang
+         |                            ORDER BY round(s.score, 6) DESC, s.doc_id) AS hit_rank
+         |  FROM sc s JOIN documents d USING (doc_id))
+         |SELECT lang, hit_rank, doc_id, score FROM r WHERE hit_rank <= 3
+         |ORDER BY lang, hit_rank""".stripMargin,
+    // boosting twin: positive chain, negative as an ids-only EXISTS — the
+    // ×0.5 demotion is exact (power of two), so no rounding drift
+    "b48_boosting" ->
+      s"""WITH ${bm25Ctes(Seq("hash", "table"))},
+         |neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'vector')
+         |SELECT s.doc_id,
+         |       round(CASE WHEN n.doc_id IS NOT NULL THEN s.score * 0.5 ELSE s.score END, 6) AS score
+         |FROM sc s LEFT JOIN neg n ON n.doc_id = s.doc_id
+         |ORDER BY round(CASE WHEN n.doc_id IS NOT NULL THEN s.score * 0.5 ELSE s.score END, 6) DESC,
+         |         s.doc_id""".stripMargin,
+    // query_string twin ('+hash "hash join" tabl* -vector'): required-term
+    // chain + scored-phrase contribution + constant-1.0 prefix membership,
+    // added in clause APPEARANCE order (the engine's pinned fold), the
+    // prohibited term an anti-membership
+    "b49_query_string" ->
+      s"""WITH ${bm25Ctes(Seq("hash"))},
+         |arr AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS a
+         |  FROM documents),
+         |t0 AS (SELECT doc_id, unnest(a) AS term0, unnest(range(1, len(a)+1)) AS pos FROM arr),
+         |toks AS (SELECT doc_id, substr(term0, 1, 64) AS term, pos FROM t0),
+         |ph AS (
+         |  SELECT p0.doc_id, count(*) AS ptf
+         |  FROM toks p0 JOIN toks p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+         |  WHERE p0.term = 'hash' AND p1.term = 'join'
+         |  GROUP BY 1),
+         |isum AS (
+         |  SELECT (SELECT ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+         |          FROM dfx CROSS JOIN st WHERE dfx.term = 'hash')
+         |       + (SELECT ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+         |          FROM dfx CROSS JOIN st WHERE dfx.term = 'join') AS v),
+         |phsc AS (
+         |  SELECT ph.doc_id,
+         |         isum.v * (ph.ptf / (ph.ptf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score
+         |  FROM ph JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN isum),
+         |pfx AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'tabl%'),
+         |neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'vector')
+         |SELECT s.doc_id,
+         |       round(s.score + coalesce(p.score, 0)
+         |             + (CASE WHEN x.doc_id IS NOT NULL THEN cast(1.0 AS double) ELSE cast(0.0 AS double) END), 6) AS score
+         |FROM sc s
+         |LEFT JOIN phsc p ON p.doc_id = s.doc_id
+         |LEFT JOIN pfx x ON x.doc_id = s.doc_id
+         |WHERE s.doc_id NOT IN (SELECT doc_id FROM neg)
+         |ORDER BY round(s.score + coalesce(p.score, 0)
+         |             + (CASE WHEN x.doc_id IS NOT NULL THEN cast(1.0 AS double) ELSE cast(0.0 AS double) END), 6) DESC,
+         |         s.doc_id""".stripMargin,
+    // composite twin: keyset page of the tags-field term keys — key order,
+    // strictly after 'en'
+    "a25_composite" ->
+      s"""WITH ${tokCteOver("concat_ws(' ', lang, source)", "gtok")},
+         |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM gtok GROUP BY 1)
+         |SELECT term, df FROM dfs WHERE term > 'en' ORDER BY term LIMIT 5""".stripMargin,
+    // filters-agg twin: each named bucket its own membership-conjunction
+    // count (the 'none' bucket's conjunct is absent -> count 0, row kept)
+    "a26_filters_agg" ->
+      s"""WITH $TokCte,
+         |b1 AS (SELECT cast('both' AS varchar) AS name, count(*) AS doc_count FROM (
+         |  SELECT doc_id FROM tok WHERE term IN ('hash', 'join')
+         |  GROUP BY 1 HAVING count(DISTINCT term) = 2)),
+         |b2 AS (SELECT cast('none' AS varchar) AS name, count(*) AS doc_count FROM (
+         |  SELECT doc_id FROM tok WHERE term IN ('hash', 'qqqzzznotfound')
+         |  GROUP BY 1 HAVING count(DISTINCT term) = 2)),
+         |b3 AS (SELECT cast('sorted' AS varchar) AS name, count(*) AS doc_count FROM (
+         |  SELECT doc_id FROM tok WHERE term IN ('order', 'sort')
+         |  GROUP BY 1 HAVING count(DISTINCT term) = 2))
+         |SELECT * FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3)
+         |ORDER BY name""".stripMargin,
     "a19_cardinality" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
         |       count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS cnt

@@ -760,6 +760,79 @@ object DocumentsIndex {
     else rankAll
   }
 
+  /** Scored `match_phrase` (Lucene PhraseQuery × BM25Similarity —
+    * IndexReader.phraseScoreDf semantics) over the text index, keyed by
+    * doc_id under the shared output protocol.
+    */
+  def phraseScored(spark: SparkSession, sfDir: String, phrase: String,
+      slop: Int = 0): DataFrame =
+    rankedByDocId(spark, reader(spark, sfDir).phraseScoreDf(phrase, slop),
+      indexDir(spark, sfDir))
+
+  /** Lucene classic `query_string` (QueryString v1 grammar) over the text
+    * index, keyed by doc_id under the shared output protocol.
+    */
+  def queryString(spark: SparkSession, sfDir: String, q: String): DataFrame =
+    rankedByDocId(spark, reader(spark, sfDir).queryStringDf(q),
+      indexDir(spark, sfDir))
+
+  /** ES `dis_max` over match subqueries on the text index, keyed by doc_id
+    * under the shared output protocol.
+    */
+  def disMax(spark: SparkSession, sfDir: String, queries: Seq[String],
+      tieBreaker: Double): DataFrame =
+    rankedByDocId(spark, reader(spark, sfDir).disMaxDf(queries, tieBreaker),
+      indexDir(spark, sfDir))
+
+  /** ES `boosting` query over the text index, keyed by doc_id under the
+    * shared output protocol.
+    */
+  def boosting(spark: SparkSession, sfDir: String, positive: String,
+      negative: String, negativeBoost: Double): DataFrame =
+    rankedByDocId(spark,
+      reader(spark, sfDir).boostingDf(positive, negative, negativeBoost),
+      indexDir(spark, sfDir))
+
+  /** ES `composite` aggregation page (terms source, keyset `after`) over
+    * the TAGS field's dictionary — key-ordered buckets, resumable.
+    */
+  def termsComposite(spark: SparkSession, sfDir: String, size: Int,
+      afterKey: Option[String]): DataFrame =
+    tagsReader(spark, sfDir).termsCompositeDf(size, afterKey)
+      .select(col("term"), col("df"))
+
+  /** ES `filters` aggregation over the text index: named term-conjunction
+    * buckets with doc counts, ordered by bucket name for the output
+    * protocol (ES preserves request order; name order is deterministic
+    * across engines).
+    */
+  def filtersAgg(spark: SparkSession, sfDir: String,
+      filters: Seq[(String, Seq[String])]): DataFrame =
+    reader(spark, sfDir).filtersAggDf(filters).orderBy("name")
+
+  /** ES `top_hits` aggregation: the best `n` hits of `query` per `lang`
+    * group (collapseByLang generalized from 1 to n). The per-group cut is
+    * the bounded TopHitsAgg aggregate — map-side combinable, NEVER a window
+    * over group partitions (see TopHitsAgg scaladoc for the 100 TB
+    * argument). Scores enter the aggregate ALREADY 6-dp rounded (the output
+    * protocol), so group-local order matches the protocol's global order.
+    */
+  def topHitsByLang(spark: SparkSession, sfDir: String, query: String,
+      n: Int): DataFrame = {
+    val scores = rankedByDocId(spark, reader(spark, sfDir).scoreAllDf(query),
+      indexDir(spark, sfDir))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val top = udaf(new graft.query.TopHitsAgg(n))
+    scores.join(docs, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(top(col("score"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("hit_rank"),
+        col("col._2").as("doc_id"), col("col._1").as("score"))
+      .orderBy("lang", "hit_rank")
+  }
+
   def dictionaryDf(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, indexDir(spark, sfDir), InvertedIndex.DictTable)
       .select(col("term"), col("df"), col("cf"))

@@ -508,19 +508,22 @@ final class IndexReader(spark: SparkSession, indexDir: String,
           .select(col("docId"), coalesce(col("score"), lit(0.0)).as("score"))
       else scoredBase.join(filterIds.get, Seq("docId"), "left_semi")
     if (notT.isEmpty) scored // boolClauses already dropped absent not-terms
-    else {
-      // ids-only at the SCAN level too: the raw per-segment scan (NOT
-      // postingsFor — its composite branch runs a typed map over full
-      // PostingBlock rows, which defeats column pruning) selects just the
-      // three docId columns, so parquet skips tf/dl/pos bytes for the
-      // exclusion branch in single-segment AND delta-serving modes alike
-      val excl = idScan(notT.toSeq)
-        .as[(Long, Int, Array[Byte])]
-        .flatMap { case (f, c, d) => PostingsCodec.decodeDocIds(f, c, d) }
-        .distinct().toDF("docId")
-      scored.join(excl, Seq("docId"), "left_anti")
-    }
+    else scored.join(distinctIds(notT.toSeq), Seq("docId"), "left_anti")
   }
+
+  /** Distinct docIds containing ANY of `terms` — the membership-only shape
+    * shared by must_not exclusion and query_string prohibited-term clauses.
+    * ids-only at the SCAN level too: the raw per-segment scan (NOT
+    * postingsFor — its composite branch runs a typed map over full
+    * PostingBlock rows, which defeats column pruning) selects just the
+    * three docId columns, so parquet skips tf/dl/pos bytes in
+    * single-segment AND delta-serving modes alike.
+    */
+  private def distinctIds(terms: Seq[String]): DataFrame =
+    idScan(terms)
+      .as[(Long, Int, Array[Byte])]
+      .flatMap { case (f, c, d) => PostingsCodec.decodeDocIds(f, c, d) }
+      .distinct().toDF("docId")
 
   /** Membership-only postings scan: (firstDocId, count, docDeltas) of the
     * terms' blocks across all segments — no payload columns, no composite
@@ -800,6 +803,58 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       if (segments.size == 1) scans.head
       else scans.reduce(_ unionByName _).groupBy("term").agg(sum("df").as("df"))
     merged.orderBy(desc("df"), asc("term")).limit(size)
+  }
+
+  /** ES `composite` aggregation over a terms source — the PAGINATED facet:
+    * buckets ordered by the KEY (term asc — composite order, NOT the terms
+    * agg's count order), resuming strictly after `afterKey` (ES `after`),
+    * `size` buckets per page. Keyset pagination over the term-sorted
+    * dictionary: the range predicate pushes into the scan (row-group term
+    * min/max pruning), so a deep page never rescans earlier buckets —
+    * the agg input is the dictionary itself, as in [[termsAggDf]]; no
+    * postings, no documents.
+    */
+  def termsCompositeDf(size: Int, afterKey: Option[String] = None): DataFrame = {
+    require(size > 0, "size must be positive")
+    val scans = segments.map { seg =>
+      val base = Tables.read(spark, seg, InvertedIndex.DictTable)
+        .select(col("term"), col("df"))
+      afterKey.fold(base)(a => base.where(col("term") > a))
+    }
+    val merged =
+      if (segments.size == 1) scans.head
+      else scans.reduce(_ unionByName _).groupBy("term").agg(sum("df").as("df"))
+    merged.orderBy(asc("term")).limit(size)
+  }
+
+  /** ES `filters` aggregation: one NAMED bucket per filter, each filter a
+    * term CONJUNCTION in filter context (ids only — nothing scores);
+    * output (name, doc_count). Per-bucket plan = the same ids-only
+    * membership conjunction searchBoolDf's filter context runs, collapsed
+    * to a count; buckets union into one plan, each over its own
+    * term/tbucket-pruned scan. An absent conjunct makes its bucket count 0
+    * (ES keeps the named bucket), never drops the row.
+    */
+  def filtersAggDf(filters: Seq[(String, Seq[String])]): DataFrame = {
+    require(filters.nonEmpty, "filters agg needs at least one named filter")
+    import spark.implicits._
+    filters.map { case (name, raw) =>
+      val terms = raw.flatMap(CodeTokenizer.tokenize(_, analyzer)).distinct.sorted
+      require(terms.nonEmpty, s"filter '$name' analyzes to zero terms")
+      val meta = termMeta(terms.toArray)
+      if (terms.exists(t => !meta.contains(t)))
+        spark.range(1).select(lit(name).as("name"), lit(0L).as("doc_count"))
+      else idScanWithTerm(terms)
+        .as[(String, Long, Int, Array[Byte])]
+        .flatMap { case (t, f, c, d) =>
+          PostingsCodec.decodeDocIds(f, c, d).iterator.map(id => (id, t))
+        }
+        .toDF("docId", "term")
+        .groupBy("docId").agg(countDistinct("term").as("fcnt"))
+        .where(col("fcnt") === terms.length)
+        .agg(count(lit(1)).as("doc_count"))
+        .select(lit(name).as("name"), col("doc_count"))
+    }.reduce(_ unionByName _)
   }
 
   /** ES `histogram` aggregation over the engine's doc-values-shaped numeric
@@ -1224,6 +1279,148 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       PhraseMatcher.matchBucketAlts(byTerm, slotsB.value, blo, bhi, sl).iterator
     }
       .toDF("docId", "phrase_tf")
+  }
+
+  /** ES `match_phrase` SCORED form — Lucene PhraseQuery under
+    * BM25Similarity: the phrase behaves as ONE pseudo-term whose tf is the
+    * matching-start count ([[matchPhraseDf]]'s `phrase_tf`) and whose idf is
+    * the SUM of the member terms' idfs over the phrase's token SEQUENCE
+    * (duplicates counted — Lucene's PhraseWeight sums one TermStatistics per
+    * phrase position): score = (Σ_seq idf) · tfNorm(phrase_tf, dl, avgdl).
+    *
+    * Float protocol: the idf sum is a driver-side left fold in token order
+    * and tfNorm is spelled column-wise exactly as Bm25.tfNorm and the DuckDB
+    * twin spell it (`tf / (tf + k1·((1−b) + b·dl/avgdl))`), so 6-dp parity
+    * holds. dl comes from every committed segment's registry — the
+    * doc-values read ES does at score time (and the same base-only-read
+    * trap as docIdMapOf: delta docs register in their own docs table).
+    * Plan shape: the positional match's one exchange + a docId equi-join to
+    * the registry — still only the phrase terms' blocks are scanned.
+    */
+  def phraseScoreDf(phrase: String, slop: Int = 0): DataFrame = {
+    val tokens = positionalTokens(phrase, "match_phrase")
+    if (tokens.isEmpty) return emptyHits
+    val meta = termMeta(tokens.distinct.sorted)
+    if (tokens.distinct.exists(t => !meta.contains(t))) return emptyHits
+    val idfSum = tokens.foldLeft(0.0)((acc, t) => acc + meta(t).idf)
+    val dl = segments.map(seg => Tables.read(spark, seg, InvertedIndex.DocsTable)
+      .select(col("docId"), col("dl"))).reduce(_ unionByName _)
+    matchPhraseDf(phrase, slop).join(dl, Seq("docId"))
+      .select(col("docId"),
+        (lit(idfSum) * (col("phrase_tf") /
+          (col("phrase_tf") + lit(p.k1) * (lit(1.0 - p.b) + lit(p.b) * col("dl") / lit(stats.avgDl)))))
+          .as("score"))
+  }
+
+  /** Lucene classic `query_string` (pinned v1 grammar — [[QueryString]]):
+    * compile each clause to its operator's frame and compose under
+    * BooleanQuery semantics. Per-clause scoring (pinned):
+    *   - term: BM25 ([[scoreAllTerms]] — one pruned postings scan + agg);
+    *   - phrase: PhraseQuery BM25 ([[phraseScoreDf]]);
+    *   - prefix: constant 1.0 when the doc contains any expansion term —
+    *     Lucene's CONSTANT_SCORE rewrite for multi-term queries.
+    * score = left fold of the matching clauses' contributions in clause
+    * APPEARANCE order (pinned; the twin spells the same additions in the
+    * same order — searchBoolDf's sorted-TERM fold associates differently,
+    * a sub-ulp divergence the 6-dp output protocol absorbs). Match rule
+    * (Lucene BooleanQuery): every '+' clause present, no '-' clause
+    * present, and with zero '+' clauses at least one optional clause
+    * present.
+    *
+    * Plan shape: one term/tbucket-pruned scan + aggregate per clause,
+    * composed by docId equi-joins (inner for required, full outer across
+    * optionals, anti for prohibited) — clause-count-many joins over
+    * already-aggregated frames, never a corpus scan. A PURE-TERM
+    * query_string is better served by searchBool/searchBoolDf (ONE
+    * aggregate, and the bucketed top-k exists there); this composer is for
+    * the mixed-kind queries those can't express.
+    */
+  def queryStringDf(q: String): DataFrame = {
+    val clauses = QueryString.parse(q)
+    def frame(b: QueryString.Body): DataFrame = b match {
+      case QueryString.Term(t) =>
+        val toks = CodeTokenizer.tokenize(t, analyzer)
+        require(toks.length == 1,
+          s"query_string term '$t' analyzes to ${toks.length} tokens — quote a phrase or split clauses")
+        scoreAllTerms(toks)
+      case QueryString.Phrase(t) => phraseScoreDf(t)
+      case QueryString.Prefix(pfx) =>
+        matchPrefixDf(pfx).select(col("docId"), lit(1.0).as("score"))
+    }
+    def idsOf(b: QueryString.Body): DataFrame = b match {
+      case QueryString.Term(t) =>
+        val toks = CodeTokenizer.tokenize(t, analyzer)
+        require(toks.length == 1,
+          s"query_string term '$t' analyzes to ${toks.length} tokens — quote a phrase or split clauses")
+        distinctIds(toks.toSeq)
+      case QueryString.Phrase(t) => matchPhraseDf(t).select("docId")
+      case QueryString.Prefix(pfx) => matchPrefixDf(pfx).select("docId")
+    }
+    val scoring = clauses.zipWithIndex.filter(_._1.occur >= 0)
+    val named = scoring.map { case (c, idx) =>
+      (idx, c.occur, frame(c.body).withColumnRenamed("score", s"s_$idx"))
+    }
+    val req = named.filter(_._2 > 0)
+    val opt = named.filter(_._2 == 0)
+    val base: DataFrame =
+      if (req.nonEmpty)
+        opt.foldLeft(req.map(_._3).reduce((a, b) => a.join(b, Seq("docId"), "inner")))(
+          (acc, o) => acc.join(o._3, Seq("docId"), "left_outer"))
+      else opt.map(_._3).reduce((a, b) => a.join(b, Seq("docId"), "full_outer"))
+    // fold in appearance order; optionals absent from a doc contribute 0
+    val contribCols = scoring.map { case (c, idx) =>
+      if (c.occur > 0) col(s"s_$idx") else coalesce(col(s"s_$idx"), lit(0.0))
+    }
+    val scored = base.select(col("docId"), contribCols.reduce(_ + _).as("score"))
+    clauses.filter(_.occur < 0).foldLeft(scored)(
+      (acc, c) => acc.join(idsOf(c.body), Seq("docId"), "left_anti"))
+  }
+
+  /** ES `dis_max` over match subqueries: the best-matching subquery wins;
+    * others contribute via `tie_breaker` — score = max + tb·(Σ − max) over
+    * the per-subquery scores (absent subquery = 0; BM25 scores are
+    * positive, so folding 0 preserves both the max and the sum over the
+    * PRESENT scorers, which is what Lucene's DisjunctionMaxQuery computes).
+    * Relational rank-all: per-subquery [[scoreAllDf]] frames full-outer
+    * joined on docId; the combine is spelled exactly like multi_match
+    * best_fields' fold (greatest + left-fold sum in subquery order), so the
+    * twin can mirror it term for term.
+    */
+  def disMaxDf(queries: Seq[String], tieBreaker: Double): DataFrame = {
+    require(queries.nonEmpty, "dis_max needs at least one subquery")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0, s"tie_breaker in [0,1], got $tieBreaker")
+    if (queries.size == 1) return scoreAllDf(queries.head)
+    val frames = queries.zipWithIndex.map { case (q, i) =>
+      scoreAllDf(q).withColumnRenamed("score", s"s_$i")
+    }
+    val joined = frames.reduce((a, b) => a.join(b, Seq("docId"), "full_outer"))
+    val cols = queries.indices.map(i => coalesce(col(s"s_$i"), lit(0.0)))
+    val sum = cols.reduce(_ + _)
+    val raw =
+      if (tieBreaker == 1.0) sum
+      else { val mx = greatest(cols: _*); mx + lit(tieBreaker) * (sum - mx) }
+    joined.select(col("docId"), raw.as("score"))
+  }
+
+  /** ES `boosting` query: docs matching the `negative` query still match,
+    * but their score is demoted by ×`negativeBoost` (0 < nb < 1 — nb ≥ 1
+    * is not a demotion and ES rejects it). The negative side never scores,
+    * so it is an ids-only membership read (match-OR semantics: a doc
+    * matches the negative match query when ANY of its analyzed terms is
+    * present); the positive side is the ordinary rank-all.
+    */
+  def boostingDf(positive: String, negative: String,
+      negativeBoost: Double): DataFrame = {
+    require(negativeBoost > 0.0 && negativeBoost < 1.0,
+      s"negative_boost must be in (0,1), got $negativeBoost")
+    val negToks = analyze(negative)
+    require(negToks.nonEmpty, "boosting needs a non-empty negative query")
+    scoreAllDf(positive)
+      .join(distinctIds(negToks.toSeq).withColumn("neg", lit(true)),
+        Seq("docId"), "left_outer")
+      .select(col("docId"),
+        when(col("neg"), col("score") * lit(negativeBoost))
+          .otherwise(col("score")).as("score"))
   }
 
   /** Distributed rank-all: score EVERY matching document with the result

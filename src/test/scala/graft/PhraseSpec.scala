@@ -253,6 +253,34 @@ class PhraseSpec extends SparkSpec with BeforeAndAfterAll {
     assert(unord.keySet != ord, "no reverse-order matches in fixture — unordered gate vacuous")
   }
 
+  test("scored phrase == brute idf-sum × tfNorm over raw tokenization (incl. duplicates, slop)") {
+    import spark.implicits._
+    import graft.query.Bm25
+    val nDocs = tokensById.size.toLong
+    def df(t: String): Long = tokensById.valuesIterator.count(_.contains(t)).toLong
+    val avgDl = tokensById.valuesIterator.map(_.length.toLong).sum.toDouble / nDocs
+    var nonEmpty = 0
+    // "def def" exercises the duplicate-token pin: idfSum counts idf(def) TWICE
+    for ((ph, sl) <- Seq(("def val", 0), ("def val", 1), ("def def", 0), ("buf_buf", 0))) {
+      val toks = CodeTokenizer.tokenize(ph)
+      val idfSum = toks.foldLeft(0.0)((acc, t) => acc + Bm25.idf(nDocs, df(t)))
+      val exp = tokensById.iterator.flatMap { case (id, ts) =>
+        val ptf = slopCount(ts, toks, sl)
+        if (ptf == 0) None
+        else Some(id -> idfSum * Bm25.tfNorm(ptf.toLong, ts.length.toLong, avgDl, Bm25.Default))
+      }.toMap
+      val got = reader.phraseScoreDf(ph, sl).as[(Long, Double)].collect().toMap
+      assert(got.keySet == exp.keySet, s"scored phrase '$ph' slop $sl doc set")
+      for ((id, s) <- got)
+        assert(math.abs(s - exp(id)) <= 1e-12 * math.max(1.0, math.abs(exp(id))),
+          s"scored phrase '$ph' slop $sl doc $id: $s vs ${exp(id)}")
+      if (exp.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 3, "scored-phrase gate near-vacuous — fixture too sparse")
+    // absent term -> conjunctive empty frame (score schema, zero rows)
+    assert(reader.phraseScoreDf("def qqqzzznotfound").isEmpty)
+  }
+
   test("phrase query against a frequency-only index fails loudly") {
     val fdir = "/tmp/graft_test_phrase_nopos"
     Tables.delete(spark, "/tmp", "graft_test_phrase_nopos")
