@@ -226,11 +226,23 @@ object SparkEntry {
     // (exact — power of two) when the doc also matches the negative query.
     "b48_boosting" -> ((s, d) =>
       DocumentsIndex.boosting(s, d, "hash table", "vector", 0.5)),
+    // B16 numeric range in filter context (ES bool { must: match, filter:
+    // { range } } — the single most common ES query shape): BM25 on "hash"
+    // (+ optional "join") gated by dl ∈ [40, 90) off the registry doc value;
+    // the range never scores, scores of surviving docs are UNCHANGED.
+    "b47_range_filter" -> ((s, d) =>
+      DocumentsIndex.bm25Bool(s, d, Seq("hash"), Seq("join"), Nil,
+        dlRange = Some((40L, 90L)))),
     // B27 query_string (Lucene classic syntax, pinned v1 grammar): required
     // term + optional scored phrase + optional constant-score prefix +
     // prohibited term, all in one parsed query.
     "b49_query_string" -> ((s, d) =>
       DocumentsIndex.queryString(s, d, "+hash \"hash join\" tabl* -vector")),
+    // B15/B9 rescore (ES query rescorer, score_mode total): the top-20
+    // "hash table" window re-ranked by main + 2×phraseScore("hash join") —
+    // weights 1.0/2.0 are exact binary FP; only the window re-sorts.
+    "b50_rescore" -> ((s, d) =>
+      DocumentsIndex.rescorePhrase(s, d, "hash table", "hash join", 20, 1.0, 2.0)),
     // B19 composite aggregation (the PAGINATED facet): a keyset page of the
     // tags dictionary strictly after 'en' — 5 KEY-ordered buckets (composite
     // orders by key, not count).
@@ -984,6 +996,28 @@ object SparkEntry {
          |FROM sc s LEFT JOIN neg n ON n.doc_id = s.doc_id
          |ORDER BY round(CASE WHEN n.doc_id IS NOT NULL THEN s.score * 0.5 ELSE s.score END, 6) DESC,
          |         s.doc_id""".stripMargin,
+    // range-filter twin: the b17 must+should chain gated by a dl-range
+    // membership (dl recomputed from the raw token stream — a green row
+    // re-checks the registry's dl against tokenization, like a20's twin);
+    // scores of surviving docs are IDENTICAL to the unfiltered bool's
+    "b47_range_filter" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+         |             * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score,
+         |         count(DISTINCT CASE WHEN tf.term IN ('hash') THEN tf.term END) AS mcnt
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
+         |  WHERE tf.term IN ('hash', 'join')
+         |  GROUP BY tf.doc_id),
+         |rng AS (SELECT doc_id FROM dl WHERE dl >= 40 AND dl < 90)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |WHERE mcnt = 1 AND doc_id IN (SELECT doc_id FROM rng)
+         |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
     // query_string twin ('+hash "hash join" tabl* -vector'): required-term
     // chain + scored-phrase contribution + constant-1.0 prefix membership,
     // added in clause APPEARANCE order (the engine's pinned fold), the
@@ -1022,6 +1056,38 @@ object SparkEntry {
          |ORDER BY round(s.score + coalesce(p.score, 0)
          |             + (CASE WHEN x.doc_id IS NOT NULL THEN cast(1.0 AS double) ELSE cast(0.0 AS double) END), 6) DESC,
          |         s.doc_id""".stripMargin,
+    // rescore twin: the bm25 window CTE (LIMIT 20 under the protocol order)
+    // left-joined to the b44-style scored-phrase chain; both sides 6-dp
+    // rounded BEFORE the 1.0/2.0 combine, re-rounded after — the engine's
+    // exact composition of protocol scores
+    "b50_rescore" ->
+      s"""WITH ${bm25Ctes(Seq("hash", "table"))},
+         |win AS (SELECT doc_id, round(score, 6) AS score FROM sc
+         |        ORDER BY round(score, 6) DESC, doc_id LIMIT 20),
+         |arr AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS a
+         |  FROM documents),
+         |t0 AS (SELECT doc_id, unnest(a) AS term0, unnest(range(1, len(a)+1)) AS pos FROM arr),
+         |toks AS (SELECT doc_id, substr(term0, 1, 64) AS term, pos FROM t0),
+         |ph AS (
+         |  SELECT p0.doc_id, count(*) AS ptf
+         |  FROM toks p0 JOIN toks p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+         |  WHERE p0.term = 'hash' AND p1.term = 'join'
+         |  GROUP BY 1),
+         |isum AS (
+         |  SELECT (SELECT ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+         |          FROM dfx CROSS JOIN st WHERE dfx.term = 'hash')
+         |       + (SELECT ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+         |          FROM dfx CROSS JOIN st WHERE dfx.term = 'join') AS v),
+         |phsc AS (
+         |  SELECT ph.doc_id,
+         |         isum.v * (ph.ptf / (ph.ptf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score
+         |  FROM ph JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN isum)
+         |SELECT w.doc_id,
+         |       round(1.0 * w.score + 2.0 * coalesce(round(p.score, 6), 0), 6) AS score
+         |FROM win w LEFT JOIN phsc p ON p.doc_id = w.doc_id
+         |ORDER BY round(1.0 * w.score + 2.0 * coalesce(round(p.score, 6), 0), 6) DESC, w.doc_id""".stripMargin,
     // composite twin: keyset page of the tags-field term keys — key order,
     // strictly after 'en'
     "a25_composite" ->

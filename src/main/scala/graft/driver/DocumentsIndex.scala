@@ -223,10 +223,11 @@ object DocumentsIndex {
     */
   def bm25Bool(spark: SparkSession, sfDir: String, must: Seq[String],
       should: Seq[String], mustNot: Seq[String], minShould: Int = 0,
-      filter: Seq[String] = Nil): DataFrame =
+      filter: Seq[String] = Nil,
+      dlRange: Option[(Long, Long)] = None): DataFrame =
     rankedByDocId(spark,
       reader(spark, sfDir).searchBoolDf(must, should, mustNot, minShould,
-        filter = filter),
+        filter = filter, dlRange = dlRange),
       indexDir(spark, sfDir))
 
   /** ES `search_after` deep pagination: page 2 of a BM25 ranking via the
@@ -792,6 +793,41 @@ object DocumentsIndex {
     rankedByDocId(spark,
       reader(spark, sfDir).boostingDf(positive, negative, negativeBoost),
       indexDir(spark, sfDir))
+
+  /** ES `rescore` (query rescorer, `score_mode: total` — the classic
+    * phrase-proximity reranker every relevance stack runs): the top-`window`
+    * hits of `query` re-ranked by `qw·main + rw·phraseScore(phrase)`;
+    * only the window re-sorts, exactly ES (`window_size`). All inputs are
+    * PROTOCOL (6-dp-rounded) scores and the combine re-rounds, so both
+    * engines compose identical doubles (qw/rw pinned to exact binary FP in
+    * the driver row).
+    *
+    * Plan shape: the window is the bounded BMW top-k (≤ `window` rows) and
+    * its id set is BROADCAST-semi-joined into the scored-phrase frame
+    * BEFORE that frame's registry join — ES evaluates the rescore query
+    * only against window docs, and here the window membership prunes the
+    * phrase frame the same way (a broadcast hash semi, never a shuffle).
+    * The ≤ `window` surviving phrase rows then broadcast into the final
+    * left-outer (broadcasting the LEFT side of a left-outer is unsupported
+    * — Spark can only build the preserved side's opposite — so the pruned
+    * RIGHT side is the broadcastable one). Neither join shuffles at any
+    * scale; the only distributed work is the phrase scan itself.
+    */
+  def rescorePhrase(spark: SparkSession, sfDir: String, query: String,
+      phrase: String, window: Int, queryWeight: Double,
+      rescoreWeight: Double): DataFrame = {
+    require(window > 0, "rescore window must be positive")
+    val win = bm25(spark, sfDir, query, window)
+      .select(col("doc_id"), col("score").as("main"))
+    val ph = phraseScored(spark, sfDir, phrase)
+      .select(col("doc_id"), col("score").as("ph"))
+      .join(broadcast(win.select("doc_id")), Seq("doc_id"), "left_semi")
+    win.join(broadcast(ph), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        round(lit(queryWeight) * col("main")
+          + lit(rescoreWeight) * coalesce(col("ph"), lit(0.0)), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+  }
 
   /** ES `composite` aggregation page (terms source, keyset `after`) over
     * the TAGS field's dictionary — key-ordered buckets, resumable.

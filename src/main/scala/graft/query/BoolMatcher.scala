@@ -29,7 +29,8 @@ object BoolMatcher {
   def scoreBucket(termBlocks: Map[String, Array[PostingBlock]],
       scoring: Array[(String, Double)], mustT: Array[String], notT: Array[String],
       lo: Long, hi: Long, k: Int, avgDl: Double, p: Bm25Params,
-      minShould: Int = 0, filterT: Array[String] = Array.empty): Array[SearchHit] = {
+      minShould: Int = 0, filterT: Array[String] = Array.empty,
+      dlLo: Long = 0L, dlHi: Long = Long.MaxValue): Array[SearchHit] = {
     val views = scala.collection.mutable.HashMap.empty[String, PostingsView]
     def viewOf(t: String): PostingsView =
       views.getOrElseUpdate(t, new PostingsView(termBlocks.getOrElse(t, Array.empty)))
@@ -54,6 +55,12 @@ object BoolMatcher {
     // per-candidate handle slots aligned with scoringViews: the must pass
     // deposits what it finds so scoring never re-searches a must term
     val pre = new Array[(Int, Int)](scoringViews.length)
+    // ES numeric-range filter context over the doc-length doc value: dl
+    // rides in EVERY posting's payload (the tfNorm input), so the range is
+    // a per-candidate comparison against an already-decoded value — zero
+    // extra reads. Inactive (the default bounds) costs one branch.
+    val rangeActive = dlLo > 0L || dlHi < Long.MaxValue
+    @inline def inRange(dl: Long): Boolean = dl >= dlLo && dl < dlHi
 
     @inline def excluded(d: Long): Boolean = {
       var i = 0
@@ -64,8 +71,14 @@ object BoolMatcher {
       false
     }
 
-    @inline def scoreDoc(d: Long): Unit = {
+    /** `dlKnown` >= 0 = the candidate's dl, already read by the caller (the
+      * conjunction driver's handle); -1 = derive from the first present
+      * scoring handle (the should-only branch — every candidate there came
+      * from some scoring view, so one always exists).
+      */
+    @inline def scoreDoc(d: Long, dlKnown: Long): Unit = {
       if (!excluded(d)) {
+        var dl = dlKnown
         var s = 0.0
         var shouldHits = 0
         var i = 0
@@ -73,13 +86,14 @@ object BoolMatcher {
           val v = scoringViews(i)._3
           val h = if (pre(i) != null) pre(i) else v.find(d)
           if (h != null) {
+            if (dl < 0L) dl = v.dlAt(h._1, h._2).toLong
             s += scoringViews(i)._2 *
               Bm25.tfNorm(v.tfAt(h._1, h._2).toLong, v.dlAt(h._1, h._2).toLong, avgDl, p)
             if (isShould(i)) shouldHits += 1
           }
           i += 1
         }
-        if (shouldHits >= minShould) heap.offer(d, s)
+        if (shouldHits >= minShould && (!rangeActive || inRange(dl))) heap.offer(d, s)
       }
     }
 
@@ -112,14 +126,19 @@ object BoolMatcher {
               m += 1
             }
             if (ok) {
-              java.util.Arrays.fill(pre.asInstanceOf[Array[AnyRef]], null)
-              if (driverSlot >= 0) pre(driverSlot) = (bi, i)
-              m = 0
-              while (m < otherMusts.length) {
-                if (otherMusts(m)._2 >= 0) pre(otherMusts(m)._2) = mustHandles(m)
-                m += 1
+              // range check BEFORE any payload-scoring work: the driver
+              // handle's dl is the candidate's dl (every term agrees)
+              val dlc = if (rangeActive) driver.dlAt(bi, i).toLong else -1L
+              if (!rangeActive || inRange(dlc)) {
+                java.util.Arrays.fill(pre.asInstanceOf[Array[AnyRef]], null)
+                if (driverSlot >= 0) pre(driverSlot) = (bi, i)
+                m = 0
+                while (m < otherMusts.length) {
+                  if (otherMusts(m)._2 >= 0) pre(otherMusts(m)._2) = mustHandles(m)
+                  m += 1
+                }
+                scoreDoc(d, dlc)
               }
-              scoreDoc(d)
             }
           }
           i += 1
@@ -147,7 +166,7 @@ object BoolMatcher {
       java.util.Arrays.sort(cand)
       var i = 0
       while (i < cand.length) {
-        if (i == 0 || cand(i) != cand(i - 1)) scoreDoc(cand(i))
+        if (i == 0 || cand(i) != cand(i - 1)) scoreDoc(cand(i), -1L)
         i += 1
       }
     }

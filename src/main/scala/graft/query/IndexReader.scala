@@ -410,7 +410,9 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   def searchBool(must: Seq[String], should: Seq[String] = Nil,
       mustNot: Seq[String] = Nil, k: Int = 10, minShould: Int = 0,
       boosts: Map[String, Double] = Map.empty,
-      filter: Seq[String] = Nil): Array[SearchHit] = {
+      filter: Seq[String] = Nil,
+      dlRange: Option[(Long, Long)] = None): Array[SearchHit] = {
+    requireRangeHasTerms(dlRange, must, should, filter)
     val clauses = boolClauses(must, should, mustNot, filter).getOrElse(return Array.empty)
     val (mustT, shouldT, notT, filterT, meta0, shouldCredit) = clauses
     val meta = applyClauseBoosts(meta0, boosts)
@@ -421,12 +423,25 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     // present-should count is unsatisfiable (ES returns nothing for it too)
     val effShould = math.max(0, minShould - shouldCredit)
     if (effShould > shouldT.length) return Array.empty
+    // should-only + range filter at msm = 0: ES matches every range doc
+    // (should is purely optional once a filter exists), including docs with
+    // NO scoring term — at score 0. A postings walk cannot enumerate those
+    // candidates (they live in the registry, not in any queried term's
+    // postings), so this shape is served by searchBoolDf's registry-driven
+    // relational form; silently dropping them here would diverge from ES
+    // and from the other path exactly where the filter semantics bite.
+    if (dlRange.isDefined && mustT.isEmpty && filterT.isEmpty && effShould == 0)
+      throw new IllegalArgumentException(
+        "bucketed bool with only optional should clauses + a range filter " +
+          "matches range-only docs at score 0 — use searchBoolDf for this shape")
     // a bool with no must and no must_not IS a `match` (pure SHOULD-OR with
     // identical scoring) — serve it through Block-Max WAND so it gets
     // θ-pruning instead of the union walk below. effShould >= 2 disables
     // the route: WAND has no per-doc clause-count floor. Any filter clause
-    // disables it too: WAND has no membership conjunction.
-    if (mustT.isEmpty && notT.isEmpty && filterT.isEmpty && effShould <= 1)
+    // disables it too: WAND has no membership conjunction — and neither has
+    // it a dl-range check, so an active range disables it the same way.
+    if (mustT.isEmpty && notT.isEmpty && filterT.isEmpty && effShould <= 1 &&
+        dlRange.isEmpty)
       return bmwTopK(meta, k)
     val scoring = (mustT ++ shouldT).distinct.sorted.map(t => (t, meta(t).idf))
     val scanTerms = ((mustT ++ shouldT).toSeq ++ notT.toSeq ++ filterT.toSeq).distinct.sorted
@@ -437,13 +452,24 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     val pp = p
     val kk = k
     val ms = effShould
+    val (dlLo, dlHi) = dlRange.getOrElse((0L, Long.MaxValue))
     bucketedBlocks[SearchHit](scanTerms) { (lo, hi, byTerm) =>
       BoolMatcher.scoreBucket(byTerm, scoringB.value, mustB.value, notB.value,
-        lo, hi, kk, avgDl, pp, ms, filterB.value).iterator
+        lo, hi, kk, avgDl, pp, ms, filterB.value, dlLo, dlHi).iterator
     }
       .orderBy(desc("score"), asc("docId")).limit(k)
       .collect()
   }
+
+  /** The range-only-bool pin shared by both bool paths: a `range` filter
+    * with ZERO term clauses is a plain registry scan, not a bool — serving
+    * it here would silently return empty (boolClauses has no clause to
+    * anchor on), so refuse loudly instead.
+    */
+  private def requireRangeHasTerms(dlRange: Option[(Long, Long)],
+      must: Seq[String], should: Seq[String], filter: Seq[String]): Unit =
+    require(dlRange.isEmpty || (must ++ should ++ filter).nonEmpty,
+      "a range-only bool is a registry scan — give it at least one term clause")
 
   /** Bool query rank-all, fully relational and distributed: per-doc pinned
     * fold over the scoring terms' contributions, must-presence enforced by
@@ -454,8 +480,10 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   def searchBoolDf(must: Seq[String], should: Seq[String] = Nil,
       mustNot: Seq[String] = Nil, minShould: Int = 0,
       boosts: Map[String, Double] = Map.empty,
-      filter: Seq[String] = Nil): DataFrame = {
+      filter: Seq[String] = Nil,
+      dlRange: Option[(Long, Long)] = None): DataFrame = {
     import spark.implicits._
+    requireRangeHasTerms(dlRange, must, should, filter)
     val clauses = boolClauses(must, should, mustNot, filter).getOrElse(return emptyHits)
     val (mustT, shouldT, notT, filterT, meta0, shouldCredit) = clauses
     val meta = applyClauseBoosts(meta0, boosts)
@@ -467,7 +495,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     // as an ids-only membership conjunction (no payloads — filter never
     // scores), semi-joined below. Pure-filter bools (no scoring clause)
     // serve this frame directly at the ES constant score of 0.
-    val filterIds: Option[DataFrame] = if (filterT.isEmpty) None else Some(
+    val termFilterIds: Option[DataFrame] = if (filterT.isEmpty) None else Some(
       idScanWithTerm(filterT.toSeq)
         .as[(String, Long, Int, Array[Byte])]
         .flatMap { case (t, f, c, d) =>
@@ -477,6 +505,19 @@ final class IndexReader(spark: SparkSession, indexDir: String,
         .groupBy("docId").agg(countDistinct("term").as("fcnt"))
         .where(col("fcnt") === filterT.length)
         .select("docId"))
+    // ES numeric `range` in filter context, relationally: the registry scan
+    // IS the doc-values read — the dl predicate pushes into parquet, and
+    // the frame is ids-only like every filter. Composes with term filters
+    // by a semi-join (conjunction of conjunctions).
+    val rangeIds: Option[DataFrame] = dlRange.map { case (rlo, rhi) =>
+      segments.map(seg => Tables.read(spark, seg, InvertedIndex.DocsTable)
+        .where(col("dl") >= rlo && col("dl") < rhi).select("docId"))
+        .reduce(_ unionByName _)
+    }
+    val filterIds: Option[DataFrame] = (termFilterIds, rangeIds) match {
+      case (Some(f), Some(r)) => Some(f.join(r, Seq("docId"), "left_semi"))
+      case (f, r) => f.orElse(r)
+    }
     // ONE aggregate, ONE exchange: the sorted (term, contrib) array is
     // collected once and yields the pinned score fold AND BOTH presence
     // counts (must conjunction, minimum_should_match floor —

@@ -424,6 +424,72 @@ class BoolQuerySpec extends SparkSpec with BeforeAndAfterAll {
     assert(reader.searchBoolDf(Seq("def"), Nil, Seq("val"), filter = Seq("val")).isEmpty)
   }
 
+  test("range filter (dl): scores unchanged, both paths agree, loud pins") {
+    // brute doc-value map from the oracle's raw tokenization — a green gate
+    // also re-checks that postings dls == registry dl == raw token count
+    val docDl: Map[Long, Long] =
+      oracle.rows.collect().map(r => r._1 -> r._4.toLong).toMap
+    def inR(lo: Long, hi: Long)(d: Long): Boolean = docDl(d) >= lo && docDl(d) < hi
+    val dls = docDl.values.toSeq.sorted
+    // a range that keeps roughly the middle half — guaranteed non-trivial
+    val (rlo, rhi) = (dls(dls.size / 4), dls(3 * dls.size / 4))
+    var shrank = 0
+    for ((m, sh, f, ms) <- Seq(
+        (Seq("def"), Seq("val"), Nil, 0),         // must anchor
+        (Seq("def", "val"), Nil, Nil, 0),         // conjunction anchor
+        (Nil, Seq("def", "val"), Nil, 1),         // should-only, msm floor
+        (Seq("def"), Nil, Seq("class"), 0))) {    // term filter ∧ range
+      val fset: Option[Set[Long]] =
+        if (f.isEmpty) None
+        else Some(f.map(t => oracle.topKBool(Nil, Seq(t), Nil, N.toInt + 1)
+          .map(_.docId).toSet).reduce(_ intersect _))
+      val want = oracle.topKBool(m, sh, Nil, N.toInt + 1, ms)
+        .collect { case h if inR(rlo, rhi)(h.docId) && fset.forall(_.contains(h.docId)) =>
+          (h.docId, h.score) }.toSeq
+      val got = reader.searchBool(m, sh, Nil, N.toInt + 1, ms, filter = f,
+        dlRange = Some((rlo, rhi))).map(h => (h.docId, h.score)).toSeq
+      assert(got.map(_._1) == want.map(_._1), s"range bool ranks for ($m, $sh, $f, ms=$ms)")
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g._2 - w._2) <= 1e-9 * math.max(1.0, math.abs(w._2)),
+          s"range filter must not change scores for ($m, $sh)")
+      }
+      val gotDf = reader.searchBoolDf(m, sh, Nil, ms, filter = f,
+        dlRange = Some((rlo, rhi)))
+        .orderBy(desc("score"), asc("docId")).as[(Long, Double)].collect().toSeq
+      assert(gotDf == got.map { case (d, s) => (d, s) } || {
+        // compare with tolerance: the two paths' folds are gated elsewhere
+        gotDf.map(_._1) == got.map(_._1) &&
+          gotDf.zip(got).forall { case (a, b) =>
+            math.abs(a._2 - b._2) <= 1e-12 * math.max(1.0, math.abs(b._2)) }
+      }, s"range paths diverge for ($m, $sh, $f)")
+      val unranged = oracle.topKBool(m, sh, Nil, N.toInt + 1, ms).map(_.docId)
+      if (want.nonEmpty && want.map(_._1) != unranged.toSeq) shrank += 1
+    }
+    assert(shrank >= 2, "range never shrank a non-empty result — fixture too sparse")
+    // empty range -> empty, not an error
+    assert(reader.searchBool(Seq("def"), Nil, Nil, 10, dlRange = Some((0L, 1L))).isEmpty)
+    assert(reader.searchBoolDf(Seq("def"), Nil, Nil, dlRange = Some((0L, 1L))).isEmpty)
+    // range-only bool is a registry scan — both paths refuse loudly
+    intercept[IllegalArgumentException](
+      reader.searchBool(Nil, Nil, Nil, 10, dlRange = Some((rlo, rhi))))
+    intercept[IllegalArgumentException](
+      reader.searchBoolDf(Nil, Nil, Nil, dlRange = Some((rlo, rhi))))
+    // should-only + range at msm = 0: ES matches range-only docs at score 0 —
+    // the relational registry-driven path serves it; the postings walk refuses
+    val relOnly = reader.searchBoolDf(Nil, Seq("z100_id"), Nil,
+      dlRange = Some((rlo, rhi)))
+      .orderBy(desc("score"), asc("docId")).as[(Long, Double)].collect().toSeq
+    val scoredSet = oracle.topKBool(Nil, Seq("z100_id"), Nil, N.toInt + 1)
+      .collect { case h if inR(rlo, rhi)(h.docId) => (h.docId, h.score) }.toSeq
+    val zeroSet = (docDl.keySet.filter(inR(rlo, rhi)) -- scoredSet.map(_._1))
+      .toSeq.sorted.map(d => (d, 0.0))
+    assert(relOnly.map(_._1) == (scoredSet ++ zeroSet).map(_._1),
+      "relational should-only + range must match every range doc (score 0 tail)")
+    assert(zeroSet.nonEmpty, "no zero-scored range doc — fixture too sparse for the gate")
+    intercept[IllegalArgumentException](
+      reader.searchBool(Nil, Seq("z100_id"), Nil, 10, dlRange = Some((rlo, rhi))))
+  }
+
   test("constant_score: filter doc set at the constant boost, nothing else") {
     def docsWith(t: String): Set[Long] =
       oracle.topKBool(Nil, Seq(t), Nil, N.toInt + 1).map(_.docId).toSet

@@ -51,6 +51,48 @@ class SigCollapseSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("rescore == brute window re-rank; outside-window phrase docs never enter") {
+    assume(haveData, s"$sfDir not mounted")
+    import graft.query.Bm25
+    val seqs: Map[Long, Array[String]] = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> CodeTokenizer.tokenize(t) }.toMap
+    val n = seqs.size.toLong
+    val avgdl = seqs.valuesIterator.map(_.length.toLong).sum.toDouble / n
+    def df(t: String): Long = seqs.valuesIterator.count(_.contains(t)).toLong
+    def bm25(id: Long, t: String): Double = {
+      val tf = seqs(id).count(_ == t).toLong
+      if (tf == 0) 0.0
+      else Bm25.idf(n, df(t)) * Bm25.tfNorm(tf, seqs(id).length.toLong, avgdl, Bm25.Default)
+    }
+    // window: protocol-ordered top-20 of the main query (rounded scores)
+    val qTerms = Seq("hash", "table")
+    val window = seqs.keysIterator
+      .map(id => (id, round6(qTerms.distinct.sorted.foldLeft(0.0)((a, t) => a + bm25(id, t)))))
+      .filter(_._2 > 0).toSeq.sortBy { case (id, s) => (-s, id) }.take(20)
+    // rescore side: the b44 scored-phrase definition, 6-dp rounded
+    val idfSum = Array("hash", "join").foldLeft(0.0)((a, t) => a + Bm25.idf(n, df(t)))
+    def ptf(ts: Array[String]): Int =
+      (0 to ts.length - 2).count(i => ts(i) == "hash" && ts(i + 1) == "join")
+    def phScore(id: Long): Double = {
+      val c = ptf(seqs(id))
+      if (c == 0) 0.0
+      else round6(idfSum * Bm25.tfNorm(c.toLong, seqs(id).length.toLong, avgdl, Bm25.Default))
+    }
+    val want = window.map { case (id, s) => (id, round6(1.0 * s + 2.0 * phScore(id))) }
+      .sortBy { case (id, s) => (-s, id) }
+    val got = DocumentsIndex.rescorePhrase(spark, sfDir, "hash table", "hash join", 20, 1.0, 2.0)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want, s"rescore:\n  got  $got\n  want $want")
+    // the gate is vacuous unless the rescore actually reordered the window
+    assert(want.map(_._1) != window.map(_._1), "rescore did not reorder — fixture too weak")
+    // an outside-window doc with a phrase hit must NOT enter (window_size pin)
+    val outside = seqs.keysIterator
+      .filter(id => ptf(seqs(id)) > 0 && !window.exists(_._1 == id)).toSeq
+    assert(outside.nonEmpty, "no phrase doc outside the window — exclusion not exercised")
+    assert(!got.exists(r => outside.contains(r._1)), "an outside-window doc entered the rescored page")
+  }
+
   test("significant_terms of an absent foreground term is empty, typed") {
     assume(haveData, s"$sfDir not mounted")
     val out = DocumentsIndex.significantTerms(spark, sfDir, "qqqzzznotfound", 5)
