@@ -243,6 +243,17 @@ object SparkEntry {
     // weights 1.0/2.0 are exact binary FP; only the window re-sorts.
     "b50_rescore" -> ((s, d) =>
       DocumentsIndex.rescorePhrase(s, d, "hash table", "hash join", 20, 1.0, 2.0)),
+    // B10 sort-by-field (ES `sort: [{n_chars: desc}, {_id: asc}]` under a
+    // match query — scoring skipped entirely, doc-value order): page 2 via
+    // the keyset cursor, exercising the pushed-down search_after predicate.
+    "b51_sort_by_field" -> ((s, d) =>
+      DocumentsIndex.sortByFieldPage2(s, d, "hash", 10)),
+    // B13 multi_match type=cross_fields (term-centric blending): each term
+    // scores as ONE clause — idf blended from the MAX df across text+tags,
+    // per-field tfNorms dismax'd at ES's default tie_breaker 0 — vs b14's
+    // field-centric sum. Served through the cross-field WAND transpose.
+    "b52_cross_fields" -> ((s, d) =>
+      DocumentsIndex.multiMatchCross(s, d, "spark src18 de", 20)),
     // B19 composite aggregation (the PAGINATED facet): a keyset page of the
     // tags dictionary strictly after 'en' — 5 KEY-ordered buckets (composite
     // orders by key, not count).
@@ -1018,6 +1029,63 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score FROM sc
          |WHERE mcnt = 1 AND doc_id IN (SELECT doc_id FROM rng)
          |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
+    // sort-by-field twin: match set as a DISTINCT-term membership, page 1
+    // under (n_chars DESC, doc_id ASC), cursor = page-1 tail (the inverted
+    // ORDER LIMIT 1), page 2 via the same keyset predicate the engine
+    // pushes into its scan
+    "b51_sort_by_field" ->
+      s"""WITH $TokCte,
+         |m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'hash'),
+         |p1 AS (SELECT d.doc_id, d.n_chars FROM documents d JOIN m USING (doc_id)
+         |       ORDER BY d.n_chars DESC, d.doc_id LIMIT 10),
+         |cur AS (SELECT n_chars AS cv, doc_id AS cd FROM p1
+         |        ORDER BY n_chars ASC, doc_id DESC LIMIT 1)
+         |SELECT d.doc_id, d.n_chars FROM documents d JOIN m USING (doc_id) CROSS JOIN cur
+         |WHERE d.n_chars < cur.cv OR (d.n_chars = cur.cv AND d.doc_id > cur.cd)
+         |ORDER BY d.n_chars DESC, d.doc_id LIMIT 10""".stripMargin,
+    // cross_fields twin: term-centric — blended idf from the MAX df across
+    // both fields (bidf; N and the per-field avgdl come from each field's
+    // own stats exactly like the engine's sub-indexes), per-(doc, term)
+    // dismax across fields at tie_breaker 0 (pure greatest), terms summed.
+    // In THIS corpus the two vocabularies are disjoint, so each term's df
+    // blend is degenerate (its one field's df) — the overlapping-df blend
+    // is pinned by the sbt gate on a shared-vocabulary fixture
+    // (MultiFieldSpec); the row pins serving + the composed formula.
+    "b52_cross_fields" ->
+      s"""WITH ${tokCteOver("text", "xtok")},
+         |xtf AS (SELECT doc_id, term, count(*) AS tf FROM xtok GROUP BY 1, 2),
+         |xdl AS (SELECT doc_id, count(*) AS dl FROM xtok GROUP BY 1),
+         |xst AS (SELECT count(*) AS n, avg(cast(coalesce(xdl.dl, 0) AS double)) AS avgdl
+         |        FROM documents d LEFT JOIN xdl ON d.doc_id = xdl.doc_id),
+         |xdf AS (SELECT term, count(*) AS df FROM xtf GROUP BY 1),
+         |${tokCteOver("concat_ws(' ', lang, source)", "gtok")},
+         |gtf AS (SELECT doc_id, term, count(*) AS tf FROM gtok GROUP BY 1, 2),
+         |gdl AS (SELECT doc_id, count(*) AS dl FROM gtok GROUP BY 1),
+         |gst AS (SELECT count(*) AS n, avg(cast(coalesce(gdl.dl, 0) AS double)) AS avgdl
+         |        FROM documents d LEFT JOIN gdl ON d.doc_id = gdl.doc_id),
+         |gdf AS (SELECT term, count(*) AS df FROM gtf GROUP BY 1),
+         |q(term) AS (VALUES ('de'), ('spark'), ('src18')),
+         |bidf AS (
+         |  SELECT q.term,
+         |         ln(1 + cast(st.n - greatest(coalesce(x.df, 0), coalesce(g.df, 0)) + 0.5 AS double)
+         |            / cast(greatest(coalesce(x.df, 0), coalesce(g.df, 0)) + 0.5 AS double)) AS idf
+         |  FROM q LEFT JOIN xdf x ON x.term = q.term LEFT JOIN gdf g ON g.term = q.term
+         |       CROSS JOIN xst st
+         |  WHERE greatest(coalesce(x.df, 0), coalesce(g.df, 0)) > 0),
+         |cx AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         bidf.idf * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl)) AS c
+         |  FROM xtf tf JOIN xdl dl USING (doc_id) JOIN bidf USING (term) CROSS JOIN xst st),
+         |cg AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         bidf.idf * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl)) AS c
+         |  FROM gtf tf JOIN gdl dl USING (doc_id) JOIN bidf USING (term) CROSS JOIN gst st),
+         |pt AS (
+         |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, coalesce(a.term, b.term) AS term,
+         |         greatest(coalesce(a.c, 0), coalesce(b.c, 0)) AS combined
+         |  FROM cx a FULL OUTER JOIN cg b ON a.doc_id = b.doc_id AND a.term = b.term)
+         |SELECT doc_id, round(sum(combined), 6) AS score FROM pt
+         |GROUP BY doc_id ORDER BY round(sum(combined), 6) DESC, doc_id LIMIT 20""".stripMargin,
     // query_string twin ('+hash "hash join" tabl* -vector'): required-term
     // chain + scored-phrase contribution + constant-1.0 prefix membership,
     // added in clause APPEARANCE order (the engine's pinned fold), the

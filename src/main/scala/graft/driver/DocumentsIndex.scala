@@ -316,6 +316,60 @@ object DocumentsIndex {
     fallback
   }
 
+  /** ES sort-by-field serving (`sort: [{n_chars: "desc"}, {_id: "asc"}]`
+    * under a `match` query — the second-most-common ES result order after
+    * relevance; `upstream:` any date- or size-ordered listing): relevance
+    * scoring is SKIPPED entirely, exactly as ES does when `sort` omits
+    * `_score` — the match set is an ids-only postings scan (no payload
+    * bytes) and the sort key is a source-table doc value.
+    *
+    * Plan shape, and why it survives 100×: the sort+limit is
+    * TakeOrderedAndProject (k rows per partition merged on the driver —
+    * never a global sort); the match ids reach the doc-value scan as a
+    * LEFT SEMI join (ids only, no text column anywhere in the plan); and on
+    * cursor pages the keyset predicate is a PLAIN COLUMN predicate on the
+    * documents scan, so it lands in PushedFilters — deep field-sorted
+    * paging prunes row groups AT THE SOURCE, the thing offset pagination
+    * can never do.
+    */
+  def sortByField(spark: SparkSession, sfDir: String, query: String,
+      k: Int): DataFrame = sortPage(spark, sfDir, query, None, k)
+
+  /** The cursor form a paging client calls: `(afterChars, afterDoc)` is the
+    * previous page's tail `(n_chars, doc_id)` — pushed into the scan.
+    */
+  def sortByField(spark: SparkSession, sfDir: String, query: String,
+      afterChars: Long, afterDoc: Long, k: Int): DataFrame =
+    sortPage(spark, sfDir, query, Some((afterChars, afterDoc)), k)
+
+  /** Self-contained driver-row form: page 2, cursor derived from page 1
+    * (one extra k-row job here; a real client pays only the page job via
+    * the cursor overload — same convention as `bm25SearchAfter`).
+    */
+  def sortByFieldPage2(spark: SparkSession, sfDir: String, query: String,
+      k: Int): DataFrame = {
+    val p1 = sortByField(spark, sfDir, query, k).collect()
+    if (p1.length < k) return sortByField(spark, sfDir, query, k).limit(0)
+    sortByField(spark, sfDir, query, p1.last.getLong(1), p1.last.getLong(0), k)
+  }
+
+  private def sortPage(spark: SparkSession, sfDir: String, query: String,
+      after: Option[(Long, Long)], k: Int): DataFrame = {
+    require(k > 0, "sort page size must be positive")
+    val ids = reader(spark, sfDir).matchIdsDf(query)
+      .join(docIdMap(spark, sfDir), Seq("docId")).select("doc_id")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val paged = after match {
+      case Some((ac, ad)) =>
+        docs.where(col("n_chars") < ac ||
+          (col("n_chars") === ac && col("doc_id") > ad))
+      case None => docs
+    }
+    paged.join(ids, Seq("doc_id"), "left_semi")
+      .orderBy(desc("n_chars"), asc("doc_id")).limit(k)
+  }
+
   /** ES highlighting, pinned v1 form (`upstream:` the LOD API returns ES
     * highlight fragments on every search): for the top-k docs of a
     * single-term query, an 80-char-max fragment around the FIRST analyzer
@@ -757,6 +811,44 @@ object DocumentsIndex {
       stableTopK(spark, textIdx, k,
         f => graft.index.MultiFieldIndex.multiMatchTopKReaders(spark, rs, query, f,
           boosts, tieBreaker),
+        rankAll)
+    else rankAll
+  }
+
+  /** ES `multi_match` `type: cross_fields` over text + tags (term-centric
+    * blending — see MultiFieldIndex.blendedMetas for the pinned semantics):
+    * each term scores as ONE clause whose idf is blended from the MAX df
+    * across both fields, per-field tfNorms dismax-combined
+    * (`max + tieBreaker·(sum − max)`, ES default tie_breaker 0.0), terms
+    * summed. Serving mirrors `multiMatch`: bounded cross-field WAND under
+    * the blended metas when k > 0 (bit-exact vs rank-all, sbt-gated),
+    * rank-all relational otherwise. Cross-field blending REQUIRES docId
+    * alignment (the per-term dismax joins fields by docId), so unlike
+    * `multiMatch` there is no unaligned fallback — geometry mismatch fails
+    * loudly instead of silently mis-joining.
+    */
+  def multiMatchCross(spark: SparkSession, sfDir: String, query: String,
+      k: Int, tieBreaker: Double = 0.0): DataFrame = {
+    val textIdx = indexDir(spark, sfDir)
+    val tagsIdx = tagsIndexDir(spark, sfDir)
+    val rs = Seq(reader(spark, sfDir), tagsReader(spark, sfDir))
+    val aligned = rs.forall(_.segments.size == 1) && {
+      val geoms = Seq(textIdx, tagsIdx).map(InvertedIndex.readPlanGeometry(spark, _))
+      geoms.forall(_.isDefined) && geoms.distinct.size == 1
+    }
+    require(aligned,
+      "cross_fields blending joins fields by docId — sub-indexes must share " +
+        "PLAN_GEOMETRY (rebuild both fields in one build)")
+    def rankAll: DataFrame = {
+      val out = rankedByDocId(spark,
+        graft.index.MultiFieldIndex.crossFieldsScoreAllReaders(spark, rs, query,
+          tieBreaker = tieBreaker), textIdx)
+      if (k > 0) out.limit(k) else out
+    }
+    if (k > 0)
+      stableTopK(spark, textIdx, k,
+        f => graft.index.MultiFieldIndex.crossFieldsTopKDs(spark, rs, query, f,
+          tieBreaker = tieBreaker).collect(),
         rankAll)
     else rankAll
   }

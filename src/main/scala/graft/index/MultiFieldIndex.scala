@@ -206,4 +206,156 @@ object MultiFieldIndex {
       .orderBy(desc("score"), asc("docId")).limit(k)
       .as[graft.query.SearchHit]
   }
+
+  /** ES `multi_match` `type: cross_fields` term statistics (SURVEY.md §2.3
+    * B13): terms are grouped, not fields — each term scores as ONE blended
+    * clause across fields,
+    * `score(doc) = Σ_t dismax_f( idf_blend(t)·boost_f · tfNorm_f )` with
+    * `idf_blend(t) = idf(N, max_f df_f(t))` — Lucene's BlendedTermQuery
+    * substitutes the group's maximum df, fixing the IDF mismatch
+    * best_fields suffers when a term is rare in one field and common in
+    * another (the classic `first_name:smith` vs `last_name:smith` trap).
+    * dismax = `max + tieBreaker·(sum − max)`; ES's cross_fields default
+    * tie_breaker is 0.0.
+    *
+    * PINNED v1 semantics: blend = max df only (Lucene additionally nudges
+    * by total-term-frequency ordering); fields must share the analyzer —
+    * ES silently splits mixed-analyzer field lists into separate
+    * cross_fields groups, this engine instead rejects the shape loudly
+    * (readers built with different analyzers fail the IndexReader analyzer
+    * agreement check when queried together through [[crossFieldsTopKDs]]).
+    *
+    * Returns per-field metas whose idf AND maxImpact are rescaled to the
+    * blended idf (and the field boost) — computed ONCE here and shared by
+    * the bounded WAND and the relational rank-all, so the two paths fold
+    * the same doubles and stay bit-identical.
+    */
+  def blendedMetas(readers: Seq[IndexReader], qterms: Array[String],
+      boosts: Seq[Double]): Seq[Map[String, graft.query.BlockMaxWand.TermMeta]] = {
+    require(readers.nonEmpty, "cross_fields needs at least one field")
+    val perDocCounts = readers.map(_.stats.numDocs)
+    require(perDocCounts.distinct.size == 1,
+      s"fields must index the same aligned doc set, got counts $perDocCounts")
+    val n = perDocCounts.head
+    val metas = readers.map(_.termMeta(qterms))
+    val dfs = readers.map(_.termDfs(qterms))
+    val blendIdf: Map[String, Double] = qterms.iterator.flatMap { t =>
+      val mx = dfs.iterator.map(_.getOrElse(t, 0L)).max
+      if (mx == 0L) None else Some(t -> graft.query.Bm25.idf(n, mx))
+    }.toMap
+    metas.zip(boosts).map { case (m, b) =>
+      m.map { case (t, tm) =>
+        // rescale BOTH idf and maxImpact by the same factor (boostMeta's
+        // argument): bounds stay exact under the substituted statistic
+        val f = blendIdf(t) / tm.idf * b
+        t -> tm.copy(idf = tm.idf * f, maxImpact = tm.maxImpact * f)
+      }
+    }
+  }
+
+  /** cross_fields rank-all, fully relational: per-field (docId, term,
+    * contrib) frames under the BLENDED metas union with a field tag; per
+    * (docId, term) the pinned fold (field-ascending sort_array) yields the
+    * group sum AND max in cursor order; dismax combines them; per docId the
+    * term-ascending fold sums — float-for-float the bounded path's
+    * association. Distributed end-to-end, no driver materialization.
+    */
+  def crossFieldsScoreAllReaders(spark: SparkSession, readers: Seq[IndexReader],
+      query: String, boosts: Seq[Double] = Nil,
+      tieBreaker: Double = 0.0): DataFrame = {
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0, s"tie_breaker in [0,1], got $tieBreaker")
+    val fieldBoosts = if (boosts.isEmpty) Seq.fill(readers.size)(1.0) else boosts
+    val qterms = readers.head.analyze(query)
+    val metas = blendedMetas(readers, qterms, fieldBoosts)
+    val frames = readers.zip(metas).zipWithIndex.collect {
+      case ((r, m), fi) if m.nonEmpty =>
+        r.contribs(m).select(lit(fi).as("fi"), col("docId"), col("term"), col("contrib"))
+    }
+    if (frames.isEmpty)
+      return spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+    val tb = tieBreaker
+    frames.reduce(_ unionByName _)
+      .groupBy("docId", "term")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("fi"), col("contrib")))),
+        struct(lit(0.0).as("sm"), lit(0.0).as("mx")),
+        (acc, x) => struct(
+          (acc.getField("sm") + x.getField("contrib")).as("sm"),
+          greatest(acc.getField("mx"), x.getField("contrib")).as("mx"))).as("a"))
+      .select(col("docId"), col("term"),
+        (if (tb == 1.0) col("a.sm")
+         else col("a.mx") + lit(tb) * (col("a.sm") - col("a.mx"))).as("combined"))
+      .groupBy("docId")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("combined")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("combined")).as("score"))
+  }
+
+  /** cross_fields TOP-K without rank-all: the cross-field WAND with cursors
+    * under the blended metas, sorted (term, field) so each term's cursors
+    * form one GROUP — scoreCursors' `dismaxWithinGroups` transpose combines
+    * within the group and sums groups, exactly the rank-all fold. Bound
+    * validity: the pivot sums ALL cursor bounds, ≥ any tieBreaker ≤ 1
+    * combine. Bit-identical to crossFieldsScoreAllReaders + limit
+    * (sbt-gated).
+    */
+  def crossFieldsTopKDs(spark: SparkSession, readers: Seq[IndexReader],
+      query: String, k: Int, boosts: Seq[Double] = Nil, tieBreaker: Double = 0.0)
+      : org.apache.spark.sql.Dataset[graft.query.SearchHit] = {
+    import spark.implicits._
+    require(readers.nonEmpty, "cross_fields needs at least one field")
+    require(boosts.isEmpty || boosts.size == readers.size,
+      s"boosts must be empty or match readers: ${boosts.size} vs ${readers.size}")
+    require(tieBreaker >= 0.0 && tieBreaker <= 1.0, s"tie_breaker in [0,1], got $tieBreaker")
+    val fieldBoosts = if (boosts.isEmpty) Seq.fill(readers.size)(1.0) else boosts
+    val qterms = readers.head.analyze(query)
+    val metas = blendedMetas(readers, qterms, fieldBoosts)
+    if (metas.forall(_.isEmpty)) return spark.emptyDataset[graft.query.SearchHit]
+    val numDocs = readers.head.stats.numDocs
+    val buckets = spark.sessionState.conf.numShufflePartitions
+    val w = math.max(1L, (numDocs + buckets - 1) / buckets)
+    val fieldAvgDlB = spark.sparkContext.broadcast(readers.map(_.stats.avgDl).toArray)
+    val metaByFieldB = spark.sparkContext.broadcast(metas.toArray)
+    val pp = graft.query.Bm25.Default
+    val kk = k
+    val tb = tieBreaker
+
+    val tagged = readers.zipWithIndex.map { case (r, i) =>
+      val terms = metas(i).keys.toSeq.sorted
+      if (terms.isEmpty) spark.emptyDataset[(Int, PostingBlock)]
+      else r.postingsFor(terms).map(b => (i, b))
+    }.reduce(_ union _)
+
+    tagged
+      .flatMap { case (i, b) =>
+        ((b.firstDocId / w) to (b.lastDocId / w)).iterator.map(g => (g, i, b))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val lo = g * w
+        val hi = lo + w
+        // (term, field) ascending: a term's cursors are ADJACENT (one
+        // dismax group), fields within it in field order
+        val byTermField = it.map(t => ((t._3.term, t._2), t._3)).toArray
+          .groupBy(_._1)
+          .map { case (key, arr) => (key, arr.map(_._2).sortBy(_.firstDocId)) }
+          .toArray.sortBy(_._1)
+        val cursors = byTermField.map { case ((t, fi), bs) =>
+          val m = metaByFieldB.value(fi)(t)
+          new graft.query.TermCursor(t, m.idf, m.maxImpact, bs, lo, hi,
+            fieldAvgDlB.value(fi), pp)
+        }
+        // group index = rank of the term among this bucket's sorted terms
+        val termRank = byTermField.map(_._1._1).distinct.sorted.zipWithIndex.toMap
+        val groupOf = byTermField.map { case ((t, _), _) => termRank(t) }
+        graft.query.BlockMaxWand.scoreCursors(cursors, kk, groupOf = groupOf,
+          tieBreaker = tb, dismaxWithinGroups = true).iterator
+      }
+      .orderBy(desc("score"), asc("docId")).limit(k)
+      .as[graft.query.SearchHit]
+  }
 }

@@ -216,9 +216,18 @@ object BlockMaxWand {
     * across ALL fields, which upper-bounds every tieBreaker ≤ 1.0 score —
     * valid (slightly looser for small tieBreaker), so pruning stays exact.
     */
+  /** `dismaxWithinGroups` TRANSPOSES the group combine for `cross_fields`:
+    * groups are then TERMS (one group = one term's cursors across fields),
+    * the dismax `max + tieBreaker · (sum − max)` applies WITHIN each group
+    * over per-field contributions, and groups SUM — the term-centric
+    * BlendedTermQuery shape, versus the default's field-centric one (sum
+    * within a field, dismax across fields). The ALL-cursor bound sum stays
+    * a valid pivot bound either way for tieBreaker ≤ 1 (each group's dismax
+    * ≤ its sum).
+    */
   def scoreCursors(cursors: Array[TermCursor], k: Int,
       stats: BucketStats = BucketStats(), groupOf: Array[Int] = null,
-      tieBreaker: Double = 1.0): Array[SearchHit] = {
+      tieBreaker: Double = 1.0, dismaxWithinGroups: Boolean = false): Array[SearchHit] = {
     val heap = new TopKHeap(k)
     var active = cursors.filter(!_.exhausted)
 
@@ -262,6 +271,32 @@ object BlockMaxWand {
                 if (!cur.exhausted && cur.curDoc == pivotDoc) s += cur.score
                 c += 1
               }
+            } else if (dismaxWithinGroups) {
+              // cross_fields transpose: dismax WITHIN each group (a term's
+              // per-field contributions, added/maxed in cursor = field
+              // order), groups SUM in group = term order — the float
+              // association the relational fold reproduces exactly
+              var gSum = 0.0
+              var gMax = 0.0
+              var acc2 = 0.0
+              var curG = groupOf(0)
+              while (c < cursors.length) {
+                if (groupOf(c) != curG) {
+                  acc2 += (if (tieBreaker == 1.0) gSum
+                           else gMax + tieBreaker * (gSum - gMax))
+                  gSum = 0.0; gMax = 0.0; curG = groupOf(c)
+                }
+                val cur = cursors(c)
+                if (!cur.exhausted && cur.curDoc == pivotDoc) {
+                  val v = cur.score
+                  gSum += v
+                  if (v > gMax) gMax = v
+                }
+                c += 1
+              }
+              acc2 += (if (tieBreaker == 1.0) gSum
+                       else gMax + tieBreaker * (gSum - gMax))
+              s = acc2
             } else {
               // per-group partials in group order; gsSum's additions happen
               // in EXACTLY the order the plain fold used, so tieBreaker=1.0

@@ -124,6 +124,25 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     }.toMap
   }
 
+  /** Raw per-term document frequency, summed across this index's segments —
+    * cross-field blending (ES cross_fields' BlendedTermQuery) needs the raw
+    * dfs, not the cooked idf: df_blend(t) = max over fields of df_f(t),
+    * re-idf'd against the shared N. Same tiny dictionary collect shape as
+    * [[termMeta]]; absent terms simply have no entry (df 0).
+    */
+  def termDfs(qterms: Array[String]): Map[String, Long] = {
+    if (qterms.isEmpty) return Map.empty
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+    for (seg <- segments) {
+      Tables.read(spark, seg, InvertedIndex.DictTable)
+        .where(col("term").isin(qterms.toSeq: _*))
+        .select("term", "df")
+        .collect()
+        .foreach(r => acc.update(r.getString(0), acc.getOrElse(r.getString(0), 0L) + r.getLong(1)))
+    }
+    acc.toMap
+  }
+
   /** Query-term block scan (catalog-level tbucket pruning + term row-group
     * pruning). `withPositions = false` substitutes an empty LITERAL for the
     * pos column, so frequency-only queries (match/BMW/rank-all) never read
@@ -158,7 +177,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * idf x tfNorm) rows decoded per block; the shared kernel of the naive
     * DAAT baseline and the distributed rank-all path.
     */
-  private def contribs(meta: Map[String, BlockMaxWand.TermMeta]): DataFrame = {
+  private[graft] def contribs(meta: Map[String, BlockMaxWand.TermMeta]): DataFrame = {
     val metaB = spark.sparkContext.broadcast(meta)
     val avgDl = stats.avgDl
     val pp = p
@@ -565,6 +584,18 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       .as[(Long, Int, Array[Byte])]
       .flatMap { case (f, c, d) => PostingsCodec.decodeDocIds(f, c, d) }
       .distinct().toDF("docId")
+
+  /** Match-set ids frame for an analyzed `match` query (OR over its terms)
+    * — the scoreless membership shape field-SORTED serving consumes: when
+    * `sort` replaces relevance, ES skips scoring entirely and reads only
+    * doc values, and here the frame is the ids-only postings scan (no
+    * payload bytes decoded, no BM25 fold anywhere in the plan).
+    */
+  def matchIdsDf(query: String): DataFrame = {
+    val qterms = analyze(query)
+    if (qterms.isEmpty) emptyResult("docId", org.apache.spark.sql.types.LongType)
+    else distinctIds(qterms)
+  }
 
   /** Membership-only postings scan: (firstDocId, count, docDeltas) of the
     * terms' blocks across all segments — no payload columns, no composite

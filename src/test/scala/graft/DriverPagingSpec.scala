@@ -1,6 +1,7 @@
 package graft
 
 import graft.driver.DocumentsIndex
+import graft.tokenize.CodeTokenizer
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 
@@ -37,6 +38,47 @@ class DriverPagingSpec extends SparkSpec with BeforeAndAfterAll {
         assert(got == want, s"cursor page after depth $depth for '$query': $got vs $want")
       }
     }
+  }
+
+  test("sort-by-field cursor pages == offset slices; keyset predicate pushed to the scan") {
+    assume(haveData, s"$sfDir not mounted")
+    val k = 10
+    for (query <- Seq("hash", "the")) {
+      // brute total order from the raw table: docs containing the term,
+      // (n_chars desc, doc_id asc) — scoring must play no part
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text", "n_chars").as[(Long, String, Long)].collect()
+      val total = docs.collect {
+        case (id, t, nc) if CodeTokenizer.tokenize(t).contains(query) => (id, nc)
+      }.sortBy { case (id, nc) => (-nc, id) }.toSeq
+      assert(total.size > 3 * k, s"'$query' matches too few docs for the gate")
+      // page 1 (no cursor), then cursor pages at depths 1..3
+      val p1 = DocumentsIndex.sortByField(spark, sfDir, query, k)
+        .as[(Long, Long)].collect().toSeq
+      assert(p1 == total.take(k), s"page 1 for '$query'")
+      for (depth <- 1 to 3) {
+        val cursor = total(depth * k - 1)
+        val want = total.slice(depth * k, depth * k + k)
+        val got = DocumentsIndex.sortByField(spark, sfDir, query,
+          cursor._2, cursor._1, k).as[(Long, Long)].collect().toSeq
+        assert(got == want, s"sort cursor page after depth $depth for '$query'")
+      }
+    }
+    // ties on the sort key must exist somewhere, or the doc_id tie-break
+    // (and its keyset equality arm) was never exercised
+    val ncs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("n_chars").count().where(col("count") > 1).count()
+    assert(ncs > 0, "no n_chars ties in the corpus — keyset equality arm unexercised")
+    // plan shape: the keyset predicate reaches the parquet scan, the match
+    // ids arrive as a semi join, and the sort is TakeOrderedAndProject
+    val page2 = DocumentsIndex.sortByField(spark, sfDir, "hash", 120L, 5L, k)
+    val plan = page2.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_chars"),
+      s"keyset predicate not pushed:\n$plan")
+    assert(plan.contains("LeftSemi"), s"match ids must semi-join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"sort must be top-k:\n$plan")
+    assert(!plan.toLowerCase.contains("tfnorm") && !plan.contains("ObjectHashAggregate"),
+      s"field-sorted serving must not score:\n$plan")
   }
 
   test("cursor page is served bounded (no corpus-sized exchange) at shallow depth") {

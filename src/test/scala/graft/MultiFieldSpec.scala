@@ -216,6 +216,85 @@ class MultiFieldSpec extends SparkSpec {
     }
   }
 
+  // cross_fields needs a fixture whose FIELDS SHARE VOCABULARY with
+  // differing dfs (the driver corpus's text/tags vocabularies are disjoint,
+  // so its row can't exercise the blend): head = a content prefix — every
+  // head term is rarer than or equal to its content twin, and the
+  // truncation tail mints head-only terms, so the blend runs both ways.
+  val xdir = "/tmp/graft_xf_test"
+  lazy val srcX = CorpusGen.dataset(spark, N, 4).toDF()
+    .withColumn("head", substring(col("content"), 1, 120))
+    .select("repo", "path", "commit", "lang", "content", "head")
+  lazy val builtX: Unit = {
+    Tables.delete(spark, "/tmp", "graft_xf_test")
+    MultiFieldIndex.build(spark, srcX, Seq("content", "head"), xdir, cfg, "xf")
+  }
+
+  test("cross_fields == brute blended-idf dismax oracle; bounded == rank-all bit-exact") {
+    builtX
+    import graft.query.Bm25
+    import graft.tokenize.CodeTokenizer
+    val reg = Tables.read(spark, MultiFieldIndex.fieldDir(xdir, "content"), InvertedIndex.DocsTable)
+      .select("docId", "repo", "path", "commit")
+    val rows = srcX.join(reg, Seq("repo", "path", "commit"))
+      .select(col("docId"), col("content"), col("head"))
+      .as[(Long, String, String)].collect()
+    val nD = rows.length.toLong
+    val fields: Seq[Map[Long, Array[String]]] = Seq(
+      rows.map(r => r._1 -> CodeTokenizer.tokenize(r._2)).toMap,
+      rows.map(r => r._1 -> CodeTokenizer.tokenize(r._3)).toMap)
+    val avgdls = fields.map(f => f.valuesIterator.map(_.length.toLong).sum.toDouble / nD)
+    def dfOf(f: Map[Long, Array[String]], t: String): Long =
+      f.valuesIterator.count(_.contains(t)).toLong
+    // the blend must be REAL here: a term present in BOTH fields with
+    // differing dfs, or the gate pins nothing the per-field form wouldn't
+    val blended = Seq("def", "val", "class", "import").filter(t =>
+      dfOf(fields(1), t) > 0 && dfOf(fields(1), t) != dfOf(fields(0), t))
+    assert(blended.nonEmpty, "fixture has no shared term with differing dfs — blend unexercised")
+    val readers = Seq("content", "head")
+      .map(f => new graft.query.IndexReader(spark, MultiFieldIndex.fieldDir(xdir, f)))
+    for ((q, tb) <- Seq(("def val", 0.0), (s"${blended.head} z100_id", 0.3),
+        ("class import return", 1.0))) {
+      val qts = CodeTokenizer.tokenize(q).distinct.sorted
+      val blend = qts.flatMap { t =>
+        val mx = fields.map(dfOf(_, t)).max
+        if (mx == 0L) None else Some(t -> Bm25.idf(nD, mx))
+      }.toMap
+      val want = rows.map(_._1).collect(Function.unlift { id =>
+        val perTerm = qts.filter(blend.contains).map { t =>
+          val cs = fields.zip(avgdls).flatMap { case (f, ad) =>
+            val tf = f(id).count(_ == t).toLong
+            if (tf == 0L) None
+            else Some(blend(t) * Bm25.tfNorm(tf, f(id).length.toLong, ad, Bm25.Default))
+          }
+          if (cs.isEmpty) 0.0
+          else {
+            val sm = cs.foldLeft(0.0)(_ + _)
+            val mx = cs.max
+            if (tb == 1.0) sm else mx + tb * (sm - mx)
+          }
+        }
+        val s = perTerm.sum
+        if (s > 0.0) Some(id -> s) else None
+      }).toSeq.sortBy { case (id, s) => (-s, id) }
+      val rankAll = MultiFieldIndex.crossFieldsScoreAllReaders(spark, readers, q, tieBreaker = tb)
+        .orderBy(desc("score"), asc("docId")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(rankAll.map(_._1) == want.map(_._1), s"cross_fields ranks for '$q' tb=$tb")
+      rankAll.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g._2 - w._2) <= 1e-9 * math.max(1.0, math.abs(w._2)),
+          s"cross_fields score for doc ${g._1} under '$q' tb=$tb: ${g._2} vs ${w._2}")
+      }
+      for (k <- Seq(1, 5, 20)) {
+        val got = MultiFieldIndex.crossFieldsTopKDs(spark, readers, q, k, tieBreaker = tb)
+          .collect().map(h => (h.docId, h.score)).toSeq
+        // BIT-exact: the dismaxWithinGroups transpose folds the same
+        // doubles in the same order as the relational (fi, term) aggregate
+        assert(got == rankAll.take(k), s"cross_fields topK != rank-all+limit for '$q' tb=$tb k=$k")
+      }
+    }
+  }
+
   test("multiMatchTopKReaders over external readers == field-dir form; geometry sidecars equal") {
     built
     // the alignment predicate DocumentsIndex.multiMatch gates on: one build
