@@ -254,6 +254,93 @@ object SparkEntry {
     // field-centric sum. Served through the cross-field WAND transpose.
     "b52_cross_fields" -> ((s, d) =>
       DocumentsIndex.multiMatchCross(s, d, "spark src18 de", 20)),
+    // B1 query-time synonyms (ES synonym_graph search filter → Lucene
+    // SynonymQuery): "hash" plus the group {sort, order} scored as ONE
+    // pseudo-term each — per doc tf = Σ member tfs, df = MAX member df.
+    "b53_synonyms" -> ((s, d) =>
+      DocumentsIndex.synonymMatch(s, d, Seq(Seq("hash"), Seq("sort", "order")))),
+    // B25 function_score gauss decay on the dl doc value (origin 60,
+    // scale 20, offset 5, decay 0.5; boost_mode multiply): docs within
+    // ±5 of dl=60 keep their BM25 score exactly, others decay smoothly.
+    "b54_gauss_decay" -> ((s, d) =>
+      DocumentsIndex.functionScoreGauss(s, d, "hash table", 60.0, 20.0, 5.0, 0.5, 20)),
+    // B24 phrase suggester ("did you mean"): 'joyn' corrects through the
+    // per-slot fuzzy expansion; candidate bigrams ranked by corpus
+    // adjacency df. Cap contract: vocab (31) < maxExpansions (32).
+    "b55_phrase_suggest" -> ((s, d) =>
+      DocumentsIndex.suggestPhrase(s, d, "hash joyn", 5)),
+    // B21 geo_bounding_box (the cheapest geo query): inclusive box with the
+    // ES antimeridian convention — left (120) > right (−140) wraps the date
+    // line, with hits on BOTH sides at every SF (the derived lat/lon are
+    // correlated mod-residues of doc_id, so box params are chosen so
+    // neither wrap arm nor the lat band is vacuous). Pure pushed-down
+    // column comparisons, no trig anywhere.
+    "b56_geo_bbox" -> ((s, d) => {
+      val (lat, lon) = graft.ops.GeoOps.derivedCoords(col("doc_id"))
+      graft.ops.GeoOps.withinBox(
+        tbl(s, d, "documents").select(col("doc_id"), lat.as("lat"), lon.as("lon")),
+        "lat", "lon", top = 80.0, left = 120.0, bottom = -80.0, right = -140.0)
+        .select(col("doc_id"), col("lat"), col("lon"))
+        .orderBy("doc_id")
+    }),
+    // B19 adjacency_matrix aggregation: named filters plus every pairwise
+    // intersection ('h&j' etc.), membership-conjunction counts, empty
+    // buckets omitted (the ES behavior that differs from filters agg).
+    "a27_adjacency_matrix" -> ((s, d) => DocumentsIndex.adjacencyMatrix(s, d, Seq(
+      "h" -> Seq("hash"), "j" -> Seq("join"), "v" -> Seq("vector")))),
+    // ES PIPELINE aggs over a date_histogram parent: derivative (first
+    // bucket has nothing to subtract -> dropped, the ES omission),
+    // cumulative_sum, max_bucket (tied maxima as rows = ES's keys array).
+    "a28_derivative" -> ((s, d) => {
+      val buckets = tbl(s, d, "events").groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.PipelineAggs.derivative(buckets, "day", "n", "deriv").orderBy("day")
+    }),
+    "a29_cumulative_sum" -> ((s, d) => {
+      val buckets = tbl(s, d, "events").groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("sum_value"))
+      graft.ops.PipelineAggs.cumulativeSum(buckets, "day", "sum_value", "cum")
+        .select(col("day"), col("sum_value"), round(col("cum"), 2).as("cum"))
+        .orderBy("day")
+    }),
+    "a30_max_bucket" -> ((s, d) => {
+      val buckets = tbl(s, d, "events").groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.PipelineAggs.maxBucket(buckets, "day", "n")
+    }),
+    // ES multi_terms agg: compound (lang, source) buckets over the source
+    // table's doc values, (count desc, keys asc) — the full order makes the
+    // tie-heavy uniform fixture deterministic in both engines.
+    "a31_multi_terms" -> ((s, d) =>
+      tbl(s, d, "documents").groupBy("lang", "source")
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy(desc("doc_count"), asc("lang"), asc("source")).limit(10)),
+    // ES rare_terms agg over the tags sub-index: the dictionary long tail
+    // (df <= 30 keeps the twenty df-25 source tags, drops every lang).
+    "b57_rare_terms" -> ((s, d) => DocumentsIndex.rareTerms(s, d, 30L)),
+    // ES geotile_grid agg at precision 3 over the derived coords: slippy
+    // tile "z/x/y" buckets, (count desc, tile asc), mercator band enforced.
+    "b58_geotile_grid" -> ((s, d) => {
+      val (lat, lon) = graft.ops.GeoOps.derivedCoords(col("doc_id"))
+      graft.ops.GeoOps.geotileGrid(
+        tbl(s, d, "documents").select(col("doc_id"), lat.as("lat"), lon.as("lon")),
+        "lat", "lon", z = 3, size = 15)
+    }),
+    // ES has_child (join field documents->events on doc_id=user_id,
+    // min_children 12, score_mode sum over filter-context children):
+    // parents by matching-error-event count.
+    "b59_has_child" -> ((s, d) => graft.ops.JoinFieldOps.hasChild(
+        tbl(s, d, "documents"), "doc_id",
+        tbl(s, d, "events").where(col("event_type") === "error"), "user_id",
+        minChildren = 12L)
+      .orderBy(desc("n_children"), asc("doc_id"))),
+    // ES has_parent: events whose parent document matches the term filter
+    // {vector AND stream} — the parent side is the ids-only index frame.
+    "b60_has_parent" -> ((s, d) => graft.ops.JoinFieldOps.hasParent(
+        tbl(s, d, "events"), "user_id",
+        DocumentsIndex.matchingDocIds(s, d, Seq("vector", "stream")), "doc_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id")),
     // B19 composite aggregation (the PAGINATED facet): a keyset page of the
     // tags dictionary strictly after 'en' — 5 KEY-ordered buckets (composite
     // orders by key, not count).
@@ -754,6 +841,122 @@ object SparkEntry {
          |FROM sc JOIN dl USING (doc_id)
          |ORDER BY round(sc.score * ln(1 + dl.dl/64.0), 6) DESC, sc.doc_id
          |LIMIT 20""".stripMargin,
+    // geo-bbox twin: same derived points, same inclusive bounds, the wrap
+    // spelled as the OR disjunction (left > right = date-line crossing)
+    "b56_geo_bbox" ->
+      """WITH pts AS (
+        |  SELECT doc_id,
+        |         (doc_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+        |         (doc_id * 73 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM documents)
+        |SELECT doc_id, lat, lon FROM pts
+        |WHERE lat BETWEEN -80.0 AND 80.0 AND (lon >= 120.0 OR lon <= -140.0)
+        |ORDER BY doc_id""".stripMargin,
+    // adjacency-matrix twin: the filters-agg conjunction shape over the
+    // singles and every pair, zero buckets dropped
+    "a27_adjacency_matrix" ->
+      s"""WITH $TokCte,
+         |m AS (SELECT doc_id, term FROM tok WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+         |b AS (
+         |  SELECT cast('h' AS varchar) AS name, count(*) AS doc_count FROM m WHERE term = 'hash'
+         |  UNION ALL SELECT 'j', count(*) FROM m WHERE term = 'join'
+         |  UNION ALL SELECT 'v', count(*) FROM m WHERE term = 'vector'
+         |  UNION ALL SELECT 'h&j', count(*) FROM (
+         |    SELECT doc_id FROM m WHERE term IN ('hash', 'join') GROUP BY 1 HAVING count(*) = 2)
+         |  UNION ALL SELECT 'h&v', count(*) FROM (
+         |    SELECT doc_id FROM m WHERE term IN ('hash', 'vector') GROUP BY 1 HAVING count(*) = 2)
+         |  UNION ALL SELECT 'j&v', count(*) FROM (
+         |    SELECT doc_id FROM m WHERE term IN ('join', 'vector') GROUP BY 1 HAVING count(*) = 2))
+         |SELECT name, doc_count FROM b WHERE doc_count > 0 ORDER BY name""".stripMargin,
+    // pipeline-agg twins: the SAME parent date_histogram CTE, the pipeline
+    // step as a window/scalar-subquery over the bucket frame
+    "a28_derivative" ->
+      """WITH b AS (SELECT cast(ts AS date) AS day, count(*) AS n FROM events GROUP BY 1),
+        |d AS (SELECT day, n, n - lag(n) OVER (ORDER BY day) AS deriv FROM b)
+        |SELECT day, n, deriv FROM d WHERE deriv IS NOT NULL ORDER BY day""".stripMargin,
+    "a29_cumulative_sum" ->
+      """WITH b AS (SELECT cast(ts AS date) AS day, round(sum(value), 2) AS sum_value FROM events GROUP BY 1)
+        |SELECT day, sum_value,
+        |       round(sum(sum_value) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum
+        |FROM b ORDER BY day""".stripMargin,
+    "a30_max_bucket" ->
+      """WITH b AS (SELECT cast(ts AS date) AS day, count(*) AS n FROM events GROUP BY 1)
+        |SELECT day, n FROM b WHERE n = (SELECT max(n) FROM b) ORDER BY day""".stripMargin,
+    // multi_terms twin: plain compound GROUP BY under the full pinned order
+    "a31_multi_terms" ->
+      """SELECT lang, source, count(*) AS doc_count FROM documents
+        |GROUP BY 1, 2 ORDER BY doc_count DESC, lang, source LIMIT 10""".stripMargin,
+    // rare_terms twin: the tags tokenization's long-tail dfs
+    "b57_rare_terms" ->
+      s"""WITH ${tokCteOver("concat_ws(' ', lang, source)", "gtok")},
+         |dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM gtok GROUP BY 1)
+         |SELECT term, df FROM dfs WHERE df <= 30 ORDER BY df, term""".stripMargin,
+    // geotile twin: the identical tile formula — x pure arithmetic, y's
+    // mercator fraction rounded to 6 dp BEFORE the floor (the libm
+    // protocol), both indices clamped to [0, 2^z - 1]
+    "b58_geotile_grid" ->
+      """WITH pts AS (
+        |  SELECT doc_id,
+        |         (doc_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+        |         (doc_id * 73 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM documents),
+        |t AS (
+        |  SELECT concat('3/',
+        |           cast(cast(greatest(0.0, least(floor(8.0 * (lon + 180.0) / 360.0), 7.0)) AS bigint) AS varchar),
+        |           '/',
+        |           cast(cast(greatest(0.0, least(floor(8.0 * round((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0, 6)), 7.0)) AS bigint) AS varchar)) AS tile
+        |  FROM pts WHERE abs(lat) <= 85.05112878)
+        |SELECT tile, count(*) AS doc_count FROM t
+        |GROUP BY 1 ORDER BY doc_count DESC, tile LIMIT 15""".stripMargin,
+    // has_child twin: HAVING-gated child counts joined to existing parents
+    "b59_has_child" ->
+      """WITH c AS (
+        |  SELECT user_id AS doc_id, count(*) AS n_children FROM events
+        |  WHERE event_type = 'error' GROUP BY 1 HAVING count(*) >= 12)
+        |SELECT d.doc_id, c.n_children FROM documents d JOIN c USING (doc_id)
+        |ORDER BY n_children DESC, doc_id""".stripMargin,
+    // has_parent twin: children semi-joined to the term-conjunction parents
+    "b60_has_parent" ->
+      s"""WITH $TokCte,
+         |p AS (SELECT doc_id FROM tok WHERE term IN ('vector', 'stream')
+         |      GROUP BY 1 HAVING count(DISTINCT term) = 2)
+         |SELECT event_id, user_id, event_type FROM events
+         |WHERE user_id IN (SELECT doc_id FROM p) ORDER BY event_id""".stripMargin,
+    // phrase-suggester twin: per-slot candidates = UNCAPPED dictionary
+    // Levenshtein <= 1 (valid under the b20 cap contract: 31-term vocab <
+    // the 32 cap), bigram adjacency df per candidate pair from the
+    // positional self-join, (freq desc, suggestion) order, zero-df dropped
+    "b55_phrase_suggest" ->
+      s"""WITH $TokCte,
+         |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |arr AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS a
+         |  FROM documents),
+         |t0 AS (SELECT doc_id, unnest(a) AS term0, unnest(range(1, len(a)+1)) AS pos FROM arr),
+         |toks AS (SELECT doc_id, substr(term0, 1, 64) AS term, pos FROM t0),
+         |c0 AS (SELECT term FROM dfx WHERE levenshtein(term, 'hash') <= 1),
+         |c1 AS (SELECT term FROM dfx WHERE levenshtein(term, 'joyn') <= 1),
+         |big AS (
+         |  SELECT p0.term AS l, p1.term AS r, count(DISTINCT p0.doc_id) AS freq
+         |  FROM toks p0 JOIN toks p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+         |  JOIN c0 ON c0.term = p0.term JOIN c1 ON c1.term = p1.term
+         |  GROUP BY 1, 2)
+         |SELECT l || ' ' || r AS suggestion, freq FROM big
+         |ORDER BY freq DESC, suggestion LIMIT 5""".stripMargin,
+    // gauss-decay twin: the multiplier spelled in the engine's exact form
+    // exp(ln(decay)·(d/scale)·(d/scale)), d = max(0, |dl − origin| − offset)
+    // — the dl recomputed from raw tokens re-checks the registry doc value
+    "b54_gauss_decay" ->
+      s"""WITH ${bm25Ctes(Seq("hash", "table"))},
+         |dec AS (
+         |  SELECT sc.doc_id,
+         |         sc.score * exp(ln(cast(0.5 AS double))
+         |           * (greatest(cast(0 AS double), abs(dl.dl - cast(60 AS double)) - cast(5 AS double)) / cast(20 AS double))
+         |           * (greatest(cast(0 AS double), abs(dl.dl - cast(60 AS double)) - cast(5 AS double)) / cast(20 AS double))) AS score
+         |  FROM sc JOIN dl USING (doc_id))
+         |SELECT doc_id, round(score, 6) AS score FROM dec
+         |ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin,
     // terms-agg twin: per-term distinct-doc counts over the tokenized tags
     // field, top-10 by (df desc, term asc) — the deterministic tie-break
     // both engines share (source-term dfs tie by construction)
@@ -1086,6 +1289,29 @@ object SparkEntry {
          |  FROM cx a FULL OUTER JOIN cg b ON a.doc_id = b.doc_id AND a.term = b.term)
          |SELECT doc_id, round(sum(combined), 6) AS score FROM pt
          |GROUP BY doc_id ORDER BY round(sum(combined), 6) DESC, doc_id LIMIT 20""".stripMargin,
+    // synonyms twin: group tf = sum of member tfs per doc, group df = MAX
+    // member df (SynonymQuery's docFreq), each group folded like one term
+    "b53_synonyms" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |gtf AS (
+         |  SELECT doc_id, CASE WHEN term = 'hash' THEN 0 ELSE 1 END AS gi, sum(tf) AS tfsum
+         |  FROM tf WHERE term IN ('hash', 'order', 'sort') GROUP BY 1, 2),
+         |gdf AS (
+         |  SELECT 0 AS gi, (SELECT max(df) FROM dfx WHERE term = 'hash') AS df
+         |  UNION ALL
+         |  SELECT 1, (SELECT max(df) FROM dfx WHERE term IN ('order', 'sort'))),
+         |sc AS (
+         |  SELECT g.doc_id,
+         |         sum(ln(1 + cast(st.n - gdf.df + 0.5 AS double) / cast(gdf.df + 0.5 AS double))
+         |             * g.tfsum / (g.tfsum + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score
+         |  FROM gtf g JOIN dl ON dl.doc_id = g.doc_id JOIN gdf USING (gi) CROSS JOIN st
+         |  GROUP BY 1)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
     // query_string twin ('+hash "hash join" tabl* -vector'): required-term
     // chain + scored-phrase contribution + constant-1.0 prefix membership,
     // added in clause APPEARANCE order (the engine's pinned fold), the

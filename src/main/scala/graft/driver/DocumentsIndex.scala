@@ -550,6 +550,37 @@ object DocumentsIndex {
     if (k > 0) out.limit(k) else out
   }
 
+  /** ES `function_score` gauss DECAY on the doc-length doc value (the
+    * recency/proximity-boost shape every relevance stack runs on a date or
+    * numeric field): multiplier = exp(ln(decay)·(d/scale)²) with
+    * d = max(0, |dl − origin| − offset) — algebraically ES's
+    * exp(−d²/2σ²), σ² = −scale²/(2·ln decay), spelled in the form both
+    * engines compute identically. boost_mode pinned v1 = multiply (the ES
+    * default). Docs inside the offset radius keep their score EXACTLY
+    * (d = 0 ⇒ e⁰ = 1). Plan shape: same as the ln-modifier function_score —
+    * the registry dl join attaches the doc value, the decay is one
+    * codegen'd projection, nothing new shuffles.
+    */
+  def functionScoreGauss(spark: SparkSession, sfDir: String, query: String,
+      origin: Double, scale: Double, offset: Double, decay: Double,
+      k: Int): DataFrame = {
+    require(scale > 0.0, "gauss scale must be positive")
+    require(decay > 0.0 && decay < 1.0, "gauss decay must be in (0, 1)")
+    require(offset >= 0.0, "gauss offset must be non-negative")
+    val idx = indexDir(spark, sfDir)
+    val raw = reader(spark, sfDir).scoreAllDf(query)
+    val dl = DeltaIndex.segmentDirs(spark, idx)
+      .map(seg => Tables.read(spark, seg, InvertedIndex.DocsTable)
+        .select(col("docId"), col("dl")))
+      .reduce(_ unionByName _)
+    val d = greatest(lit(0.0), abs(col("dl") - lit(origin)) - lit(offset))
+    val mult = exp(lit(math.log(decay)) * (d / lit(scale)) * (d / lit(scale)))
+    val modified = raw.join(dl, Seq("docId"))
+      .select(col("docId"), (col("score") * mult).as("score"))
+    val out = rankedByDocId(spark, modified, idx)
+    if (k > 0) out.limit(k) else out
+  }
+
   /** Unordered span-near over the text index, keyed by doc_id —
     * integer-exact min-gap, no float protocol.
     */
@@ -853,6 +884,24 @@ object DocumentsIndex {
     else rankAll
   }
 
+  /** ES phrase suggester over the text index ("did you mean", pinned v1 —
+    * see IndexReader.suggestPhraseDf): candidate bigrams from per-slot
+    * fuzzy expansion, ranked by corpus adjacency document frequency.
+    * Integer-exact output, no float protocol.
+    */
+  def suggestPhrase(spark: SparkSession, sfDir: String, input: String,
+      size: Int = 5): DataFrame =
+    reader(spark, sfDir).suggestPhraseDf(input, size = size)
+
+  /** ES query-time synonym expansion (Lucene SynonymQuery per group — see
+    * IndexReader.synonymScoreAllDf) over the text index, keyed by doc_id
+    * under the shared output protocol.
+    */
+  def synonymMatch(spark: SparkSession, sfDir: String,
+      groups: Seq[Seq[String]]): DataFrame =
+    rankedByDocId(spark, reader(spark, sfDir).synonymScoreAllDf(groups),
+      indexDir(spark, sfDir))
+
   /** Scored `match_phrase` (Lucene PhraseQuery × BM25Similarity —
     * IndexReader.phraseScoreDf semantics) over the text index, keyed by
     * doc_id under the shared output protocol.
@@ -937,6 +986,51 @@ object DocumentsIndex {
   def filtersAgg(spark: SparkSession, sfDir: String,
       filters: Seq[(String, Seq[String])]): DataFrame =
     reader(spark, sfDir).filtersAggDf(filters).orderBy("name")
+
+  /** ES `adjacency_matrix` aggregation: the named filters PLUS every
+    * pairwise intersection (named `a&b` with ES's `&` separator, operand
+    * order = the given filter order), each bucket a membership-conjunction
+    * count; ES omits empty buckets, so zero-count rows are dropped — the
+    * one behavior that differs from `filters` agg (which pins count 0).
+    * Plan = the filters-agg plan over n + n·(n−1)/2 conjunctions: per
+    * bucket an ids-only scan of ITS OWN terms, exchanges move conjunction
+    * partials and 1-row counts, never documents. n is query-sized (ES caps
+    * at 100 filters), so the quadratic is in BUCKETS, not data.
+    */
+  def adjacencyMatrix(spark: SparkSession, sfDir: String,
+      filters: Seq[(String, Seq[String])]): DataFrame = {
+    require(filters.nonEmpty, "adjacency_matrix needs at least one filter")
+    require(filters.forall(!_._1.contains("&")),
+      "filter names must not contain the '&' intersection separator")
+    require(filters.map(_._1).distinct.size == filters.size,
+      "filter names must be unique")
+    val pairs = for {
+      i <- filters.indices
+      j <- (i + 1) until filters.size
+    } yield (s"${filters(i)._1}&${filters(j)._1}",
+      (filters(i)._2 ++ filters(j)._2).distinct)
+    reader(spark, sfDir).filtersAggDf(filters ++ pairs)
+      .where(col("doc_count") > 0)
+      .orderBy("name")
+  }
+
+  /** ES `rare_terms` aggregation over the tags sub-index (see
+    * IndexReader.rareTermsDf): the dictionary long tail at
+    * df ≤ maxDocCount, (df asc, term asc). Integer-exact, no protocol.
+    */
+  def rareTerms(spark: SparkSession, sfDir: String, maxDocCount: Long): DataFrame =
+    tagsReader(spark, sfDir).rareTermsDf(maxDocCount)
+
+  /** The doc_id key set matching a filter-context term conjunction — the
+    * parent side of an ES `has_parent` query whose parent query is a term
+    * filter on this index (ids-only postings membership, docId → doc_id
+    * through the registry; never scores, never touches documents).
+    */
+  def matchingDocIds(spark: SparkSession, sfDir: String,
+      filter: Seq[String]): DataFrame =
+    reader(spark, sfDir).constantScoreDf(filter)
+      .join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("doc_id"))
 
   /** ES `top_hits` aggregation: the best `n` hits of `query` per `lang`
     * group (collapseByLang generalized from 1 to n). The per-group cut is

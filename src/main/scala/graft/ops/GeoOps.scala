@@ -48,6 +48,28 @@ object GeoOps {
         cos(lit(math.toRadians(lat0))) * cos(radians(latCol)) *
           pow(sin(radians(lonCol - lon0) / 2), 2)))
 
+  /** ES `geo_bounding_box` query: lat ∈ [bottom, top], lon ∈ [left, right]
+    * — with the ES antimeridian convention that `left > right` means the
+    * box WRAPS the date line (lon ≥ left OR lon ≤ right). Pure column
+    * comparisons end to end, so the whole predicate lands in the parquet
+    * scan's PushedFilters (row-group pruning at the source — at 100 TB a
+    * bbox over partition-clustered coordinates is a partition-pruning
+    * predicate, the cheapest geo query there is). Bounds are INCLUSIVE on
+    * all four edges, matching ES.
+    */
+  def withinBox(df: DataFrame, latCol: String, lonCol: String,
+      top: Double, left: Double, bottom: Double, right: Double): DataFrame = {
+    require(top >= bottom, s"top ($top) must be >= bottom ($bottom)")
+    require(top <= 90 && bottom >= -90, "latitudes must be within [-90, 90]")
+    require(left >= -180 && left <= 180 && right >= -180 && right <= 180,
+      "longitudes must be within [-180, 180]")
+    val latPred = col(latCol).between(bottom, top)
+    val lonPred =
+      if (left <= right) col(lonCol).between(left, right)
+      else col(lonCol) >= left || col(lonCol) <= right // antimeridian wrap
+    df.where(latPred && lonPred)
+  }
+
   /** All rows of `df` within `radiusKm` of (lat0, lon0), with `dist_km`
     * (rounded 4 dp — the predicate applies to the rounded value; see the
     * protocol note above). `prefilter = false` disables the bbox phase —
@@ -76,5 +98,54 @@ object GeoOps {
     boxed
       .withColumn("dist_km", round(haversineKm(col(latCol), col(lonCol), lat0, lon0), 4))
       .where(col("dist_km") <= radiusKm)
+  }
+
+  /** Web-Mercator latitude cut — tiles exist only inside ±85.0511…°
+    * (ES geotile_grid's own bound: GeoTileUtils.LATITUDE_MASK).
+    */
+  val MercatorMaxLat = 85.05112878
+
+  /** Slippy-map tile key "z/x/y" for a point (ES `geotile_grid` bucket
+    * keys, GeoTileUtils.longEncode semantics): with n = 2^z,
+    * x = ⌊n·(lon+180)/360⌋ and y = ⌊n·(1 − ln(tan φ + sec φ)/π)/2⌋.
+    *
+    * Cross-engine float protocol: the x arithmetic is +,−,×,÷ only —
+    * IEEE-deterministic, bit-identical in any engine that spells the same
+    * expression. The y side passes through libm (tan/cos/ln), so the
+    * mercator fraction is ROUNDED to 6 dp (the repo's score protocol)
+    * BEFORE the ⌊n·frac⌋ cut — a sub-ulp libm divergence would need to
+    * land within ~1e-12 of a 1e-6 rounding edge to flip a tile. Both
+    * indices are clamped to [0, n−1] (lon = +180 / φ = the mercator cut
+    * map to the last tile, as in ES).
+    */
+  def geotileKey(latCol: Column, lonCol: Column, z: Int): Column = {
+    require(z >= 0 && z <= 29, s"geotile precision must be in [0, 29], got $z")
+    val n = math.pow(2.0, z) // exact in binary for z <= 29
+    val x = floor(lit(n) * (lonCol + lit(180.0)) / lit(360.0))
+    val latRad = radians(latCol)
+    val mercFrac = round(
+      (lit(1.0) - log(tan(latRad) + lit(1.0) / cos(latRad)) / lit(math.Pi)) / lit(2.0), 6)
+    val y = floor(lit(n) * mercFrac)
+    val clamp = (c: Column) => greatest(lit(0.0), least(c, lit(n - 1.0)))
+    concat_ws("/", lit(z.toString),
+      clamp(x).cast("long"), clamp(y).cast("long"))
+  }
+
+  /** ES `geotile_grid` aggregation: per-tile doc counts at precision `z`,
+    * top `size` buckets by (count desc, key asc — the pinned tie-break).
+    * Points outside the Web-Mercator band are EXCLUDED, exactly as ES
+    * drops them from the grid. Plan: the mercator-band filter + tile-key
+    * projection run codegen'd in the scan stage; the agg is one map-side-
+    * combined groupBy whose exchange moves (tile, partial-count) rows —
+    * at 100 TB the grid is a cheap full-scan agg, ES's own cost model.
+    */
+  def geotileGrid(df: DataFrame, latCol: String, lonCol: String, z: Int,
+      size: Int): DataFrame = {
+    require(size > 0, "size must be positive")
+    df.where(abs(col(latCol)) <= MercatorMaxLat)
+      .groupBy(geotileKey(col(latCol), col(lonCol), z).as("tile"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(desc("doc_count"), asc("tile"))
+      .limit(size)
   }
 }

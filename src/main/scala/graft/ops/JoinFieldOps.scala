@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ES parent/child JOIN FIELD queries (`has_child`, `has_parent`): two
+  * document types sharing a routing key, queried across the relation
+  * (ES reference: join.query.HasChildQueryBuilder / HasParentQueryBuilder).
+  * Here the parent table and child table are separate sources sharing the
+  * key — exactly the join-field data model with ES's same-shard routing
+  * replaced by a shuffle on the key.
+  *
+  * Scale notes: `has_child` is child-filter → map-side-combinable
+  * groupBy(key) count → join to parents — the exchanges move (key, count)
+  * partials, never child documents; this IS ES's global-ordinals parent
+  * bitset cost model, with min/max_children applied at the aggregate
+  * (HAVING pushes before the join, so out-of-range parents never join).
+  * `has_parent` is a LeftSemi join of children against the matching-parent
+  * key set — children never duplicate (semi), parents never materialize
+  * into the output.
+  */
+object JoinFieldOps {
+
+  /** ES `has_child` with `min_children`/`max_children` and
+    * `score_mode: sum` over filter-context (constant-score 1) children:
+    * parents whose matching-child count lies in [minChildren, maxChildren],
+    * scored by that count. Pass pre-filtered `children` (the child query —
+    * its predicate pushes to the child scan).
+    */
+  def hasChild(parents: DataFrame, parentKey: String, children: DataFrame,
+      childKey: String, minChildren: Long = 1L,
+      maxChildren: Long = Long.MaxValue): DataFrame = {
+    require(minChildren >= 1L, s"min_children must be >= 1, got $minChildren")
+    require(maxChildren >= minChildren,
+      s"max_children ($maxChildren) must be >= min_children ($minChildren)")
+    val counts = children
+      .groupBy(col(childKey).as(parentKey))
+      .agg(count(lit(1)).as("n_children"))
+      .where(col("n_children").between(minChildren, maxChildren))
+    // inner join = ES's "parent must exist" routing invariant (orphan child
+    // keys drop out); parents' other columns are not carried — has_child
+    // returns parent HITS, the caller re-attaches fields by key if needed.
+    parents.select(col(parentKey)).join(counts, Seq(parentKey))
+  }
+
+  /** ES `has_parent` (default `score: false` — constant-score children):
+    * every child whose parent key is in the matching-parent set. The parent
+    * side arrives as a key frame (the parent query's ids); the semi join
+    * keeps child rows intact and never duplicates them.
+    */
+  def hasParent(children: DataFrame, childKey: String,
+      matchingParents: DataFrame, parentKey: String): DataFrame =
+    children.join(
+        matchingParents.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_semi")
+      .select(children.columns.map(col).toIndexedSeq: _*) // joins hoist the key column first
+}

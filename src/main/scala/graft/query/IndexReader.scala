@@ -877,6 +877,30 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     merged.orderBy(desc("df"), asc("term")).limit(size)
   }
 
+  /** ES `rare_terms` aggregation — the long-tail inverse of [[termsAggDf]]:
+    * every term whose document frequency is ≤ `maxDocCount` (ES caps the
+    * parameter at 100 — enforced here too), ordered (df asc, term asc) —
+    * ES's "sorted by _count ascending" with the repo's pinned term
+    * tie-break. Like the terms agg, the dictionary IS the aggregation: a
+    * (term, df) scan with the df predicate pushed to it, df summed across
+    * segments when composite (the predicate applies AFTER the merge — a
+    * term rare in one segment but common overall must not leak in, so the
+    * multi-segment path filters post-sum; the single-segment path pushes
+    * the filter into the scan). No postings, no documents, no cap on the
+    * result — ES bounds it through maxDocCount itself (plus its CuckooFilter
+    * memory guard, which changes no results).
+    */
+  def rareTermsDf(maxDocCount: Long): DataFrame = {
+    require(maxDocCount >= 1L && maxDocCount <= 100L,
+      s"max_doc_count must be in [1, 100] (the ES bound), got $maxDocCount")
+    val scans = segments.map(seg =>
+      Tables.read(spark, seg, InvertedIndex.DictTable).select(col("term"), col("df")))
+    val merged =
+      if (segments.size == 1) scans.head
+      else scans.reduce(_ unionByName _).groupBy("term").agg(sum("df").as("df"))
+    merged.where(col("df") <= maxDocCount).orderBy(asc("df"), asc("term"))
+  }
+
   /** ES `composite` aggregation over a terms source — the PAGINATED facet:
     * buckets ordered by the KEY (term asc — composite order, NOT the terms
     * agg's count order), resuming strictly after `afterKey` (ES `after`),
@@ -1020,6 +1044,50 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * excluded (a correction list, i.e. suggest_mode=always over dist >= 1).
     * The cut runs as a plan (TakeOrderedAndProject), never a driver sort.
     */
+  /** ES PHRASE suggester, pinned v1 ("did you mean" over multi-term input):
+    * the input must analyze to exactly TWO terms; each slot expands through
+    * the dictionary (Levenshtein ≤ maxEdits, df-capped — distance 0 keeps a
+    * correctly-spelled slot as its own candidate), and every candidate
+    * bigram is ranked by its corpus ADJACENCY document frequency —
+    * `(freq desc, suggestion asc)`, zero-frequency candidates dropped. ES
+    * ranks by a smoothed n-gram language-model likelihood instead; the
+    * bigram-df order is the unsmoothed core of that statistic and is what
+    * the DuckDB twin expresses exactly (documented divergence, like B18's
+    * idf pin). Longer inputs are a rejected shape, not a silent truncation.
+    *
+    * Plan shape: ONE positional scan of all candidate terms (the same
+    * bucketize skeleton every phrase path uses); each bucket counts every
+    * candidate pair in one pass (PhraseMatcher.bigramDfBucket), and the
+    * only exchange moves ((l, r), partial-df) rows — pairs × buckets, never
+    * documents. At 100 TB the suggester costs one phrase-shaped scan.
+    */
+  def suggestPhraseDf(input: String, maxEdits: Int = 1, maxExpansions: Int = 32,
+      size: Int = 5): DataFrame = {
+    requirePositions("phrase suggest")
+    require(maxEdits >= 1 && size > 0, "maxEdits >= 1 and size > 0")
+    val toks = graft.tokenize.CodeTokenizer.tokenize(input, analyzer)
+    require(toks.length == 2,
+      s"phrase suggest v1 takes exactly two analyzed terms, got ${toks.toSeq} from '$input'")
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("suggestion", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("freq", org.apache.spark.sql.types.LongType))))
+    val c0 = expandFuzzy(toks(0), maxEdits, maxExpansions)
+    val c1 = expandFuzzy(toks(1), maxEdits, maxExpansions)
+    if (c0.isEmpty || c1.isEmpty) return empty
+    val pairs = for { a <- c0; b <- c1 } yield (a, b)
+    val pairsB = spark.sparkContext.broadcast(pairs)
+    val allTerms = (c0 ++ c1).distinct.sorted.toSeq
+    bucketedBlocks[((String, String), Long)](allTerms, withPositions = true) { (lo, hi, byTerm) =>
+      PhraseMatcher.bigramDfBucket(byTerm, pairsB.value, lo, hi)
+    }
+      .toDF("pair", "df")
+      .groupBy("pair").agg(sum("df").as("freq"))
+      .select(concat_ws(" ", col("pair._1"), col("pair._2")).as("suggestion"), col("freq"))
+      .orderBy(desc("freq"), asc("suggestion")).limit(size)
+  }
+
   def suggestTermsDf(input: String, maxEdits: Int = 2, size: Int = 5): DataFrame = {
     require(maxEdits >= 1 && size > 0, "maxEdits >= 1 and size > 0")
     val q = singleTerm(input, "suggest term")
@@ -1522,6 +1590,63 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       .groupBy("docId")
       .agg(aggregate(
         sort_array(collect_list(struct(col("term"), col("contrib")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("contrib")).as("score"))
+  }
+
+  /** ES query-time synonyms (`synonym_graph` search filter → Lucene
+    * SynonymQuery; `upstream:` a LOD search API expands preferred/alternate
+    * labels at query time): each GROUP of terms scores as ONE pseudo-term —
+    * per doc, tf = Σ member tfs; df = MAX member df (SynonymQuery's pinned
+    * docFreq choice); idf under the shared N. Groups then sum like distinct
+    * query terms (group-index ascending), so a one-term group is
+    * bit-identical to a plain match clause (sbt-gated). Groups must be
+    * disjoint — a term in two groups would double-count its tf; ES's
+    * analyzer chain cannot emit that shape and this path rejects it loudly.
+    *
+    * Plan: ONE payload scan of all member terms; the per-(docId, group) tf
+    * sum is a map-side-combinable aggregate (dl rides as `first` — every
+    * posting of a doc agrees on it); a BROADCAST group-meta join attaches
+    * the blended idf; the per-doc fold is the pinned sort_array sum.
+    * Distributed end-to-end — the only exchange moves (docId, group) rows.
+    */
+  def synonymScoreAllDf(groups: Seq[Seq[String]]): DataFrame = {
+    import spark.implicits._
+    require(groups.nonEmpty, "synonym match needs at least one group")
+    val normd: Seq[Array[String]] =
+      groups.map(g => g.map(t => singleTerm(t, "synonym term")).distinct.sorted.toArray)
+    val flat = normd.flatten
+    require(flat.distinct.size == flat.size,
+      s"synonym groups must be disjoint, got ${groups.map(_.mkString(",")).mkString("; ")}")
+    val dfs = termDfs(flat.toArray)
+    val live = normd.zipWithIndex.flatMap { case (g, gi) =>
+      val mx = g.map(dfs.getOrElse(_, 0L)).max
+      if (mx == 0L) None else Some((gi, g, Bm25.idf(stats.numDocs, mx)))
+    }
+    if (live.isEmpty) return emptyHits
+    val termToGi: Map[String, Int] = live.flatMap { case (gi, g, _) => g.map(_ -> gi) }.toMap
+    val giB = spark.sparkContext.broadcast(termToGi)
+    val gmeta = live.map { case (gi, _, idf) => (gi, idf) }.toDF("gi", "idf")
+    val avgDl = stats.avgDl
+    val pp = p
+    postingsFor(termToGi.keys.toSeq.sorted)
+      .flatMap { b =>
+        val gi = giB.value(b.term)
+        val ids = PostingsCodec.decodeDocIds(b.firstDocId, b.count, b.docDeltas)
+        val tfs = PostingsCodec.decodeTfs(b.count, b.tfs)
+        val dls = PostingsCodec.decodeDls(b.count, b.dls)
+        Iterator.tabulate(b.count)(i => (ids(i), gi, tfs(i).toLong, dls(i).toLong))
+      }
+      .toDF("docId", "gi", "tf", "dl")
+      .groupBy("docId", "gi")
+      .agg(sum("tf").as("tfsum"), first("dl").as("dl"))
+      .join(broadcast(gmeta), Seq("gi"))
+      .select(col("docId"), col("gi"),
+        (col("idf") * (col("tfsum") / (col("tfsum")
+          + lit(pp.k1) * (lit(1.0 - pp.b) + lit(pp.b) * col("dl") / lit(avgDl))))).as("contrib"))
+      .groupBy("docId")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("gi"), col("contrib")))),
         lit(0.0),
         (acc, x) => acc + x.getField("contrib")).as("score"))
   }

@@ -227,6 +227,61 @@ object PhraseMatcher {
     * term — a conjunctive query with a df=0 term matches nothing) with
     * blocks sorted by firstDocId.
     */
+  /** Bigram adjacency DOCUMENT frequencies for a whole CANDIDATE-PAIR SET
+    * in one bucket pass (the phrase suggester's corpus statistic): a doc
+    * counts once for pair (l, r) iff some position p of l has p+1 in r.
+    * Per pair the walk drives the LEFT view's postings and probes the
+    * right — candidate sets are expansion-capped, so the loop is
+    * O(pairs · left-postings-in-bucket) with position decodes cached
+    * across pairs by the shared views.
+    */
+  def bigramDfBucket(termBlocks: Map[String, Array[PostingBlock]],
+      pairs: Array[(String, String)], lo: Long, hi: Long): Iterator[((String, String), Long)] = {
+    val views = scala.collection.mutable.HashMap.empty[String, PostingsView]
+    def viewOf(t: String): Option[PostingsView] =
+      termBlocks.get(t).map(bs => views.getOrElseUpdate(t, new PostingsView(bs)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[((String, String), Long)]
+    var pi = 0
+    while (pi < pairs.length) {
+      val (l, r) = pairs(pi)
+      (viewOf(l), viewOf(r)) match {
+        case (Some(lv), Some(rv)) =>
+          var cnt = 0L
+          var bi = 0
+          while (bi < lv.ids.length) {
+            val idArr = lv.ids(bi)
+            var i = 0
+            while (i < idArr.length) {
+              val d = idArr(i)
+              if (d >= lo && d < hi) {
+                val h = rv.find(d)
+                if (h != null) {
+                  val lp = lv.positionsOf(bi, i)
+                  val rp = rv.positionsOf(h._1, h._2)
+                  var a = 0
+                  var b = 0
+                  var hit = false
+                  while (!hit && a < lp.length && b < rp.length) {
+                    val want = lp(a) + 1
+                    if (rp(b) == want) hit = true
+                    else if (rp(b) < want) b += 1
+                    else a += 1
+                  }
+                  if (hit) cnt += 1L
+                }
+              }
+              i += 1
+            }
+            bi += 1
+          }
+          if (cnt > 0L) out += (((l, r), cnt))
+        case _ =>
+      }
+      pi += 1
+    }
+    out.iterator
+  }
+
   def matchBucket(termBlocks: Map[String, Array[PostingBlock]], tokens: Array[String],
       lo: Long, hi: Long, slop: Int = 0): Array[(Long, Int)] = {
     require(slop >= 0, s"slop must be >= 0, got $slop")

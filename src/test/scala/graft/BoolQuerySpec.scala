@@ -4,7 +4,7 @@ import graft.fixtures.CorpusGen
 import graft.index.{IndexConfig, InvertedIndex}
 import graft.io.Tables
 import graft.oracle.ExhaustiveScorer
-import graft.query.IndexReader
+import graft.query.{Bm25, IndexReader}
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 
@@ -488,6 +488,77 @@ class BoolQuerySpec extends SparkSpec with BeforeAndAfterAll {
     assert(zeroSet.nonEmpty, "no zero-scored range doc — fixture too sparse for the gate")
     intercept[IllegalArgumentException](
       reader.searchBool(Nil, Seq("z100_id"), Nil, 10, dlRange = Some((rlo, rhi))))
+  }
+
+  test("synonym groups == brute SynonymQuery oracle; singleton group == plain match bit-exact") {
+    val rows = oracle.rows.collect() // (docId, term, tf, dl)
+    val byDoc = rows.groupBy(_._1)
+    val nD = byDoc.size.toLong
+    val avgdl = byDoc.valuesIterator.map(_.head._4.toLong).sum.toDouble / nD
+    def dfOf(t: String): Long = rows.iterator.filter(_._2 == t).map(_._1).toSet.size.toLong
+    val groups = Seq(Seq("def"), Seq("val", "class"))
+    // brute: per group, tf = Σ member tfs, df = max member df, one idf
+    val gdf = groups.map(g => g.map(dfOf).max)
+    val want = byDoc.iterator.flatMap { case (id, rs) =>
+      val dl = rs.head._4.toLong
+      val perG = groups.zipWithIndex.map { case (g, gi) =>
+        val tfsum = rs.iterator.filter(r => g.contains(r._2)).map(_._3.toLong).sum
+        if (tfsum == 0L) 0.0
+        else Bm25.idf(nD, gdf(gi)) * Bm25.tfNorm(tfsum, dl, avgdl, Bm25.Default)
+      }
+      val s = perG.sum
+      if (s > 0.0) Some((id, s)) else None
+    }.toSeq.sortBy { case (id, s) => (-s, id) }
+    val got = reader.synonymScoreAllDf(groups)
+      .orderBy(desc("score"), asc("docId")).as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == want.map(_._1), "synonym ranks")
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._2 - w._2) <= 1e-9 * math.max(1.0, math.abs(w._2)),
+        s"synonym score for doc ${g._1}: ${g._2} vs ${w._2}")
+    }
+    // the blend must be REAL: some doc contains BOTH members, and its group
+    // score differs from scoring the members as separate clauses
+    val both = byDoc.collect { case (id, rs)
+      if rs.exists(_._2 == "val") && rs.exists(_._2 == "class") => id }.toSeq
+    assert(both.nonEmpty, "no doc holds both synonyms — merge unexercised")
+    locally {
+      val rs = byDoc(both.head)
+      val dl = rs.head._4.toLong
+      def tfOf(t: String): Long = rs.iterator.filter(_._2 == t).map(_._3.toLong).sum
+      val merged = Bm25.idf(nD, gdf(1)) *
+        Bm25.tfNorm(tfOf("val") + tfOf("class"), dl, avgdl, Bm25.Default)
+      val split = Bm25.idf(nD, dfOf("val")) * Bm25.tfNorm(tfOf("val"), dl, avgdl, Bm25.Default) +
+        Bm25.idf(nD, dfOf("class")) * Bm25.tfNorm(tfOf("class"), dl, avgdl, Bm25.Default)
+      assert(math.abs(merged - split) > 1e-12,
+        "synonym group scored identically to separate clauses — tf merge unexercised")
+    }
+    // a ONE-term group is bit-identical to the plain match clause
+    val a = reader.synonymScoreAllDf(Seq(Seq("def")))
+      .orderBy(desc("score"), asc("docId")).as[(Long, Double)].collect().toSeq
+    val b = reader.scoreAllTerms(Array("def"))
+      .orderBy(desc("score"), asc("docId")).as[(Long, Double)].collect().toSeq
+    assert(a == b, "singleton synonym group must be bit-identical to match")
+    // overlapping groups double-count — rejected loudly
+    intercept[IllegalArgumentException](
+      reader.synonymScoreAllDf(Seq(Seq("def"), Seq("def", "val"))))
+    // all-unseen groups contribute nothing; every group unseen -> empty
+    assert(reader.synonymScoreAllDf(Seq(Seq("qqqzzznotfound"))).isEmpty)
+  }
+
+  test("rare_terms == dictionary long tail under (df asc, term asc); ES bound enforced") {
+    val rows = oracle.rows.collect() // (docId, term, tf, dl)
+    val dfs: Map[String, Long] = rows.groupBy(_._2)
+      .map { case (t, rs) => t -> rs.map(_._1).distinct.size.toLong }
+    for (m <- Seq(1L, 5L, 100L)) {
+      val want = dfs.filter(_._2 <= m).toSeq.sortBy { case (t, df) => (df, t) }
+      val got = reader.rareTermsDf(m).as[(String, Long)].collect().toSeq
+      assert(got == want, s"rare_terms(max_doc_count=$m)")
+    }
+    // the fixture must exercise BOTH sides of the cut at every tested bound
+    assert(dfs.values.exists(_ <= 1L) && dfs.values.exists(_ > 100L),
+      "fixture needs rare AND common terms")
+    intercept[IllegalArgumentException](reader.rareTermsDf(0L))
+    intercept[IllegalArgumentException](reader.rareTermsDf(101L))
   }
 
   test("constant_score: filter doc set at the constant boost, nothing else") {

@@ -228,4 +228,40 @@ class OpsSpec extends SparkSpec {
       slow.values.foreach(v => assert(v <= r))
     }
   }
+
+  test("geo_bounding_box == brute inclusive-bounds filter; antimeridian wrap; pushdown") {
+    // 20000 keys, not 5000: lat and lon are both linear residues of k, so
+    // they CORRELATE — at 5000 keys the wrap box below has zero hits.
+    val keys = spark.range(0, 20000).toDF("k")
+    val (lat, lon) = GeoOps.derivedCoords(col("k"))
+    val pts = keys.select(col("k"), lat.as("lat"), lon.as("lon"))
+    val rows = pts.as[(Long, Double, Double)].collect()
+    for ((top, left, bottom, right) <- Seq(
+        (40.0, -30.0, -20.0, 60.0),    // plain box
+        (40.0, 150.0, -20.0, -120.0),  // wraps the date line
+        (90.0, -180.0, -90.0, 180.0))) { // whole globe
+      val want = rows.filter { case (_, la, lo) =>
+        la >= bottom && la <= top &&
+          (if (left <= right) lo >= left && lo <= right else lo >= left || lo <= right)
+      }.map(_._1).sorted.toSeq
+      val got = GeoOps.withinBox(pts, "lat", "lon", top, left, bottom, right)
+        .select("k").as[Long].collect().sorted.toSeq
+      assert(got == want, s"bbox ($top, $left, $bottom, $right)")
+      assert(want.nonEmpty, "empty bbox fixture — gate vacuous")
+    }
+    // the wrap box must actually SPLIT (points on both sides of the line)
+    val wrapped = GeoOps.withinBox(pts, "lat", "lon", 40.0, 150.0, -20.0, -120.0)
+      .select("lon").as[Double].collect()
+    assert(wrapped.exists(_ >= 150.0) && wrapped.exists(_ <= -120.0),
+      "wrap fixture one-sided — antimeridian arm unexercised")
+    // over a parquet source the whole predicate reaches PushedFilters
+    val tmp = "/tmp/graft_bbox_pts"
+    pts.write.mode("overwrite").parquet(tmp)
+    val plan = GeoOps.withinBox(spark.read.parquet(tmp), "lat", "lon",
+      40.0, -30.0, -20.0, 60.0).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(lat,-20.0"),
+      s"bbox predicate not pushed:\n$plan")
+    intercept[IllegalArgumentException](
+      GeoOps.withinBox(pts, "lat", "lon", -20.0, 0.0, 40.0, 10.0))
+  }
 }

@@ -1,0 +1,124 @@
+package graft
+
+import graft.ops.{GeoOps, JoinFieldOps, PipelineAggs}
+import org.apache.spark.sql.functions._
+
+/** Gates for the ES pipeline aggregations (derivative / cumulative_sum /
+  * max_bucket), the parent/child join-field queries (has_child /
+  * has_parent), and the geotile_grid aggregation.
+  */
+class PipelineJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("derivative == lag diff with the first bucket dropped; cumulative_sum == running fold") {
+    val buckets = Seq(("d1", 5L), ("d2", 8L), ("d3", 2L), ("d4", 2L)).toDF("day", "n")
+    val d = PipelineAggs.derivative(buckets, "day", "n", "deriv")
+      .orderBy("day").as[(String, Long, Long)].collect().toSeq
+    assert(d == Seq(("d2", 8L, 3L), ("d3", 2L, -6L), ("d4", 2L, 0L)),
+      s"derivative: $d")
+    val c = PipelineAggs.cumulativeSum(buckets, "day", "n", "cum")
+      .orderBy("day").as[(String, Long, Long)].collect().toSeq
+    assert(c == Seq(("d1", 5L, 5L), ("d2", 8L, 13L), ("d3", 2L, 15L), ("d4", 2L, 17L)),
+      s"cumulative_sum: $c")
+    // single bucket: no derivative at all (ES returns the bucket sans value)
+    val one = Seq(("d1", 5L)).toDF("day", "n")
+    assert(PipelineAggs.derivative(one, "day", "n", "deriv").isEmpty)
+    assert(PipelineAggs.cumulativeSum(one, "day", "n", "cum")
+      .as[(String, Long, Long)].collect().toSeq == Seq(("d1", 5L, 5L)))
+  }
+
+  test("max_bucket returns ALL tied maxima as key-ordered rows, via a broadcast, not a window") {
+    val buckets = Seq(("b", 7L), ("a", 7L), ("c", 3L)).toDF("day", "n")
+    val mb = PipelineAggs.maxBucket(buckets, "day", "n")
+    val got = mb.as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 7L), ("b", 7L)), s"max_bucket ties: $got")
+    val plan = mb.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"max_bucket must not plan a Window:\n$plan")
+    assert(plan.contains("Broadcast"), s"1-row max frame must broadcast:\n$plan")
+  }
+
+  test("has_child == brute counts in [min, max]; orphan children excluded; bad bounds rejected") {
+    val parents = Seq(1L, 2L, 3L, 4L).toDF("pid")
+    val children = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"), (5L, "x"), (5L, "x"))
+      .toDF("cid", "t")
+    val filt = children.where(col("t") === "x") // the child query
+    val got = JoinFieldOps.hasChild(parents, "pid", filt, "cid")
+      .orderBy("pid").as[(Long, Long)].collect().toSeq
+    // parent 5 does not exist (orphan children); 3 and 4 have no children
+    assert(got == Seq((1L, 2L), (2L, 1L)), s"has_child: $got")
+    val atLeast2 = JoinFieldOps.hasChild(parents, "pid", filt, "cid", minChildren = 2L)
+      .as[(Long, Long)].collect().toSeq
+    assert(atLeast2 == Seq((1L, 2L)), s"min_children: $atLeast2")
+    val atMost1 = JoinFieldOps.hasChild(parents, "pid", filt, "cid", 1L, 1L)
+      .as[(Long, Long)].collect().toSeq
+    assert(atMost1 == Seq((2L, 1L)), s"max_children: $atMost1")
+    intercept[IllegalArgumentException](
+      JoinFieldOps.hasChild(parents, "pid", filt, "cid", minChildren = 0L))
+    intercept[IllegalArgumentException](
+      JoinFieldOps.hasChild(parents, "pid", filt, "cid", 3L, 2L))
+  }
+
+  test("has_parent == semi join on the parent key set; duplicate parent rows never duplicate children") {
+    val children = Seq((10L, 1L), (11L, 2L), (12L, 5L), (13L, 1L)).toDF("eid", "cid")
+    val parentsMatch = Seq(1L, 1L, 2L).toDF("pid") // deliberate duplicate key
+    val hp = JoinFieldOps.hasParent(children, "cid", parentsMatch, "pid")
+    val got = hp.orderBy("eid").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 1L), (11L, 2L), (13L, 1L)), s"has_parent: $got")
+    assert(hp.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      "has_parent must plan a semi join")
+  }
+
+  /** The engine's tile formula re-spelled driver-side (same JVM libm, same
+    * 6-dp mercator rounding) — the brute oracle for the grid gate.
+    */
+  private def tileKey(lat: Double, lon: Double, z: Int): String = {
+    val n = math.pow(2.0, z)
+    val x = math.floor(n * (lon + 180.0) / 360.0)
+    val r = math.toRadians(lat)
+    val mercRaw = (1.0 - math.log(math.tan(r) + 1.0 / math.cos(r)) / math.Pi) / 2.0
+    val merc = BigDecimal(mercRaw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val y = math.floor(n * merc)
+    def cl(v: Double): Long = math.max(0.0, math.min(v, n - 1.0)).toLong
+    s"$z/${cl(x)}/${cl(y)}"
+  }
+
+  test("geotile keys hit known anchors and clamp at the edges; grid == brute; band + bounds enforced") {
+    val anchors = Seq(
+      (0.0, 0.0, 1, "1/1/1"),                 // equator/meridian center tile
+      (0.0, -180.0, 1, "1/0/1"),              // west edge
+      (0.0, 180.0, 1, "1/1/1"),               // lon = +180 clamps to the last x
+      (-85.05112878, 0.0, 1, "1/1/1"),        // mercator cut clamps y to n-1
+      (85.05112878, 0.0, 1, "1/1/0"),         // top of the band
+      (37.77, -122.41, 0, "0/0/0"))           // z = 0 is one world tile
+    val df = anchors.map(a => (a._1, a._2)).toDF("lat", "lon")
+    for (((la, lo, z, want), i) <- anchors.zipWithIndex) {
+      val got = df.where(col("lat") === la && col("lon") === lo)
+        .select(GeoOps.geotileKey(col("lat"), col("lon"), z).as("k"))
+        .as[String].head()
+      assert(got == want, s"anchor $i ($la, $lo, z=$z): got $got")
+      assert(tileKey(la, lo, z) == want, s"brute anchor $i disagrees")
+    }
+    // full grid == brute over the derived coords, z coarse and fine
+    val keys = spark.range(0, 2000).toDF("k")
+    val (lat, lon) = GeoOps.derivedCoords(col("k"))
+    val pts = keys.select(col("k"), lat.as("lat"), lon.as("lon"))
+    val rows = pts.as[(Long, Double, Double)].collect()
+    for (z <- Seq(3, 6)) {
+      val want = rows.filter { case (_, la, _) => math.abs(la) <= GeoOps.MercatorMaxLat }
+        .groupBy { case (_, la, lo) => tileKey(la, lo, z) }
+        .map { case (t, xs) => (t, xs.length.toLong) }.toSeq
+        .sortBy { case (t, c) => (-c, t) }
+      val got = GeoOps.geotileGrid(pts, "lat", "lon", z, want.size + 10)
+        .as[(String, Long)].collect().toSeq
+      assert(got == want, s"geotile grid z=$z")
+      assert(want.size > 1, s"degenerate grid fixture at z=$z")
+    }
+    // out-of-band points are excluded, not clamped into the grid
+    val polar = Seq((89.0, 10.0), (-89.9, 10.0), (10.0, 10.0)).toDF("lat", "lon")
+    assert(GeoOps.geotileGrid(polar, "lat", "lon", 2, 10)
+      .agg(sum("doc_count")).as[Long].head() == 1L)
+    intercept[IllegalArgumentException](GeoOps.geotileKey(col("lat"), col("lon"), -1))
+    intercept[IllegalArgumentException](GeoOps.geotileKey(col("lat"), col("lon"), 30))
+    intercept[IllegalArgumentException](GeoOps.geotileGrid(polar, "lat", "lon", 2, 0))
+  }
+}

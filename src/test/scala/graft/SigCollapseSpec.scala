@@ -109,6 +109,37 @@ class SigCollapseSpec extends SparkSpec with BeforeAndAfterAll {
     d(a.length)(b.length)
   }
 
+  test("phrase suggester == brute bigram-df ranking; misspelled slot corrects") {
+    assume(haveData, s"$sfDir not mounted")
+    val seqs: Map[Long, Array[String]] = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> CodeTokenizer.tokenize(t) }.toMap
+    val vocab = seqs.valuesIterator.flatten.toSet
+    def bigramDf(l: String, r: String): Long =
+      seqs.valuesIterator.count(ts =>
+        (0 to ts.length - 2).exists(i => ts(i) == l && ts(i + 1) == r)).toLong
+    for (input <- Seq("hash joyn", "slw qery", "hash join")) {
+      val Array(t0, t1) = input.split(" ")
+      val c0 = vocab.filter(t => lev(t, t0) <= 1)
+      val c1 = vocab.filter(t => lev(t, t1) <= 1)
+      val want = (for { a <- c0; b <- c1 } yield (s"$a $b", bigramDf(a, b)))
+        .filter(_._2 > 0).toSeq.sortBy { case (s, f) => (-f, s) }.take(5)
+      val got = DocumentsIndex.suggestPhrase(spark, sfDir, input, 5)
+        .as[(String, Long)].collect().toSeq
+      assert(got == want, s"phrase suggest '$input':\n  got  $got\n  want $want")
+    }
+    // the correction must be real: 'joyn' is NOT vocabulary, yet the top
+    // suggestion is the corrected adjacent bigram
+    assert(!vocab.contains("joyn"), "fixture drift: 'joyn' entered the vocabulary")
+    val top = DocumentsIndex.suggestPhrase(spark, sfDir, "hash joyn", 5)
+      .as[(String, Long)].collect()
+    assert(top.nonEmpty && top.head._1 == "hash join",
+      s"expected 'hash join' on top, got ${top.toSeq}")
+    // longer inputs are a rejected shape, not a silent truncation
+    intercept[IllegalArgumentException](
+      DocumentsIndex.suggestPhrase(spark, sfDir, "a b c", 5))
+  }
+
   test("term suggester == brute vocabulary Levenshtein under (dist, df desc, term)") {
     assume(haveData, s"$sfDir not mounted")
     val vocabDf = docTok.flatMap(_._3).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
@@ -160,6 +191,43 @@ class SigCollapseSpec extends SparkSpec with BeforeAndAfterAll {
     val plain = DocumentsIndex.bm25(spark, sfDir, query, 20).as[(Long, Double)].collect()
     assert(got.map(_._1) != plain.map(_._1).toSeq,
       "fixture too weak: modifier did not re-order the top-20 — pick a different query")
+  }
+
+  test("gauss decay == brute exp(ln d²) modifier; offset radius preserves scores exactly") {
+    assume(haveData, s"$sfDir not mounted")
+    val query = "hash table"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("docId"), col("text").as("content"))
+      .as[ExhaustiveScorer.OracleDoc]
+    val prep = ExhaustiveScorer.prepare(spark, docs)
+    val raw = prep.topK(query, docTok.size + 1)
+    val dlOf = docTok.map(d => d._1 -> d._4).toMap
+    def mult(dl: Long, origin: Double, scale: Double, offset: Double, decay: Double): Double = {
+      val d = math.max(0.0, math.abs(dl - origin) - offset)
+      math.exp(math.log(decay) * (d / scale) * (d / scale))
+    }
+    for ((origin, scale, offset, decay) <- Seq((60.0, 20.0, 5.0, 0.5), (40.0, 10.0, 0.0, 0.25))) {
+      val want = raw.map { h =>
+        (h.docId, round6(h.score * mult(dlOf(h.docId).toLong, origin, scale, offset, decay)))
+      }.sortBy { case (id, s) => (-s, id) }.take(20).toSeq
+      val got = DocumentsIndex.functionScoreGauss(spark, sfDir, query,
+        origin, scale, offset, decay, 20).as[(Long, Double)].collect().toSeq
+      assert(got == want, s"gauss($origin,$scale,$offset,$decay):\n  got  $got\n  want $want")
+    }
+    // a WIDE offset covers every dl -> d = 0 -> multiplier exactly 1: the
+    // decayed frame must be BIT-identical to the plain protocol ranking
+    val wide = DocumentsIndex.functionScoreGauss(spark, sfDir, query,
+      0.0, 20.0, 1e6, 0.5, 20).as[(Long, Double)].collect().toSeq
+    val plain = DocumentsIndex.bm25(spark, sfDir, query, 20).as[(Long, Double)].collect().toSeq
+    assert(wide == plain, "inside-offset docs must keep their score EXACTLY")
+    // and the real params must re-rank, or the gate is vacuous
+    val tight = DocumentsIndex.functionScoreGauss(spark, sfDir, query,
+      60.0, 20.0, 5.0, 0.5, 20).as[(Long, Double)].collect().toSeq
+    assert(tight.map(_._1) != plain.map(_._1), "gauss decay did not re-order the top-20")
+    intercept[IllegalArgumentException](
+      DocumentsIndex.functionScoreGauss(spark, sfDir, query, 60.0, 0.0, 5.0, 0.5, 20))
+    intercept[IllegalArgumentException](
+      DocumentsIndex.functionScoreGauss(spark, sfDir, query, 60.0, 20.0, 5.0, 1.0, 20))
   }
 
   test("b33 twin preconditions: affix-safe vocabulary, analyzer-charset + space text") {
