@@ -341,6 +341,44 @@ object SparkEntry {
         DocumentsIndex.matchingDocIds(s, d, Seq("vector", "stream")), "doc_id")
       .select(col("event_id"), col("user_id"), col("event_type"))
       .orderBy("event_id")),
+    // ES weighted_avg metric agg: value weighted by the JSON doc value k,
+    // per event_type bucket (zero-weight rows contribute nothing — ES's
+    // skipped-null-weight shape).
+    "a32_weighted_avg" -> ((s, d) => {
+      val k = get_json_object(col("props"), "$.k").cast("double")
+      tbl(s, d, "events").groupBy("event_type")
+        .agg(round(sum(col("value") * k) / sum(k), 4).as("wavg"))
+        .orderBy("event_type")
+    }),
+    // ES moving_fn unweightedAvg (trailing window 7 incl. current) over the
+    // daily-count date_histogram; leading partial windows average what
+    // exists, exactly like ES.
+    "a33_moving_avg" -> ((s, d) => {
+      val buckets = tbl(s, d, "events").groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.PipelineAggs.movingAvg(buckets, "day", "n", 7, "mavg")
+        .select(col("day"), col("n"), round(col("mavg"), 6).as("mavg"))
+        .orderBy("day")
+    }),
+    // ES serial_diff at lag 7 (the de-seasonalized weekly delta) over the
+    // same parent buckets; the first 7 buckets have no partner and drop.
+    "a34_serial_diff" -> ((s, d) => {
+      val buckets = tbl(s, d, "events").groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.PipelineAggs.serialDiff(buckets, "day", "n", 7, "sdiff").orderBy("day")
+    }),
+    // ES sampler agg wrapping significant_terms (the canonical combo): the
+    // sub-agg's foreground is the top-50 "hash join" hits, not the full
+    // match set.
+    "b61_sampler_sig" -> ((s, d) =>
+      DocumentsIndex.samplerSigTerms(s, d, "hash join", 50, 10)),
+    // ES percolate (reverse search over existing docs vs the stored-query
+    // registry): three conjunction queries, one unsatisfiable.
+    "b62_percolate" -> ((s, d) => DocumentsIndex.percolate(s, d, Seq(
+      "hj" -> Seq("hash", "join"), "sv" -> Seq("sort", "vector"),
+      "zz" -> Seq("hash", "qqqzzznotfound")))),
+    // Lucene span_first: 'hash' within the first 8 token slots (0-based).
+    "b63_span_first" -> ((s, d) => DocumentsIndex.spanFirstMatch(s, d, "hash", 8)),
     // B19 composite aggregation (the PAGINATED facet): a keyset page of the
     // tags dictionary strictly after 'en' — 5 KEY-ordered buckets (composite
     // orders by key, not count).
@@ -922,6 +960,64 @@ object SparkEntry {
          |      GROUP BY 1 HAVING count(DISTINCT term) = 2)
          |SELECT event_id, user_id, event_type FROM events
          |WHERE user_id IN (SELECT doc_id FROM p) ORDER BY event_id""".stripMargin,
+    // weighted_avg twin: identical sum(v*k)/sum(k), 4-dp protocol
+    "a32_weighted_avg" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |         cast(json_extract_string(props, '$.k') AS double) AS k
+        |  FROM events)
+        |SELECT event_type, round(sum(value * k) / sum(k), 4) AS wavg
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // moving-average twin: trailing 7-row window over the bucket frame
+    "a33_moving_avg" ->
+      """WITH b AS (SELECT cast(ts AS date) AS day, count(*) AS n FROM events GROUP BY 1)
+        |SELECT day, n,
+        |       round(avg(n) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS mavg
+        |FROM b ORDER BY day""".stripMargin,
+    // serial-diff twin: lag-7 difference, unmatched leading buckets dropped
+    "a34_serial_diff" ->
+      """WITH b AS (SELECT cast(ts AS date) AS day, count(*) AS n FROM events GROUP BY 1),
+        |d AS (SELECT day, n, n - lag(n, 7) OVER (ORDER BY day) AS sdiff FROM b)
+        |SELECT day, n, sdiff FROM d WHERE sdiff IS NOT NULL ORDER BY day""".stripMargin,
+    // sampler twin: the protocol-ordered top-50 BM25 sample as the JLH
+    // foreground (bm25Ctes' dfx doubles as the background dfs)
+    "b61_sampler_sig" ->
+      s"""WITH ${bm25Ctes(Seq("hash", "join"))},
+         |smp AS (SELECT doc_id FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 50),
+         |ft AS (SELECT cast(count(*) AS double) AS n FROM smp),
+         |fgc AS (SELECT p.term, count(*) AS fg
+         |        FROM (SELECT DISTINCT doc_id, term FROM tok) p JOIN smp USING (doc_id)
+         |        GROUP BY 1),
+         |tot AS (SELECT cast(count(*) AS double) AS n FROM documents)
+         |SELECT f.term, f.fg, d.df AS bg,
+         |       round((f.fg/ft.n - d.df/t.n) * ((f.fg/ft.n) / (d.df/t.n)), 6) AS score
+         |FROM fgc f JOIN dfx d USING (term) CROSS JOIN ft CROSS JOIN tot t
+         |WHERE f.term NOT IN ('hash', 'join')
+         |ORDER BY score DESC, f.term LIMIT 10""".stripMargin,
+    // percolate twin: the stored registry as VALUES, membership conjunction
+    // counts per (doc, query), full-count = match
+    "b62_percolate" ->
+      s"""WITH $TokCte,
+         |m AS (SELECT DISTINCT doc_id, term FROM tok),
+         |q AS (SELECT * FROM (VALUES ('hj', 'hash'), ('hj', 'join'),
+         |                            ('sv', 'sort'), ('sv', 'vector'),
+         |                            ('zz', 'hash'), ('zz', 'qqqzzznotfound')) AS t(query, term)),
+         |nt AS (SELECT query, count(*) AS n_terms FROM q GROUP BY 1),
+         |hit AS (SELECT m.doc_id, q.query, count(*) AS present
+         |        FROM m JOIN q USING (term) GROUP BY 1, 2)
+         |SELECT h.doc_id, h.query FROM hit h JOIN nt USING (query)
+         |WHERE h.present = nt.n_terms ORDER BY doc_id, query""".stripMargin,
+    // span_first twin: 0-based positional tokenization, first occurrence
+    // strictly inside the first 8 slots
+    "b63_span_first" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS a
+        |  FROM documents),
+        |t0 AS (SELECT doc_id, unnest(a) AS term0, unnest(range(0, len(a))) AS pos FROM arr),
+        |toks AS (SELECT doc_id, substr(term0, 1, 64) AS term, pos FROM t0)
+        |SELECT doc_id, min(pos) AS first_pos FROM toks WHERE term = 'hash'
+        |GROUP BY 1 HAVING min(pos) < 8 ORDER BY doc_id""".stripMargin,
     // phrase-suggester twin: per-slot candidates = UNCAPPED dictionary
     // Levenshtein <= 1 (valid under the b20 cap contract: 31-term vocab <
     // the 32 cap), bigram adjacency df per candidate pair from the

@@ -591,6 +591,38 @@ object DocumentsIndex {
       .select(col("doc_id"), col("min_gap").cast("long").as("min_gap"))
       .orderBy("doc_id")
 
+  /** ES `sampler` agg wrapping `significant_terms` over the text index
+    * (see IndexReader.samplerSignificantTermsDf): foreground = the top
+    * `sampleSize` hits under the protocol order. Score column carries its
+    * own 6-dp rounding.
+    */
+  def samplerSigTerms(spark: SparkSession, sfDir: String, query: String,
+      sampleSize: Int, size: Int): DataFrame =
+    reader(spark, sfDir).samplerSignificantTermsDf(query, sampleSize, size)
+
+  /** ES `percolate` over the text index ("percolate existing documents",
+    * pinned v1 = stored term-conjunction queries — see
+    * IndexReader.percolateDf), keyed by doc_id. Integer-exact membership
+    * output, no float protocol.
+    */
+  def percolate(spark: SparkSession, sfDir: String,
+      queries: Seq[(String, Seq[String])]): DataFrame =
+    reader(spark, sfDir).percolateDf(queries)
+      .join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("doc_id"), col("query"))
+      .orderBy("doc_id", "query")
+
+  /** ES `span_first` over the text index (term within the first `end`
+    * token slots), keyed by doc_id — integer-exact first position, no
+    * float protocol.
+    */
+  def spanFirstMatch(spark: SparkSession, sfDir: String, term: String,
+      end: Int): DataFrame =
+    reader(spark, sfDir).matchSpanFirstDf(term, end)
+      .join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("doc_id"), col("first_pos").cast("long").as("first_pos"))
+      .orderBy("doc_id")
+
   /** ES `match_phrase_prefix` over the text index (last token = prefix),
     * keyed by doc_id — integer-exact start counts, no float protocol.
     */

@@ -48,6 +48,35 @@ object PipelineAggs {
     buckets.withColumn(out, sum(col(valCol)).over(w))
   }
 
+  /** ES `serial_diff`: metric minus the metric `lag` buckets earlier in key
+    * order (lag 1 IS the derivative; lag 7 removes weekly seasonality — the
+    * ES use case). Buckets without a lagged partner are dropped, the ES
+    * omission, as in [[derivative]].
+    */
+  def serialDiff(buckets: DataFrame, keyCol: String, valCol: String,
+      lagN: Int, out: String): DataFrame = {
+    require(lagN >= 1, s"serial_diff lag must be >= 1, got $lagN")
+    val w = Window.orderBy(col(keyCol))
+    buckets
+      .withColumn(out, col(valCol) - lag(col(valCol), lagN).over(w))
+      .where(col(out).isNotNull)
+  }
+
+  /** ES `moving_fn` with `MovingFunctions.unweightedAvg` (the moving
+    * average): mean of the trailing `window` buckets INCLUDING the current
+    * one, in key order. ES's default window is trailing-exclusive of
+    * nothing (shift 0 = the window ends at the current bucket); partial
+    * leading windows average what exists, exactly like ES. Integer metrics
+    * divide exactly (sum and count are exact), so no protocol rounding is
+    * needed on count-shaped inputs — the caller rounds value-shaped ones.
+    */
+  def movingAvg(buckets: DataFrame, keyCol: String, valCol: String,
+      window: Int, out: String): DataFrame = {
+    require(window >= 1, s"moving window must be >= 1, got $window")
+    val w = Window.orderBy(col(keyCol)).rowsBetween(-(window - 1L), Window.currentRow)
+    buckets.withColumn(out, avg(col(valCol)).over(w))
+  }
+
   /** ES `max_bucket`: the bucket(s) whose metric is the maximum — ES
     * returns the max value plus the LIST of keys achieving it; here the
     * tied maxima come back as rows (key order), the relational spelling of

@@ -1035,6 +1035,61 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       .orderBy(desc("score"), asc("term")).limit(size)
   }
 
+  /** ES `sampler` aggregation wrapping `significant_terms` — THE canonical
+    * sampler combo (ES docs' own example): the sub-agg's foreground is not
+    * the full match set but the top `sampleSize` hits by relevance
+    * (`shard_size` semantics, collapsed to one logical shard here — ES on
+    * one shard does exactly this). The sample cut is the repo's protocol
+    * order (6-dp rounded score desc, docId asc), so both engines pick the
+    * SAME documents; fgN = the actual sample size (≤ sampleSize when the
+    * query matches fewer docs). Query tokens are excluded from the output
+    * like [[significantTermsDf]] excludes its foreground term. JLH spelled
+    * in the same pinned expression order.
+    *
+    * Plan shape: the rank-all scoring frame feeds ONE TakeOrderedAndProject
+    * (the sample), which then plays the foreground semi-join role of the
+    * plain sig_terms plan — sampling makes the expensive fg semi-join
+    * CHEAPER at scale (bounded rows broadcast), which is exactly why ES's
+    * mitigation for sig_terms cost is this very agg.
+    */
+  def samplerSignificantTermsDf(query: String, sampleSize: Int, size: Int): DataFrame = {
+    require(sampleSize > 0, "sampler shard_size must be positive")
+    require(size > 0, "size must be positive")
+    import spark.implicits._
+    val qTerms = analyze(query).toSeq
+    val fgIds = scoreAllDf(query)
+      .select(col("docId"), round(col("score"), 6).as("s"))
+      .orderBy(desc("s"), asc("docId")).limit(sampleSize)
+      .select("docId")
+    val fgN = fgIds.count() // one bounded job — the sample is query-sized
+    if (fgN == 0L)
+      return spark.emptyDataset[(String, Long, Long, Double)]
+        .toDF("term", "fg", "bg", "score")
+    val pairs = segments.map { seg =>
+      Tables.read(spark, seg, InvertedIndex.PostingsTable)
+        .select(col("term"), col("firstDocId"), col("count"), col("docDeltas"))
+    }.reduce(_ unionByName _)
+      .as[(String, Long, Int, Array[Byte])]
+      .flatMap { case (t, f, c, d) =>
+        PostingsCodec.decodeDocIds(f, c, d).iterator.map(id => (id, t))
+      }
+      .toDF("docId", "term")
+    val fgCounts = pairs.join(fgIds, Seq("docId")).groupBy("term")
+      .agg(count(lit(1)).as("fg"))
+    val bgScans = segments.map(seg =>
+      Tables.read(spark, seg, InvertedIndex.DictTable).select(col("term"), col("df")))
+    val bg =
+      if (segments.size == 1) bgScans.head
+      else bgScans.reduce(_ unionByName _).groupBy("term").agg(sum("df").as("df"))
+    val fgPct = col("fg") / lit(fgN.toDouble)
+    val bgPct = col("bg") / lit(stats.numDocs.toDouble)
+    fgCounts.join(bg.withColumnRenamed("df", "bg"), Seq("term"))
+      .where(!col("term").isin(qTerms: _*))
+      .select(col("term"), col("fg"), col("bg"),
+        round((fgPct - bgPct) * (fgPct / bgPct), 6).as("score"))
+      .orderBy(desc("score"), asc("term")).limit(size)
+  }
+
   /** ES term suggester ("did you mean" — `upstream:` ES `suggest` with
     * `term`): dictionary terms within `maxEdits` classic-Levenshtein edits
     * of the input (the same length-banded executor-side distance scan as
@@ -1275,6 +1330,53 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   /** (term, firstDocId, count, docDeltas) blocks of an explicit term list,
     * tbucket-pruned — membership scans never read payload columns.
     */
+  /** ES `percolate` — the REVERSE search: a registry of STORED queries, and
+    * documents are matched against all of them at once (here the
+    * "percolate existing documents" API form: every indexed doc tested
+    * against every stored query). Pinned v1: stored queries are term
+    * CONJUNCTIONS (the percolator's candidate-matching core — ES itself
+    * pre-filters stored queries through exactly this extracted-terms
+    * conjunction index before running the full query). Output one
+    * (docId, query) row per match.
+    *
+    * Plan: ONE ids-only scan of the UNION of every stored query's terms;
+    * each (docId, term) posting fans out to the queries containing that
+    * term through a BROADCAST term→queries map; one map-side-combined
+    * groupBy (docId, query) counts present terms, and == |query terms| is
+    * the match (valid because postings hold one row per (term, doc) — the
+    * df invariant). Exchanges move (docId, query) partials, never
+    * documents; the registry broadcasts (percolator registries are
+    * query-sized). An absent term simply never arrives, so its queries
+    * can't reach their count — unsatisfiable queries cost nothing.
+    */
+  def percolateDf(queries: Seq[(String, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty, "percolate needs at least one stored query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "stored query names must be unique")
+    val norm = queries.map { case (n, ts) =>
+      require(ts.nonEmpty, s"stored query '$n' has no terms")
+      n -> ts.map(singleTerm(_, s"percolator term of '$n'")).distinct.sorted
+    }
+    val termToQ: Map[String, Array[String]] = norm
+      .flatMap { case (n, ts) => ts.map(_ -> n) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted.toArray }
+    val tqB = spark.sparkContext.broadcast(termToQ)
+    val needed = norm.map { case (n, ts) => (n, ts.size) }.toDF("query", "n_terms")
+    idScanWithTerm(termToQ.keys.toSeq.sorted)
+      .as[(String, Long, Int, Array[Byte])]
+      .flatMap { case (t, f, c, d) =>
+        val qs = tqB.value(t)
+        PostingsCodec.decodeDocIds(f, c, d).iterator
+          .flatMap(id => qs.iterator.map(q => (id, q)))
+      }
+      .toDF("docId", "query")
+      .groupBy("docId", "query").agg(count(lit(1)).as("present"))
+      .join(broadcast(needed), Seq("query"))
+      .where(col("present") === col("n_terms"))
+      .select(col("docId"), col("query"))
+  }
+
   private def idScanWithTerm(terms: Seq[String]): DataFrame =
     segments.zip(segBuckets).map { case (seg, b) =>
       val tb = terms.map(t => InvertedIndex.termBucket(t, b)).distinct
@@ -1385,6 +1487,32 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       else PhraseMatcher.matchNearBucket(byTerm, termsB.value, lo, hi, sl).iterator
     }
       .toDF("docId", "min_gap")
+  }
+
+  /** Lucene `SpanFirstQuery` (ES `span_first`): the term must occur within
+    * the first `end` token slots — a span [p, p+1) matches when p + 1 ≤ end,
+    * i.e. p < end over the 0-based positions. Output (docId, first_pos)
+    * where first_pos is the doc's EARLIEST occurrence (necessarily the
+    * matching one — positions decode sorted ascending); integer-exact, no
+    * float protocol. Plan: ONE positional scan of the single term's blocks
+    * with the check running block-local — a single-term span needs no
+    * conjunction and no bucket re-grouping, so nothing exchanges beyond the
+    * pruned scan itself.
+    */
+  def matchSpanFirstDf(term: String, end: Int): DataFrame = {
+    import spark.implicits._
+    requirePositions("span_first")
+    require(end >= 1, s"span_first end must be >= 1, got $end")
+    val t = singleTerm(term, "span_first term")
+    val e = end
+    postingsFor(Seq(t), withPositions = true)
+      .flatMap { b =>
+        val ids = PostingsCodec.decodeDocIds(b.firstDocId, b.count, b.docDeltas)
+        val tfs = PostingsCodec.decodeTfs(b.count, b.tfs)
+        val poss = PostingsCodec.decodePositions(tfs, b.pos)
+        Iterator.tabulate(b.count)(i => (ids(i), poss(i)(0))).filter(_._2 < e)
+      }
+      .toDF("docId", "first_pos")
   }
 
   /** ES `match_phrase_prefix` (autocomplete-style: the LAST token is a

@@ -27,6 +27,29 @@ class PipelineJoinSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq == Seq(("d1", 5L, 5L)))
   }
 
+  test("serial_diff == lag-n difference with unmatched buckets dropped; moving average == trailing-window mean") {
+    val vals = (1 to 10).map(i => (i.toLong * i)) // quadratic: every diff distinct
+    val buckets = vals.zipWithIndex.map { case (v, i) => (f"d${i + 1}%02d", v) }.toDF("day", "n")
+    val sd = PipelineAggs.serialDiff(buckets, "day", "n", 3, "sdiff")
+      .orderBy("day").as[(String, Long, Long)].collect().toSeq
+    val wantSd = (4 to 10).map(i => (f"d$i%02d", vals(i - 1), vals(i - 1) - vals(i - 4)))
+    assert(sd == wantSd, s"serial_diff: $sd")
+    // lag 1 IS the derivative
+    assert(PipelineAggs.serialDiff(buckets, "day", "n", 1, "x").orderBy("day")
+      .as[(String, Long, Long)].collect().toSeq ==
+      PipelineAggs.derivative(buckets, "day", "n", "x").orderBy("day")
+        .as[(String, Long, Long)].collect().toSeq)
+    val ma = PipelineAggs.movingAvg(buckets, "day", "n", 4, "mavg")
+      .orderBy("day").as[(String, Long, Double)].collect().toSeq
+    val wantMa = (1 to 10).map { i =>
+      val w = vals.slice(math.max(0, i - 4), i)
+      (f"d$i%02d", vals(i - 1), w.sum.toDouble / w.size)
+    }
+    assert(ma == wantMa, s"moving_avg: $ma")
+    intercept[IllegalArgumentException](PipelineAggs.serialDiff(buckets, "day", "n", 0, "x"))
+    intercept[IllegalArgumentException](PipelineAggs.movingAvg(buckets, "day", "n", 0, "x"))
+  }
+
   test("max_bucket returns ALL tied maxima as key-ordered rows, via a broadcast, not a window") {
     val buckets = Seq(("b", 7L), ("a", 7L), ("c", 3L)).toDF("day", "n")
     val mb = PipelineAggs.maxBucket(buckets, "day", "n")

@@ -271,4 +271,85 @@ class SigCollapseSpec extends SparkSpec with BeforeAndAfterAll {
       assert(math.abs(varq - wv) <= 1e-4, s"var_pop drift for $flag: $varq vs $wv")
     }
   }
+
+  test("span_first == brute first-occurrence cut; end boundary exact; bad end rejected") {
+    assume(haveData, s"$sfDir not mounted")
+    val seqs: Map[Long, Array[String]] = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> CodeTokenizer.tokenize(t) }.toMap
+    for ((term, end) <- Seq(("hash", 8), ("hash", 1), ("join", 3), ("hash", 100000))) {
+      val want = seqs.iterator.flatMap { case (id, ts) =>
+        val p = ts.indexOf(term)
+        if (p >= 0 && p < end) Some((id, p.toLong)) else None
+      }.toSeq.sortBy(_._1)
+      val got = DocumentsIndex.spanFirstMatch(spark, sfDir, term, end)
+        .as[(Long, Long)].collect().toSeq
+      assert(got == want, s"span_first('$term', $end)")
+    }
+    // the cut must be REAL at the driver row's params: some docs contain
+    // the term but first see it at position >= 8
+    val containing = seqs.count(_._2.contains("hash"))
+    val matched = DocumentsIndex.spanFirstMatch(spark, sfDir, "hash", 8).count()
+    assert(matched > 0 && matched < containing,
+      s"span_first fixture vacuous: $matched of $containing")
+    intercept[IllegalArgumentException](DocumentsIndex.spanFirstMatch(spark, sfDir, "hash", 0))
+  }
+
+  test("percolate == brute stored-query conjunctions; unsatisfiable query matches nothing; bad registries rejected") {
+    assume(haveData, s"$sfDir not mounted")
+    val queries = Seq("hj" -> Seq("hash", "join"), "sv" -> Seq("sort", "vector"),
+      "zz" -> Seq("hash", "qqqzzznotfound"))
+    val want = (for {
+      (id, _, terms, _) <- docTok
+      (name, qts) <- queries
+      if qts.forall(terms.contains)
+    } yield (id, name)).sortBy { case (id, n) => (id, n) }
+    val got = DocumentsIndex.percolate(spark, sfDir, queries)
+      .as[(Long, String)].collect().toSeq
+    assert(got == want, s"percolate: got ${got.size} want ${want.size}")
+    assert(!got.exists(_._2 == "zz"), "unsatisfiable stored query leaked a match")
+    assert(got.exists(_._2 == "hj") && got.exists(_._2 == "sv"),
+      "percolate fixture vacuous — no query matched")
+    intercept[IllegalArgumentException](DocumentsIndex.percolate(spark, sfDir, Nil))
+    intercept[IllegalArgumentException](
+      DocumentsIndex.percolate(spark, sfDir, Seq("a" -> Seq("hash"), "a" -> Seq("join"))))
+    intercept[IllegalArgumentException](
+      DocumentsIndex.percolate(spark, sfDir, Seq("a" -> Nil)))
+  }
+
+  test("sampler significant_terms == brute JLH over the protocol top-k sample") {
+    assume(haveData, s"$sfDir not mounted")
+    val query = "hash join"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("docId"), col("text").as("content"))
+      .as[ExhaustiveScorer.OracleDoc]
+    val prep = ExhaustiveScorer.prepare(spark, docs)
+    val sampleSize = 50
+    val sample = prep.topK(query, docTok.size + 1)
+      .map(h => (h.docId, round6(h.score)))
+      .sortBy { case (id, s) => (-s, id) }.take(sampleSize).map(_._1).toSet
+    assert(sample.size == sampleSize, "sample smaller than shard_size — fixture too weak")
+    val byId = docTok.map(d => d._1 -> d._3).toMap
+    val fgN = sample.size.toDouble
+    val n = docTok.size.toDouble
+    val qTerms = Set("hash", "join")
+    val fgCounts = sample.toSeq.flatMap(byId(_)).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val bgCounts = docTok.flatMap(_._3).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size.toLong }
+    val want = fgCounts.iterator.filter(t => !qTerms.contains(t._1)).map { case (t, fg) =>
+      val bg = bgCounts(t)
+      val fgPct = fg / fgN
+      val bgPct = bg / n
+      (t, fg, bg, round6((fgPct - bgPct) * (fgPct / bgPct)))
+    }.toSeq.sortBy { case (t, _, _, s) => (-s, t) }.take(10)
+    val got = DocumentsIndex.samplerSigTerms(spark, sfDir, query, sampleSize, 10)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == want, s"sampler sig_terms:\n  got  $got\n  want $want")
+    // sampling must be REAL: the query matches more docs than the sample
+    val matches = docTok.count(d => d._3.contains("hash") || d._3.contains("join"))
+    assert(matches > sampleSize, s"fixture: only $matches matches for a $sampleSize sample")
+    intercept[IllegalArgumentException](
+      DocumentsIndex.samplerSigTerms(spark, sfDir, query, 0, 10))
+  }
 }
