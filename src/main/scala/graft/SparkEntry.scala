@@ -379,6 +379,34 @@ object SparkEntry {
       "zz" -> Seq("hash", "qqqzzznotfound")))),
     // Lucene span_first: 'hash' within the first 8 token slots (0-based).
     "b63_span_first" -> ((s, d) => DocumentsIndex.spanFirstMatch(s, d, "hash", 8)),
+    // ES _explain (batch): per-(doc, term) BM25 contribution leaves for the
+    // top-10 'hash join' hits — the explanation tree as a frame.
+    "b64_explain" -> ((s, d) => DocumentsIndex.explain(s, d, "hash join", 10)),
+    // ES terms query with LOOKUP: docs sharing a tag (lang or source) with
+    // document 42, matched-tag counts; the lookup is ES's own
+    // coordinator-side document GET.
+    "b65_terms_lookup" -> ((s, d) => DocumentsIndex.termsLookup(s, d, 42L)),
+    // ES function_score random_score (seeded deterministic sampling) over
+    // the 'vector' filter set: pinned MINSTD hash, top-20.
+    "b66_random_score" -> ((s, d) =>
+      DocumentsIndex.randomScore(s, d, Seq("vector"), 7L, 20)),
+    // ES geo_distance aggregation: ring buckets from (10N, 20E) over the
+    // 4-dp protocol distance, ES's "*-2000.0" key style, empty rings kept
+    // at count 0 (ES returns every requested range).
+    "a35_geo_distance_agg" -> ((s, d) => {
+      import s.implicits._
+      val (lat, lon) = graft.ops.GeoOps.derivedCoords(col("doc_id"))
+      val pts = tbl(s, d, "documents")
+        .select(col("doc_id"), lat.as("lat"), lon.as("lon"))
+        .select(round(graft.ops.GeoOps.haversineKm(col("lat"), col("lon"), 10.0, 20.0), 4).as("km"))
+      val ring = when(col("km") < 2000.0, "*-2000.0")
+        .when(col("km") < 6000.0, "2000.0-6000.0").otherwise("6000.0-*")
+      val counts = pts.groupBy(ring.as("ring")).agg(count(lit(1)).as("doc_count"))
+      Seq("*-2000.0", "2000.0-6000.0", "6000.0-*").toDF("ring")
+        .join(counts, Seq("ring"), "left")
+        .select(col("ring"), coalesce(col("doc_count"), lit(0L)).as("doc_count"))
+        .orderBy("ring")
+    }),
     // B19 composite aggregation (the PAGINATED facet): a keyset page of the
     // tags dictionary strictly after 'en' — 5 KEY-ordered buckets (composite
     // orders by key, not count).
@@ -1018,6 +1046,58 @@ object SparkEntry {
         |toks AS (SELECT doc_id, substr(term0, 1, 64) AS term, pos FROM t0)
         |SELECT doc_id, min(pos) AS first_pos FROM toks WHERE term = 'hash'
         |GROUP BY 1 HAVING min(pos) < 8 ORDER BY doc_id""".stripMargin,
+    // explain twin: the per-(doc, term) contribution leaves restricted to
+    // the protocol top-10 sample — bm25Ctes' tf/dl/dfx ARE the leaves' inputs
+    "b64_explain" ->
+      s"""WITH ${bm25Ctes(Seq("hash", "join"))},
+         |smp AS (SELECT doc_id FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 10),
+         |x AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+         |         round(ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+         |           * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl)), 6) AS contrib
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
+         |  WHERE tf.term IN ('hash', 'join'))
+         |SELECT x.doc_id, x.term, x.tf, x.dl, x.contrib FROM x JOIN smp USING (doc_id)
+         |ORDER BY doc_id, term""".stripMargin,
+    // terms-lookup twin: document 42's tags as the term set, any-match
+    // membership with distinct-matched counts
+    "b65_terms_lookup" ->
+      s"""WITH ${tokCteOver("concat_ws(' ', lang, source)", "gtok")},
+         |lk AS (SELECT DISTINCT term FROM gtok WHERE doc_id = 42),
+         |m AS (SELECT DISTINCT doc_id, term FROM gtok)
+         |SELECT m.doc_id, count(DISTINCT m.term) AS n_matched
+         |FROM m JOIN lk USING (term) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // random-score twin: the identical MINSTD step over the filter
+    // membership set, 6-dp protocol
+    "b66_random_score" ->
+      s"""WITH $TokCte,
+         |m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'vector')
+         |SELECT doc_id,
+         |       round(cast(((doc_id + 7) * 48271 % 2147483647) * 48271 % 2147483647 AS double) / 2147483647.0, 6) AS score
+         |FROM m ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // geo-distance-agg twin: identical haversine + 4-dp protocol, CASE
+    // rings, zero-count rings kept through the VALUES frame
+    "a35_geo_distance_agg" ->
+      """WITH pts AS (
+        |  SELECT doc_id,
+        |         (doc_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+        |         (doc_id * 73 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM documents),
+        |d AS (
+        |  SELECT round(2 * 6371.0 * asin(sqrt(
+        |           pow(sin(radians(lat - 10.0) / 2), 2) +
+        |           cos(radians(10.0)) * cos(radians(lat)) *
+        |           pow(sin(radians(lon - 20.0) / 2), 2))), 4) AS km
+        |  FROM pts),
+        |b AS (
+        |  SELECT CASE WHEN km < 2000.0 THEN '*-2000.0'
+        |              WHEN km < 6000.0 THEN '2000.0-6000.0'
+        |              ELSE '6000.0-*' END AS ring
+        |  FROM d),
+        |c AS (SELECT ring, count(*) AS doc_count FROM b GROUP BY 1),
+        |allr AS (SELECT * FROM (VALUES ('*-2000.0'), ('2000.0-6000.0'), ('6000.0-*')) t(ring))
+        |SELECT allr.ring, coalesce(c.doc_count, 0) AS doc_count
+        |FROM allr LEFT JOIN c USING (ring) ORDER BY ring""".stripMargin,
     // phrase-suggester twin: per-slot candidates = UNCAPPED dictionary
     // Levenshtein <= 1 (valid under the b20 cap contract: 31-term vocab <
     // the 32 cap), bigram adjacency df per candidate pair from the

@@ -591,6 +591,64 @@ object DocumentsIndex {
       .select(col("doc_id"), col("min_gap").cast("long").as("min_gap"))
       .orderBy("doc_id")
 
+  /** ES `_explain` (batch form) over the text index — per-(doc, term) BM25
+    * contribution rows for the top-k protocol hits, keyed by doc_id (see
+    * IndexReader.explainDf). The contrib column carries its own 6-dp
+    * rounding; tf/dl are integer-exact.
+    */
+  def explain(spark: SparkSession, sfDir: String, query: String,
+      k: Int): DataFrame =
+    reader(spark, sfDir).explainDf(query, k)
+      .join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("contrib"))
+      .orderBy("doc_id", "term")
+
+  /** ES `terms` query with LOOKUP (terms fetched from another document's
+    * field — here the tags of `lookupId`): docs sharing at least one tag,
+    * with the matched-tag count. The lookup itself is ONE driver-side row
+    * GET, exactly ES's coordinator-side lookup document fetch; serving is
+    * the ids-only tags membership frame (IndexReader.termsSetDf).
+    */
+  def termsLookup(spark: SparkSession, sfDir: String, lookupId: Long): DataFrame = {
+    import spark.implicits._
+    val tags = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") === lookupId)
+      .select(concat_ws(" ", col("lang"), col("source"))).as[String].collect()
+    require(tags.nonEmpty, s"terms-lookup document $lookupId not found")
+    val terms = graft.tokenize.CodeTokenizer.tokenize(tags.head).distinct.toSeq
+    tagsReader(spark, sfDir).termsSetDf(terms)
+      .join(docIdMapOf(spark, tagsIndexDir(spark, sfDir)), Seq("docId"))
+      .select(col("doc_id"), col("n_matched"))
+      .orderBy("doc_id")
+  }
+
+  /** ES `function_score` `random_score` with a seed (deterministic random
+    * sampling of a match set): every doc matching the filter gets a seeded
+    * uniform pseudo-score. PINNED HASH v1 = one MINSTD LCG step,
+    * r = ((doc_id · 48271 + seed) mod 2147483647) / 2147483647 — integer
+    * arithmetic both engines evaluate bit-identically (ES hashes with
+    * murmur3 instead; same contract — deterministic, uniform, seed-stable —
+    * documented divergence). Filter context only, like ES's typical
+    * random-sampling use; output (doc_id, score) under (score desc,
+    * doc_id) with the 6-dp protocol rounding. TWO LCG steps, not one: a
+    * single step makes the seed a pure additive shift (every r moves by the
+    * same constant — the order never changes); the second multiplication
+    * disperses the shift, so a different seed genuinely re-orders
+    * (sbt-gated).
+    */
+  def randomScore(spark: SparkSession, sfDir: String, filter: Seq[String],
+      seed: Long, k: Int): DataFrame = {
+    require(seed >= 0L, s"seed must be non-negative, got $seed")
+    val ids = reader(spark, sfDir).constantScoreDf(filter).select("docId")
+    val m = lit(2147483647L)
+    val r = ((((col("doc_id") + lit(seed)) * lit(48271L)) % m) * lit(48271L) % m)
+      .cast("double") / lit(2147483647.0)
+    val out = ids.join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("doc_id"), round(r, 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+    if (k > 0) out.limit(k) else out
+  }
+
   /** ES `sampler` agg wrapping `significant_terms` over the text index
     * (see IndexReader.samplerSignificantTermsDf): foreground = the top
     * `sampleSize` hits under the protocol order. Score column carries its

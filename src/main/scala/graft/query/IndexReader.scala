@@ -1330,6 +1330,64 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   /** (term, firstDocId, count, docDeltas) blocks of an explicit term list,
     * tbucket-pruned — membership scans never read payload columns.
     */
+  /** ES `terms` query membership — the serving frame of the TERMS-LOOKUP
+    * form (terms fetched from another document's field): every doc
+    * containing AT LEAST ONE of the given terms, with `n_matched` = how
+    * many distinct ones hit (ES scores a terms query constant per match —
+    * the count is the richer superset both forms cut from). Ids-only
+    * postings scan of exactly these terms, one groupBy(docId) exchange —
+    * the B17/B20 membership tail over an explicit list.
+    */
+  def termsSetDf(terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "terms query needs at least one term")
+    val norm = terms.map(singleTerm(_, "terms query term")).distinct
+    membershipCounts(idScanWithTerm(norm)).withColumnRenamed("n_terms", "n_matched")
+  }
+
+  /** ES `_explain` in batch form — the score breakdown the explain API
+    * returns per hit, here one frame for the top-k protocol hits: a row per
+    * (doc, present query term) carrying tf, dl, and the term's BM25
+    * contribution (idf × tfNorm — the LEAVES of ES's explanation tree;
+    * their term-sorted sum is the hit's score, the pinned fold). Absent
+    * terms contribute no row, exactly like Lucene's sub-explanations.
+    *
+    * Plan: the top-k cut is ONE TakeOrderedAndProject over the rank-all
+    * frame; the breakdown re-reads ONLY the query terms' postings joined to
+    * that bounded id set (broadcastable) — explain costs one extra bounded
+    * join, never a second corpus pass.
+    */
+  def explainDf(query: String, k: Int): DataFrame = {
+    require(k > 0, "explain needs k > 0")
+    import spark.implicits._
+    val terms = analyze(query)
+    val metas = termMeta(terms)
+    if (metas.isEmpty)
+      return spark.emptyDataset[(Long, String, Long, Long, Double)]
+        .toDF("docId", "term", "tf", "dl", "contrib")
+    val topIds = scoreAllDf(query)
+      .select(col("docId"), round(col("score"), 6).as("s"))
+      .orderBy(desc("s"), asc("docId")).limit(k)
+      .select("docId")
+    val idfs = metas.toSeq.map { case (t, m) => (t, m.idf) }.toDF("term", "idf")
+    val pp = p
+    val avgDl = stats.avgDl
+    postingsFor(metas.keys.toSeq.sorted)
+      .flatMap { b =>
+        val ids = PostingsCodec.decodeDocIds(b.firstDocId, b.count, b.docDeltas)
+        val tfs = PostingsCodec.decodeTfs(b.count, b.tfs)
+        val dls = PostingsCodec.decodeDls(b.count, b.dls)
+        Iterator.tabulate(b.count)(i => (ids(i), b.term, tfs(i).toLong, dls(i).toLong))
+      }
+      .toDF("docId", "term", "tf", "dl")
+      .join(topIds, Seq("docId"))
+      .join(broadcast(idfs), Seq("term"))
+      .select(col("docId"), col("term"), col("tf"), col("dl"),
+        round(col("idf") * (col("tf") / (col("tf")
+          + lit(pp.k1) * (lit(1.0 - pp.b) + lit(pp.b) * col("dl") / lit(avgDl)))), 6)
+          .as("contrib"))
+      .orderBy("docId", "term")
+  }
+
   /** ES `percolate` — the REVERSE search: a registry of STORED queries, and
     * documents are matched against all of them at once (here the
     * "percolate existing documents" API form: every indexed doc tested

@@ -352,4 +352,83 @@ class SigCollapseSpec extends SparkSpec with BeforeAndAfterAll {
     intercept[IllegalArgumentException](
       DocumentsIndex.samplerSigTerms(spark, sfDir, query, 0, 10))
   }
+
+  test("explain == brute per-(doc, term) BM25 leaves over the protocol top-k; leaves sum to the hit score") {
+    assume(haveData, s"$sfDir not mounted")
+    import graft.query.Bm25
+    val query = "hash join"
+    val seqs: Map[Long, Array[String]] = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> CodeTokenizer.tokenize(t) }.toMap
+    val n = seqs.size.toLong
+    val avgdl = seqs.valuesIterator.map(_.length.toLong).sum.toDouble / n
+    def dfOf(t: String): Long = seqs.valuesIterator.count(_.contains(t)).toLong
+    val qTerms = Seq("hash", "join")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("docId"), col("text").as("content"))
+      .as[ExhaustiveScorer.OracleDoc]
+    val prep = ExhaustiveScorer.prepare(spark, docs)
+    val top = prep.topK(query, seqs.size + 1)
+      .map(h => (h.docId, round6(h.score)))
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    val want = (for {
+      (id, _) <- top
+      t <- qTerms
+      ts = seqs(id)
+      tf = ts.count(_ == t).toLong
+      if tf > 0
+    } yield {
+      val dl = ts.length.toLong
+      (id, t, tf, dl,
+        round6(Bm25.idf(n, dfOf(t)) * Bm25.tfNorm(tf, dl, avgdl, Bm25.Default)))
+    }).toSeq.sortBy { case (id, t, _, _, _) => (id, t) }
+    val got = DocumentsIndex.explain(spark, sfDir, query, 10)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(got == want, s"explain:\n  got  $got\n  want $want")
+    // the leaves must SUM (unrounded, term order) to each hit's score
+    val scoreOf = top.toMap
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      val s = rows.sortBy(_._2).map { case (_, t, tf, dl, _) =>
+        Bm25.idf(n, dfOf(t)) * Bm25.tfNorm(tf, dl, avgdl, Bm25.Default) }.sum
+      assert(math.abs(round6(s) - scoreOf(id)) <= 1e-6,
+        s"leaves of doc $id sum to $s, hit score ${scoreOf(id)}")
+    }
+    intercept[IllegalArgumentException](DocumentsIndex.explain(spark, sfDir, query, 0))
+  }
+
+  test("terms lookup == brute shared-tag membership; random_score == pinned MINSTD hash order") {
+    assume(haveData, s"$sfDir not mounted")
+    val meta = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "source").as[(Long, String, String)].collect()
+    val (_, l42, s42) = meta.find(_._1 == 42L).get
+    val lkTerms = Set(l42, s42)
+    val wantLk = meta.flatMap { case (id, l, s) =>
+      val m = Seq(l, s).distinct.count(lkTerms.contains)
+      if (m > 0) Some((id, m.toLong)) else None
+    }.sortBy(_._1).toSeq
+    val gotLk = DocumentsIndex.termsLookup(spark, sfDir, 42L)
+      .as[(Long, Long)].collect().toSeq
+    assert(gotLk == wantLk, "terms lookup")
+    assert(wantLk.exists(_._2 == 2L) && wantLk.exists(_._2 == 1L),
+      "lookup fixture vacuous — need both 1- and 2-tag matches")
+    intercept[IllegalArgumentException](DocumentsIndex.termsLookup(spark, sfDir, -1L))
+    // random_score: seeded MINSTD over the 'vector' membership set
+    val members = docTok.filter(_._3.contains("vector")).map(_._1)
+    def minstd2(id: Long, seed: Long): Double =
+      ((((id + seed) * 48271L) % 2147483647L) * 48271L % 2147483647L).toDouble / 2147483647.0
+    val wantR = members.map(id => (id, round6(minstd2(id, 7L))))
+      .sortBy { case (id, r) => (-r, id) }.take(20)
+    val gotR = DocumentsIndex.randomScore(spark, sfDir, Seq("vector"), 7L, 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotR == wantR, s"random_score:\n  got  $gotR\n  want $wantR")
+    // determinism: same seed twice is identical; a different seed re-orders
+    val again = DocumentsIndex.randomScore(spark, sfDir, Seq("vector"), 7L, 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(again == gotR, "random_score must be seed-deterministic")
+    val other = DocumentsIndex.randomScore(spark, sfDir, Seq("vector"), 8L, 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(other.map(_._1) != gotR.map(_._1), "different seed must re-order")
+    intercept[IllegalArgumentException](
+      DocumentsIndex.randomScore(spark, sfDir, Seq("vector"), -1L, 20))
+  }
 }
