@@ -390,6 +390,17 @@ object SparkEntry {
     // the 'vector' filter set: pinned MINSTD hash, top-20.
     "b66_random_score" -> ((s, d) =>
       DocumentsIndex.randomScore(s, d, Seq("vector"), 7L, 20)),
+    // ES rank_feature (saturation): static-relevance score dl/(dl+pivot)
+    // off the registry doc value — one scan, one codegen'd projection.
+    "b67_rank_feature" -> ((s, d) => DocumentsIndex.rankFeature(s, d, 64.0, 20)),
+    // ES distance_feature (geo): proximity score pivot/(pivot + km) over
+    // the 4-dp protocol haversine from (10N, 20E).
+    "b68_distance_feature" -> ((s, d) =>
+      DocumentsIndex.distanceFeature(s, d, 10.0, 20.0, 500.0, 20)),
+    // ES pinned query: curated ids (one unknown, silently dropped) above
+    // the organic 'hash join' ranking.
+    "b69_pinned" -> ((s, d) =>
+      DocumentsIndex.pinnedQuery(s, d, "hash join", Seq(42L, 7L, 99999L), 20)),
     // ES geo_distance aggregation: ring buckets from (10N, 20E) over the
     // 4-dp protocol distance, ES's "*-2000.0" key style, empty rings kept
     // at count 0 (ES returns every requested range).
@@ -1075,6 +1086,42 @@ object SparkEntry {
          |SELECT doc_id,
          |       round(cast(((doc_id + 7) * 48271 % 2147483647) * 48271 % 2147483647 AS double) / 2147483647.0, 6) AS score
          |FROM m ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // rank-feature twin: dl recomputed from raw text, identical saturation
+    "b67_rank_feature" ->
+      s"""WITH $TokCte,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1)
+         |SELECT doc_id, round(dl / (dl + 64.0), 6) AS score FROM dl
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // distance-feature twin: b23's protocol distance inside the identical
+    // pivot/(pivot + km) saturation
+    "b68_distance_feature" ->
+      """WITH pts AS (
+        |  SELECT doc_id,
+        |         (doc_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+        |         (doc_id * 73 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |         round(2 * 6371.0 * asin(sqrt(
+        |           pow(sin(radians(lat - 10.0) / 2), 2) +
+        |           cos(radians(10.0)) * cos(radians(lat)) *
+        |           pow(sin(radians(lon - 20.0) / 2), 2))), 4) AS km
+        |  FROM pts)
+        |SELECT doc_id, round(500.0 / (500.0 + km), 6) AS score FROM d
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // pinned twin: VALUES ids (unknown one dropped by the existence check)
+    // above the anti-filtered organic protocol ranking
+    "b69_pinned" ->
+      s"""WITH ${bm25Ctes(Seq("hash", "join"))},
+         |pin AS (
+         |  SELECT cast(t.doc_id AS bigint) AS doc_id, t.score
+         |  FROM (VALUES (42, 1000000000.0), (7, 999999999.0), (99999, 999999998.0)) t(doc_id, score)
+         |  WHERE t.doc_id IN (SELECT doc_id FROM documents)),
+         |org AS (
+         |  SELECT doc_id, round(score, 6) AS score FROM sc
+         |  WHERE doc_id NOT IN (42, 7, 99999))
+         |SELECT doc_id, score FROM (SELECT * FROM pin UNION ALL SELECT * FROM org)
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // geo-distance-agg twin: identical haversine + 4-dp protocol, CASE
     // rings, zero-count rings kept through the VALUES frame
     "a35_geo_distance_agg" ->

@@ -591,6 +591,83 @@ object DocumentsIndex {
       .select(col("doc_id"), col("min_gap").cast("long").as("min_gap"))
       .orderBy("doc_id")
 
+  /** ES `rank_feature` query with the SATURATION function (the default):
+    * score = boost · x/(x + pivot) over a numeric doc value — the static-
+    * relevance signal query (pagerank/url_length shapes). Feature here =
+    * the registry's dl doc value; pivot explicit (ES defaults to an
+    * approximate geometric mean — pinned away, the twin needs a shared
+    * constant); boost pinned v1 = 1. The log/sigmoid variants are the same
+    * one-projection plan with a different expression — unbuilt until a row
+    * needs them. Standalone form (rank every doc by the feature), like ES's
+    * rank_feature-only query; x/(x+pivot) is monotone in x so the ranking
+    * IS the dl ranking, but the SCORES are what a bool SHOULD would add.
+    * Plan: ONE registry scan (ReadSchema (docId, dl)) + a codegen'd
+    * projection — no postings, no documents.
+    */
+  def rankFeature(spark: SparkSession, sfDir: String, pivot: Double,
+      k: Int): DataFrame = {
+    require(pivot > 0.0, s"rank_feature pivot must be positive, got $pivot")
+    val idx = indexDir(spark, sfDir)
+    val dl = DeltaIndex.segmentDirs(spark, idx)
+      .map(seg => Tables.read(spark, seg, InvertedIndex.DocsTable)
+        .select(col("docId"), col("dl")))
+      .reduce(_ unionByName _)
+    val out = dl.join(docIdMapOf(spark, idx), Seq("docId"))
+      .select(col("doc_id"),
+        round(col("dl") / (col("dl") + lit(pivot)), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+    if (k > 0) out.limit(k) else out
+  }
+
+  /** ES `distance_feature` query (geo form): score = boost · pivot/(pivot +
+    * distance) — proximity as a relevance signal. Distance = the b23
+    * 4-dp-rounded protocol haversine from the origin (the float protocol
+    * reused INSIDE a score, so both engines divide identical doubles);
+    * boost pinned v1 = 1. Plan: the derived-coords projection + two
+    * codegen'd expressions over the documents scan — no trig protocol
+    * beyond b23's, no exchange beyond TakeOrderedAndProject.
+    */
+  def distanceFeature(spark: SparkSession, sfDir: String, lat0: Double,
+      lon0: Double, pivotKm: Double, k: Int): DataFrame = {
+    require(pivotKm > 0.0, s"distance_feature pivot must be positive, got $pivotKm")
+    val (lat, lon) = graft.ops.GeoOps.derivedCoords(col("doc_id"))
+    val pts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), lat.as("lat"), lon.as("lon"))
+    val dist = round(graft.ops.GeoOps.haversineKm(col("lat"), col("lon"), lat0, lon0), 4)
+    val out = pts
+      .select(col("doc_id"),
+        round(lit(pivotKm) / (lit(pivotKm) + dist), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+    if (k > 0) out.limit(k) else out
+  }
+
+  /** ES `pinned` query: curated ids surface FIRST, in their given order,
+    * above the organic ranking (ES retrieves pinned docs by id whether or
+    * not they match the organic query, and excludes them from the organic
+    * list). PINNED SCORE v1 = 10⁹ − position (exact in doubles for any
+    * realistic pin list; ES's float-max trick collapses to ties in double
+    * arithmetic — documented divergence, same ordering contract). Organic =
+    * the protocol BM25 ranking minus the pinned set. Plan: the pinned side
+    * is a BROADCAST id-list join against the registry (existence check —
+    * ES drops unknown ids silently; so do we); the organic side is the
+    * unchanged rank-all plan with an anti-filter on the tiny id list.
+    */
+  def pinnedQuery(spark: SparkSession, sfDir: String, query: String,
+      pinnedIds: Seq[Long], k: Int): DataFrame = {
+    import spark.implicits._
+    require(pinnedIds.nonEmpty, "pinned query needs at least one pinned id")
+    require(pinnedIds.distinct.size == pinnedIds.size, "pinned ids must be unique")
+    val idx = indexDir(spark, sfDir)
+    val pinScores = pinnedIds.zipWithIndex
+      .map { case (id, i) => (id, 1e9 - i) }.toDF("doc_id", "score")
+    val pinned = docIdMapOf(spark, idx).select(col("doc_id"))
+      .join(broadcast(pinScores), Seq("doc_id")) // existence check
+    val organic = rankedByDocId(spark, reader(spark, sfDir).scoreAllDf(query), idx)
+      .where(!col("doc_id").isin(pinnedIds: _*))
+    val out = pinned.unionByName(organic).orderBy(desc("score"), asc("doc_id"))
+    if (k > 0) out.limit(k) else out
+  }
+
   /** ES `_explain` (batch form) over the text index — per-(doc, term) BM25
     * contribution rows for the top-k protocol hits, keyed by doc_id (see
     * IndexReader.explainDf). The contrib column carries its own 6-dp

@@ -431,4 +431,67 @@ class SigCollapseSpec extends SparkSpec with BeforeAndAfterAll {
     intercept[IllegalArgumentException](
       DocumentsIndex.randomScore(spark, sfDir, Seq("vector"), -1L, 20))
   }
+
+  test("rank_feature/distance_feature == brute saturation; pinned == curated-then-organic with unknown ids dropped") {
+    assume(haveData, s"$sfDir not mounted")
+    // rank_feature: dl/(dl + pivot) off the doc value
+    val wantRf = docTok.map { case (id, _, _, dl) =>
+      (id, round6(dl / (dl + 64.0))) }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    val gotRf = DocumentsIndex.rankFeature(spark, sfDir, 64.0, 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotRf == wantRf, s"rank_feature:\n  got  $gotRf\n  want $wantRf")
+    intercept[IllegalArgumentException](DocumentsIndex.rankFeature(spark, sfDir, 0.0, 20))
+    // distance_feature: pivot/(pivot + protocol km) from (10, 20)
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def km(id: Long): Double = {
+      val la = (id * 37 % 18000) / 100.0 - 90.0
+      val lo = (id * 73 % 36000) / 100.0 - 180.0
+      round4(2 * 6371.0 * math.asin(math.sqrt(
+        math.pow(math.sin(math.toRadians(la - 10.0) / 2), 2) +
+          math.cos(math.toRadians(10.0)) * math.cos(math.toRadians(la)) *
+            math.pow(math.sin(math.toRadians(lo - 20.0) / 2), 2))))
+    }
+    val wantDf = docTok.map { case (id, _, _, _) =>
+      (id, round6(500.0 / (500.0 + km(id)))) }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    val gotDf = DocumentsIndex.distanceFeature(spark, sfDir, 10.0, 20.0, 500.0, 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotDf == wantDf, s"distance_feature:\n  got  $gotDf\n  want $wantDf")
+    intercept[IllegalArgumentException](
+      DocumentsIndex.distanceFeature(spark, sfDir, 10.0, 20.0, 0.0, 20))
+    // pinned: curated order above organic, unknown id silently dropped,
+    // pinned docs excluded from the organic tail
+    val query = "hash join"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").as("docId"), col("text").as("content"))
+      .as[ExhaustiveScorer.OracleDoc]
+    val prep = ExhaustiveScorer.prepare(spark, docs)
+    val pins = Seq(42L, 7L, 99999L)
+    val organic = prep.topK(query, docTok.size + 1)
+      .map(h => (h.docId, round6(h.score)))
+      .filter(h => !pins.contains(h._1))
+      .sortBy { case (id, s) => (-s, id) }
+    val existing = docTok.map(_._1).toSet
+    val wantPin = pins.zipWithIndex.collect {
+      case (id, i) if existing(id) => (id, 1e9 - i) } ++ organic
+    val gotPin = DocumentsIndex.pinnedQuery(spark, sfDir, query, pins, 20)
+      .as[(Long, Double)].collect().toSeq
+    assert(gotPin == wantPin.take(20), s"pinned:\n  got  $gotPin\n  want ${wantPin.take(20)}")
+    assert(gotPin.take(2).map(_._1) == Seq(42L, 7L), "pinned ids must lead in order")
+    assert(!gotPin.drop(2).exists(p => pins.contains(p._1)),
+      "pinned docs leaked into the organic tail")
+    // a pinned doc that does NOT match the organic query still surfaces
+    val noMatchPin = docTok.find(d => !d._3.contains("hash") && !d._3.contains("join")).map(_._1)
+    assume(noMatchPin.nonEmpty, "corpus saturated — no non-matching doc")
+    val lead = DocumentsIndex.pinnedQuery(spark, sfDir, query, Seq(noMatchPin.get), 5)
+      .as[(Long, Double)].collect().head
+    assert(lead._1 == noMatchPin.get && lead._2 == 1e9,
+      "non-matching pinned doc must still surface first")
+    intercept[IllegalArgumentException](
+      DocumentsIndex.pinnedQuery(spark, sfDir, query, Seq(1L, 1L), 5))
+    intercept[IllegalArgumentException](
+      DocumentsIndex.pinnedQuery(spark, sfDir, query, Nil, 5))
+  }
 }
