@@ -390,6 +390,17 @@ object SparkEntry {
     // the 'vector' filter set: pinned MINSTD hash, top-20.
     "b66_random_score" -> ((s, d) =>
       DocumentsIndex.randomScore(s, d, Seq("vector"), 7L, 20)),
+    // ES _msearch: three queries through ONE batch WAND job (the scaling
+    // headline path, surfaced as a contract row).
+    "b70_msearch" -> ((s, d) => DocumentsIndex.msearch(s, d,
+      Seq("spark join", "window merge batch vector", "hash table"), 10)),
+    // ES top_metrics agg: per event_type bucket, the value at the latest
+    // timestamp (sort: ts desc, size 1) — ts is unique in this table, so
+    // the top row is well-defined in both engines.
+    "a36_top_metrics" -> ((s, d) =>
+      tbl(s, d, "events").groupBy("event_type")
+        .agg(max(col("ts")).as("top_ts"), max_by(col("value"), col("ts")).as("top_value"))
+        .orderBy("event_type")),
     // ES rank_feature (saturation): static-relevance score dl/(dl+pivot)
     // off the registry doc value — one scan, one codegen'd projection.
     "b67_rank_feature" -> ((s, d) => DocumentsIndex.rankFeature(s, d, 64.0, 20)),
@@ -1086,6 +1097,39 @@ object SparkEntry {
          |SELECT doc_id,
          |       round(cast(((doc_id + 7) * 48271 % 2147483647) * 48271 % 2147483647 AS double) / 2147483647.0, 6) AS score
          |FROM m ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // msearch twin: shared tokenization/stat CTEs, one protocol-cut page
+    // per query, pages unioned under (query_id, score desc, doc_id)
+    "b70_msearch" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |s0 AS (SELECT 0 AS query_id, doc_id, round(score, 6) AS score FROM (
+         |  SELECT tf.doc_id, sum(ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+         |         * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
+         |  WHERE tf.term IN ('join', 'spark') GROUP BY tf.doc_id)
+         |  ORDER BY round(score, 6) DESC, doc_id LIMIT 10),
+         |s1 AS (SELECT 1 AS query_id, doc_id, round(score, 6) AS score FROM (
+         |  SELECT tf.doc_id, sum(ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+         |         * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
+         |  WHERE tf.term IN ('batch', 'merge', 'vector', 'window') GROUP BY tf.doc_id)
+         |  ORDER BY round(score, 6) DESC, doc_id LIMIT 10),
+         |s2 AS (SELECT 2 AS query_id, doc_id, round(score, 6) AS score FROM (
+         |  SELECT tf.doc_id, sum(ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+         |         * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
+         |  WHERE tf.term IN ('hash', 'table') GROUP BY tf.doc_id)
+         |  ORDER BY round(score, 6) DESC, doc_id LIMIT 10)
+         |SELECT query_id, doc_id, score FROM (
+         |  SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+         |ORDER BY query_id, score DESC, doc_id""".stripMargin,
+    // top_metrics twin: latest-timestamp metric per bucket (ts unique)
+    "a36_top_metrics" ->
+      """SELECT event_type, max(ts) AS top_ts, max_by(value, ts) AS top_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // rank-feature twin: dl recomputed from raw text, identical saturation
     "b67_rank_feature" ->
       s"""WITH $TokCte,

@@ -591,6 +591,31 @@ object DocumentsIndex {
       .select(col("doc_id"), col("min_gap").cast("long").as("min_gap"))
       .orderBy("doc_id")
 
+  /** ES `_msearch` (the multi-search API): N queries answered by ONE
+    * distributed job — `IndexReader.searchBmwBatch` shares a single
+    * postings scan of the union of all queries' terms, runs every query's
+    * Block-Max WAND per bucket, and merges shards distributed; the hit
+    * pages (N × k rows) land driver-side exactly like ES's coordinator
+    * response, and serving is a LocalRelation join to the registry (the
+    * b25-style one-job page shape). Output (query_id, doc_id, score) under
+    * the protocol order per query. This is the headline batch path the
+    * scaling evidence runs on, surfaced as a contract row.
+    */
+  def msearch(spark: SparkSession, sfDir: String, queries: Seq[String],
+      k: Int): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty, "msearch needs at least one query")
+    require(k > 0, "msearch needs k > 0")
+    val hits = reader(spark, sfDir).searchBmwBatch(queries, k)
+    val rows = queries.zipWithIndex.flatMap { case (q, qi) =>
+      hits(q).map(h => (qi, h.docId, h.score))
+    }
+    rows.toDF("query_id", "docId", "score")
+      .join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("query_id"), col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), desc("score"), col("doc_id"))
+  }
+
   /** ES `rank_feature` query with the SATURATION function (the default):
     * score = boost · x/(x + pivot) over a numeric doc value — the static-
     * relevance signal query (pagerank/url_length shapes). Feature here =

@@ -432,6 +432,30 @@ class SigCollapseSpec extends SparkSpec with BeforeAndAfterAll {
       DocumentsIndex.randomScore(spark, sfDir, Seq("vector"), -1L, 20))
   }
 
+  test("msearch pages == the per-query bm25 pages; top_metrics == latest-ts metric per bucket") {
+    assume(haveData, s"$sfDir not mounted")
+    val queries = Seq("spark join", "window merge batch vector", "hash table")
+    val got = DocumentsIndex.msearch(spark, sfDir, queries, 10)
+      .as[(Int, Long, Double)].collect().toSeq
+    val want = queries.zipWithIndex.flatMap { case (q, qi) =>
+      DocumentsIndex.bm25(spark, sfDir, q, 10)
+        .as[(Long, Double)].collect().map(h => (qi, h._1, h._2))
+    }
+    assert(got == want, s"msearch:\n  got  $got\n  want $want")
+    assert(got.map(_._1).distinct == Seq(0, 1, 2), "a query's page went missing")
+    intercept[IllegalArgumentException](DocumentsIndex.msearch(spark, sfDir, Nil, 10))
+    intercept[IllegalArgumentException](DocumentsIndex.msearch(spark, sfDir, queries, 0))
+    // top_metrics: the metric at the latest timestamp, per bucket
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_type", "ts", "value")
+      .as[(String, java.sql.Timestamp, Double)].collect()
+    val wantTm = ev.groupBy(_._1).map { case (t, xs) =>
+      val m = xs.maxBy(_._2.getTime); (t, m._2, m._3) }.toSeq.sortBy(_._1)
+    val gotTm = SparkEntry.queries("a36_top_metrics")(spark, sfDir)
+      .as[(String, java.sql.Timestamp, Double)].collect().toSeq
+    assert(gotTm == wantTm, s"top_metrics:\n  got  $gotTm\n  want $wantTm")
+  }
+
   test("rank_feature/distance_feature == brute saturation; pinned == curated-then-organic with unknown ids dropped") {
     assume(haveData, s"$sfDir not mounted")
     // rank_feature: dl/(dl + pivot) off the doc value
