@@ -390,6 +390,10 @@ object SparkEntry {
     // the 'vector' filter set: pinned MINSTD hash, top-20.
     "b66_random_score" -> ((s, d) =>
       DocumentsIndex.randomScore(s, d, Seq("vector"), 7L, 20)),
+    // Lucene span_not: 'hash' occurrences with no 'join' within one token
+    // either side (kills the "hash join" phrase contexts), count form.
+    "b71_span_not" -> ((s, d) =>
+      DocumentsIndex.spanNotMatch(s, d, "hash", "join", pre = 1, post = 1)),
     // ES _msearch: three queries through ONE batch WAND job (the scaling
     // headline path, surfaced as a contract row).
     "b70_msearch" -> ((s, d) => DocumentsIndex.msearch(s, d,
@@ -1097,6 +1101,22 @@ object SparkEntry {
          |SELECT doc_id,
          |       round(cast(((doc_id + 7) * 48271 % 2147483647) * 48271 % 2147483647 AS double) / 2147483647.0, 6) AS score
          |FROM m ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // span_not twin: include positions clear of any exclude position in
+    // the inclusive [p-1, p+1] window, 0-based positional tokenization
+    "b71_span_not" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS a
+        |  FROM documents),
+        |t0 AS (SELECT doc_id, unnest(a) AS term0, unnest(range(0, len(a))) AS pos FROM arr),
+        |toks AS (SELECT doc_id, substr(term0, 1, 64) AS term, pos FROM t0),
+        |ip AS (SELECT doc_id, pos FROM toks WHERE term = 'hash'),
+        |ep AS (SELECT doc_id, pos FROM toks WHERE term = 'join')
+        |SELECT ip.doc_id, count(*) AS n_spans FROM ip
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM ep WHERE ep.doc_id = ip.doc_id
+        |    AND ep.pos BETWEEN ip.pos - 1 AND ip.pos + 1)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // msearch twin: shared tokenization/stat CTEs, one protocol-cut page
     // per query, pages unioned under (query_id, score desc, doc_id)
     "b70_msearch" ->

@@ -772,6 +772,17 @@ object DocumentsIndex {
       .select(col("doc_id"), col("query"))
       .orderBy("doc_id", "query")
 
+  /** ES `span_not` over the text index (include occurrences clear of any
+    * exclude occurrence within the pre/post window), keyed by doc_id —
+    * integer-exact surviving-span counts, no float protocol.
+    */
+  def spanNotMatch(spark: SparkSession, sfDir: String, include: String,
+      exclude: String, pre: Int, post: Int): DataFrame =
+    reader(spark, sfDir).matchSpanNotDf(include, exclude, pre, post)
+      .join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("doc_id"), col("n_spans").cast("long").as("n_spans"))
+      .orderBy("doc_id")
+
   /** ES `span_first` over the text index (term within the first `end`
     * token slots), keyed by doc_id — integer-exact first position, no
     * float protocol.

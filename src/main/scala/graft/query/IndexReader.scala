@@ -1547,6 +1547,32 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       .toDF("docId", "min_gap")
   }
 
+  /** Lucene `SpanNotQuery` (ES `span_not`, pinned v1 = term spans): include
+    * occurrences with NO exclude occurrence inside [p − pre, p + post]
+    * (inclusive — ES's pre/post token slack). Output (docId, n_spans) =
+    * surviving-occurrence counts, integer-exact. An ABSENT exclude term
+    * degrades to the plain positional term count (the exclude side never
+    * gates — sbt-gated); include == exclude is rejected (every occurrence
+    * excludes itself at any pre/post ≥ 0 — always empty, a shape error).
+    * Plan: the b16-family positional scan of BOTH terms' blocks, the walk
+    * bucket-local (PhraseMatcher.spanNotBucket), one groupBy(bucket)
+    * exchange — exclude positions decode only at candidate docs.
+    */
+  def matchSpanNotDf(include: String, exclude: String, pre: Int, post: Int): DataFrame = {
+    import spark.implicits._
+    requirePositions("span_not")
+    require(pre >= 0 && post >= 0, s"pre/post must be >= 0, got ($pre, $post)")
+    val inc = singleTerm(include, "span_not include")
+    val exc = singleTerm(exclude, "span_not exclude")
+    require(inc != exc, "span_not include == exclude always matches nothing")
+    val (prN, poN) = (pre, post)
+    val (incB, excB) = (inc, exc)
+    bucketedBlocks[(Long, Int)](Seq(inc, exc), withPositions = true) { (lo, hi, byTerm) =>
+      PhraseMatcher.spanNotBucket(byTerm, incB, excB, prN, poN, lo, hi)
+    }
+      .toDF("docId", "n_spans")
+  }
+
   /** Lucene `SpanFirstQuery` (ES `span_first`): the term must occur within
     * the first `end` token slots — a span [p, p+1) matches when p + 1 ≤ end,
     * i.e. p < end over the 0-based positions. Output (docId, first_pos)

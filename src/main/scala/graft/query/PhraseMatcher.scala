@@ -282,6 +282,53 @@ object PhraseMatcher {
     out.iterator
   }
 
+  /** Lucene `SpanNotQuery` walk for one bucket: include-term occurrences
+    * that have NO exclude-term occurrence within [p − pre, p + post]
+    * (inclusive window). Drives the include view's postings; the exclude
+    * view is probed per candidate doc only (a doc with no exclude
+    * occurrence keeps every include position — the asymmetric economics of
+    * span_not: the exclude side never gates the scan). Returns
+    * (docId, surviving-span count), docs with zero survivors omitted.
+    */
+  def spanNotBucket(termBlocks: Map[String, Array[PostingBlock]], include: String,
+      exclude: String, pre: Int, post: Int, lo: Long, hi: Long): Iterator[(Long, Int)] = {
+    val ivOpt = termBlocks.get(include).map(new PostingsView(_))
+    if (ivOpt.isEmpty) return Iterator.empty
+    val iv = ivOpt.get
+    val ev = termBlocks.get(exclude).map(new PostingsView(_))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var bi = 0
+    while (bi < iv.ids.length) {
+      val idArr = iv.ids(bi)
+      var i = 0
+      while (i < idArr.length) {
+        val d = idArr(i)
+        if (d >= lo && d < hi) {
+          val ip = iv.positionsOf(bi, i)
+          val h = ev.map(_.find(d)).orNull
+          if (h == null) {
+            out += ((d, ip.length)) // no exclude occurrences: all survive
+          } else {
+            val ep = ev.get.positionsOf(h._1, h._2)
+            var cnt = 0
+            var e = 0
+            var pi = 0
+            while (pi < ip.length) {
+              val p = ip(pi)
+              while (e < ep.length && ep(e) < p - pre) e += 1
+              if (e >= ep.length || ep(e) > p + post) cnt += 1
+              pi += 1
+            }
+            if (cnt > 0) out += ((d, cnt))
+          }
+        }
+        i += 1
+      }
+      bi += 1
+    }
+    out.iterator
+  }
+
   def matchBucket(termBlocks: Map[String, Array[PostingBlock]], tokens: Array[String],
       lo: Long, hi: Long, slop: Int = 0): Array[(Long, Int)] = {
     require(slop >= 0, s"slop must be >= 0, got $slop")

@@ -432,6 +432,43 @@ class SigCollapseSpec extends SparkSpec with BeforeAndAfterAll {
       DocumentsIndex.randomScore(spark, sfDir, Seq("vector"), -1L, 20))
   }
 
+  test("span_not == brute windowed exclusion; absent exclude degrades to the plain term count") {
+    assume(haveData, s"$sfDir not mounted")
+    val seqs: Map[Long, Array[String]] = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> CodeTokenizer.tokenize(t) }.toMap
+    def brute(inc: String, exc: String, pre: Int, post: Int): Seq[(Long, Long)] =
+      seqs.iterator.flatMap { case (id, ts) =>
+        val ips = ts.indices.filter(i => ts(i) == inc)
+        val eps = ts.indices.filter(i => ts(i) == exc)
+        val cnt = ips.count(p => !eps.exists(q => q >= p - pre && q <= p + post))
+        if (cnt > 0) Some((id, cnt.toLong)) else None
+      }.toSeq.sortBy(_._1)
+    for ((pre, post) <- Seq((0, 0), (1, 1), (2, 0), (0, 3))) {
+      val want = brute("hash", "join", pre, post)
+      val got = DocumentsIndex.spanNotMatch(spark, sfDir, "hash", "join", pre, post)
+        .as[(Long, Long)].collect().toSeq
+      assert(got == want, s"span_not(pre=$pre, post=$post)")
+      assert(want.nonEmpty, s"span_not fixture vacuous at ($pre, $post)")
+    }
+    // the exclusion must be REAL at the driver params: fewer surviving
+    // spans than raw occurrences for at least one doc
+    val raw = seqs.map { case (id, ts) => id -> ts.count(_ == "hash").toLong }
+    val got11 = DocumentsIndex.spanNotMatch(spark, sfDir, "hash", "join", 1, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(seqs.keys.exists(id => raw(id) > 0 && got11.getOrElse(id, 0L) < raw(id)),
+      "no occurrence was ever excluded — fixture vacuous")
+    // absent exclude term: every include occurrence survives
+    val plain = raw.filter(_._2 > 0).toSeq.sortBy(_._1)
+    val gotAbs = DocumentsIndex.spanNotMatch(spark, sfDir, "hash", "qqqzzznotfound", 1, 1)
+      .as[(Long, Long)].collect().toSeq
+    assert(gotAbs == plain, "absent exclude must degrade to the plain term count")
+    intercept[IllegalArgumentException](
+      DocumentsIndex.spanNotMatch(spark, sfDir, "hash", "hash", 1, 1))
+    intercept[IllegalArgumentException](
+      DocumentsIndex.spanNotMatch(spark, sfDir, "hash", "join", -1, 0))
+  }
+
   test("msearch pages == the per-query bm25 pages; top_metrics == latest-ts metric per bucket") {
     assume(haveData, s"$sfDir not mounted")
     val queries = Seq("spark join", "window merge batch vector", "hash table")
