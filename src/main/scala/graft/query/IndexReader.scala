@@ -934,23 +934,47 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   def filtersAggDf(filters: Seq[(String, Seq[String])]): DataFrame = {
     require(filters.nonEmpty, "filters agg needs at least one named filter")
     import spark.implicits._
-    filters.map { case (name, raw) =>
+    val norm: Seq[(String, Seq[String])] = filters.map { case (name, raw) =>
       val terms = raw.flatMap(CodeTokenizer.tokenize(_, analyzer)).distinct.sorted
       require(terms.nonEmpty, s"filter '$name' analyzes to zero terms")
-      val meta = termMeta(terms.toArray)
-      if (terms.exists(t => !meta.contains(t)))
-        spark.range(1).select(lit(name).as("name"), lit(0L).as("doc_count"))
-      else idScanWithTerm(terms)
-        .as[(String, Long, Int, Array[Byte])]
-        .flatMap { case (t, f, c, d) =>
-          PostingsCodec.decodeDocIds(f, c, d).iterator.map(id => (id, t))
-        }
-        .toDF("docId", "term")
-        .groupBy("docId").agg(countDistinct("term").as("fcnt"))
-        .where(col("fcnt") === terms.length)
-        .agg(count(lit(1)).as("doc_count"))
-        .select(lit(name).as("name"), col("doc_count"))
-    }.reduce(_ unionByName _)
+      name -> terms
+    }
+    val allTerms = norm.flatMap(_._2).distinct.sorted
+    val meta = termMeta(allTerms.toArray)
+    // a bucket with an absent conjunct can never reach its count — it rides
+    // the coalesce-0 tail below and its terms never even scan
+    val live = norm.filter(_._2.forall(meta.contains))
+    val names = norm.map(_._1).toDF("name")
+    val counts =
+      if (live.isEmpty) spark.emptyDataset[(String, Long)].toDF("name", "doc_count")
+      else {
+        // SHARED scan (round-6 rewrite): buckets used to union N separate
+        // term scans, re-reading any term shared by several buckets (the
+        // adjacency matrix reads every term in n of its n + C(n,2) buckets).
+        // Now ONE ids-only scan of the distinct term union fans each
+        // posting out to its buckets (broadcast term→buckets map, the
+        // percolate core) — the postings read is term-set-sized regardless
+        // of bucket count, and the exchange moves (docId, bucket) partials.
+        val termToB: Map[String, Array[String]] = live
+          .flatMap { case (n, ts) => ts.map(_ -> n) }
+          .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toArray }
+        val tbB = spark.sparkContext.broadcast(termToB)
+        val needed = live.map { case (n, ts) => (n, ts.size) }.toDF("name", "n_terms")
+        idScanWithTerm(termToB.keys.toSeq.sorted)
+          .as[(String, Long, Int, Array[Byte])]
+          .flatMap { case (t, f, c, d) =>
+            val bs = tbB.value(t)
+            PostingsCodec.decodeDocIds(f, c, d).iterator
+              .flatMap(id => bs.iterator.map(b => (id, b)))
+          }
+          .toDF("docId", "name")
+          .groupBy("docId", "name").agg(count(lit(1)).as("present"))
+          .join(broadcast(needed), Seq("name"))
+          .where(col("present") === col("n_terms"))
+          .groupBy("name").agg(count(lit(1)).as("doc_count"))
+      }
+    names.join(counts, Seq("name"), "left")
+      .select(col("name"), coalesce(col("doc_count"), lit(0L)).as("doc_count"))
   }
 
   /** ES `histogram` aggregation over the engine's doc-values-shaped numeric
