@@ -405,6 +405,62 @@ object SparkEntry {
       tbl(s, d, "events").groupBy("event_type")
         .agg(max(col("ts")).as("top_ts"), max_by(col("value"), col("ts")).as("top_value"))
         .orderBy("event_type")),
+    // ES stats_bucket (whose projections are avg_bucket / min_bucket /
+    // sum_bucket): sibling pipeline over the day-histogram bucket list —
+    // one row of stats of the per-day event counts.
+    "a37_stats_bucket" -> ((s, d) => {
+      val buckets = tbl(s, d, "events").groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.PipelineAggs.statsBucket(buckets, "n")
+        .select(col("count").as("n_count"), col("min").as("n_min"),
+          col("max").as("n_max"), round(col("avg"), 6).as("n_avg"),
+          col("sum").as("n_sum"))
+    }),
+    // ES bucket_script: per-day error share = errors / total, computed
+    // from SIBLING metrics of the same bucket (gap policy skip).
+    "a38_bucket_script" -> ((s, d) => {
+      val buckets = tbl(s, d, "events").groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("event_type") === "error", 1)).as("err"))
+      graft.ops.PipelineAggs.bucketScript(buckets,
+          round(col("err").cast("double") / col("n"), 6), "err_share")
+        .orderBy("day")
+    }),
+    // ES bucket_selector: keep only buckets passing a per-bucket metric
+    // predicate (error share > 0.22 — a strict subset at both SFs).
+    "a39_bucket_selector" -> ((s, d) => {
+      val buckets = tbl(s, d, "events").groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("event_type") === "error", 1)).as("err"))
+      graft.ops.PipelineAggs.bucketSelector(buckets,
+          col("err").cast("double") / col("n") > 0.22)
+        .orderBy("day")
+    }),
+    // ES bucket_sort: re-rank the day buckets by revenue (tie-broken by
+    // day) and serve the from=2 / size=5 slice of the bucket list.
+    "a40_bucket_sort" -> ((s, d) => {
+      val buckets = tbl(s, d, "events").groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum("value"), 2).as("sum_value"))
+      graft.ops.PipelineAggs.bucketSort(buckets,
+        Seq(col("sum_value").desc, col("day").asc), from = 2, size = 5)
+    }),
+    // ES percentiles_bucket: exact interpolated percentiles of the per-day
+    // count across the bucket list (ES is exact here — the list is already
+    // reduced; contrast a24's document-grain percentiles).
+    "a41_percentiles_bucket" -> ((s, d) => {
+      val buckets = tbl(s, d, "events").groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.PipelineAggs.percentilesBucket(buckets, "n", Seq(25, 50, 75, 99))
+    }),
+    // ES normalize (method percent_of_sum): each day bucket's share of the
+    // total — 1-row stats frame broadcast into the bucket list.
+    "a42_normalize" -> ((s, d) => {
+      val buckets = tbl(s, d, "events").groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.PipelineAggs.normalize(buckets, "n", "percent_of_sum", "pct")
+        .select(col("day"), col("n"), round(col("pct"), 6).as("pct"))
+        .orderBy("day")
+    }),
     // ES rank_feature (saturation): static-relevance score dl/(dl+pivot)
     // off the registry doc value — one scan, one codegen'd projection.
     "b67_rank_feature" -> ((s, d) => DocumentsIndex.rankFeature(s, d, 64.0, 20)),
@@ -1150,6 +1206,39 @@ object SparkEntry {
     "a36_top_metrics" ->
       """SELECT event_type, max(ts) AS top_ts, max_by(value, ts) AS top_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sibling-pipeline twins: the same day-histogram CTE reduced in SQL
+    "a37_stats_bucket" ->
+      """WITH b AS (SELECT cast(ts AS date) AS day, count(*) AS n FROM events GROUP BY 1)
+        |SELECT count(n) AS n_count, min(n) AS n_min, max(n) AS n_max,
+        |       round(avg(n), 6) AS n_avg, cast(sum(n) AS bigint) AS n_sum FROM b""".stripMargin,
+    "a38_bucket_script" ->
+      """WITH b AS (SELECT cast(ts AS date) AS day, count(*) AS n,
+        |                  count(*) FILTER (WHERE event_type = 'error') AS err
+        |           FROM events GROUP BY 1)
+        |SELECT day, n, err, round(cast(err AS double) / n, 6) AS err_share
+        |FROM b ORDER BY day""".stripMargin,
+    "a39_bucket_selector" ->
+      """WITH b AS (SELECT cast(ts AS date) AS day, count(*) AS n,
+        |                  count(*) FILTER (WHERE event_type = 'error') AS err
+        |           FROM events GROUP BY 1)
+        |SELECT day, n, err FROM b
+        |WHERE cast(err AS double) / n > 0.22 ORDER BY day""".stripMargin,
+    "a40_bucket_sort" ->
+      """WITH b AS (SELECT cast(ts AS date) AS day, round(sum(value), 2) AS sum_value FROM events GROUP BY 1),
+        |r AS (SELECT day, sum_value,
+        |             row_number() OVER (ORDER BY sum_value DESC, day) AS rk FROM b)
+        |SELECT day, sum_value FROM r WHERE rk > 2 AND rk <= 7 ORDER BY rk""".stripMargin,
+    "a41_percentiles_bucket" ->
+      """WITH b AS (SELECT cast(ts AS date) AS day, count(*) AS n FROM events GROUP BY 1)
+        |SELECT round(quantile_cont(n, 0.25), 6) AS p25,
+        |       round(quantile_cont(n, 0.50), 6) AS p50,
+        |       round(quantile_cont(n, 0.75), 6) AS p75,
+        |       round(quantile_cont(n, 0.99), 6) AS p99 FROM b""".stripMargin,
+    "a42_normalize" ->
+      """WITH b AS (SELECT cast(ts AS date) AS day, count(*) AS n FROM events GROUP BY 1)
+        |SELECT day, n,
+        |       round(cast(n AS double) / (SELECT sum(n) FROM b), 6) AS pct
+        |FROM b ORDER BY day""".stripMargin,
     // rank-feature twin: dl recomputed from raw text, identical saturation
     "b67_rank_feature" ->
       s"""WITH $TokCte,

@@ -89,4 +89,97 @@ object PipelineAggs {
       .drop("__mx")
       .orderBy(keyCol)
   }
+
+  /** ES `stats_bucket` — and, as its projections, `avg_bucket` /
+    * `min_bucket` / `sum_bucket`: one row of count/min/max/avg/sum of the
+    * metric across ALL parent buckets. Null metrics (gap policy `skip`,
+    * the ES default) fall out of every aggregate for free — `count` only
+    * counts non-nulls. One partial-aggregable pass over the bucket frame.
+    */
+  def statsBucket(buckets: DataFrame, valCol: String): DataFrame =
+    buckets.agg(
+      count(col(valCol)).as("count"),
+      min(col(valCol)).as("min"),
+      max(col(valCol)).as("max"),
+      avg(col(valCol)).as("avg"),
+      sum(col(valCol)).as("sum"))
+
+  /** ES `bucket_script`: a per-bucket computed metric over SIBLING metrics
+    * of the same bucket (e.g. `errors / total`). Gap policy `skip` (the ES
+    * default): a bucket where any input metric is missing emits no value —
+    * spelled relationally as dropping rows whose script result is null
+    * (null inputs propagate through Catalyst arithmetic). Pure row-local
+    * projection: no exchange at all.
+    */
+  def bucketScript(buckets: DataFrame, script: Column, out: String): DataFrame =
+    buckets.withColumn(out, script).where(col(out).isNotNull)
+
+  /** ES `bucket_selector`: keep only buckets where the script predicate
+    * holds. A null predicate (missing input metric) drops the bucket —
+    * ES's gap policy `skip`. Row-local filter, no exchange.
+    */
+  def bucketSelector(buckets: DataFrame, predicate: Column): DataFrame =
+    buckets.where(coalesce(predicate, lit(false)))
+
+  /** ES `bucket_sort`: re-order the parent's bucket list by metric sort
+    * keys and truncate with from/size (ES applies it coordinator-side to
+    * the reduced list; `from` past the end yields no buckets, `size` < 0
+    * keeps the tail unbounded). Callers pass a TIE-BROKEN sort (ES keeps
+    * insertion order among ties; a relational frame has no insertion order
+    * to keep, so a total order is required for determinism). The window is
+    * single-partition by design — bucket grain, see the scale note above.
+    */
+  def bucketSort(buckets: DataFrame, sortCols: Seq[Column], from: Int = 0,
+      size: Int = -1): DataFrame = {
+    require(from >= 0, s"bucket_sort from must be >= 0, got $from")
+    val w = Window.orderBy(sortCols: _*)
+    val hi = if (size < 0) Long.MaxValue else from.toLong + size
+    buckets.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") > from && col("__rk") <= hi)
+      .orderBy("__rk")
+      .drop("__rk")
+  }
+
+  /** ES `percentiles_bucket`: percentiles of the metric across the parent
+    * buckets. ES computes these EXACTLY over the reduced bucket list (a
+    * plain sorted-array interpolation, not the t-digest the document-grain
+    * `percentiles` agg uses) — mapped to Spark's exact `percentile`
+    * aggregate, whose linear interpolation is the same definition DuckDB
+    * `quantile_cont` pins. Percents are whole numbers (column naming);
+    * outputs rounded to 6 dp by protocol.
+    */
+  def percentilesBucket(buckets: DataFrame, valCol: String,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
+      s"percents must be in [0,100], got $percents")
+    buckets.agg(
+      round(expr(s"percentile($valCol, ${percents.head / 100.0})"), 6).as(s"p${percents.head}"),
+      percents.tail.map(p =>
+        round(expr(s"percentile($valCol, ${p / 100.0})"), 6).as(s"p$p")): _*)
+  }
+
+  /** ES `normalize` pipeline agg: rescale the bucket metric. Methods
+    * pinned: `percent_of_sum` (v / Σv) and `rescale_0_1`
+    * ((v − min) / (max − min)). The 1-row global-stats frame BROADCASTS
+    * into the bucket frame (maxBucket's shape — no window, no second pass);
+    * a degenerate rescale range (max = min) is pinned to 0.0 for every
+    * bucket (ES's normalizer would divide by zero there; the constant
+    * series has no information to rescale).
+    */
+  def normalize(buckets: DataFrame, valCol: String, method: String,
+      out: String): DataFrame = {
+    val v = col(valCol).cast("double")
+    val stats = buckets.agg(sum(v).as("__sum"), min(v).as("__min"), max(v).as("__max"))
+    val scaled = method match {
+      case "percent_of_sum" => v / col("__sum")
+      case "rescale_0_1" =>
+        when(col("__max") === col("__min"), lit(0.0))
+          .otherwise((v - col("__min")) / (col("__max") - col("__min")))
+      case other => throw new IllegalArgumentException(
+        s"normalize method must be percent_of_sum or rescale_0_1, got $other")
+    }
+    buckets.crossJoin(broadcast(stats))
+      .withColumn(out, scaled)
+      .drop("__sum", "__min", "__max")
+  }
 }

@@ -60,6 +60,80 @@ class PipelineJoinSpec extends SparkSpec {
     assert(plan.contains("Broadcast"), s"1-row max frame must broadcast:\n$plan")
   }
 
+  test("stats_bucket / bucket_script / bucket_selector / bucket_sort == brute; null gap policy skips") {
+    val buckets = Seq(("d1", 5L, 1L), ("d2", 8L, 4L), ("d3", 2L, 1L), ("d4", 4L, 0L))
+      .toDF("day", "n", "err")
+    val sb = PipelineAggs.statsBucket(buckets, "n")
+      .as[(Long, Long, Long, Double, Long)].head()
+    assert(sb == ((4L, 2L, 8L, 4.75, 19L)), s"stats_bucket: $sb")
+    // gap policy: a null metric falls out of count/avg/sum
+    val withNull = buckets.withColumn("n",
+      when(col("day") === "d3", lit(null)).otherwise(col("n")))
+    val sbN = PipelineAggs.statsBucket(withNull, "n")
+      .as[(Long, Long, Long, Double, Long)].head()
+    assert(sbN._1 == 3L && sbN._5 == 17L, s"stats_bucket null skip: $sbN")
+
+    val ratio = round(col("err").cast("double") / col("n"), 6)
+    val bs = PipelineAggs.bucketScript(buckets, ratio, "r")
+      .orderBy("day").as[(String, Long, Long, Double)].collect().toSeq
+    assert(bs.map(_._4) == Seq(0.2, 0.5, 0.5, 0.0), s"bucket_script: $bs")
+    // a bucket whose script input is null emits NO value (dropped)
+    val bsN = PipelineAggs.bucketScript(withNull, ratio, "r")
+      .select("day").as[String].collect().toSeq.sorted
+    assert(bsN == Seq("d1", "d2", "d4"), s"bucket_script gap: $bsN")
+
+    val sel = PipelineAggs.bucketSelector(buckets, col("err") >= 1L)
+      .select("day").as[String].collect().toSeq.sorted
+    assert(sel == Seq("d1", "d2", "d3"), s"bucket_selector: $sel")
+    // null predicate drops the bucket, never keeps it
+    val selN = PipelineAggs.bucketSelector(withNull, col("n") > 0L)
+      .select("day").as[String].collect().toSeq.sorted
+    assert(selN == Seq("d1", "d2", "d4"), s"bucket_selector null: $selN")
+
+    val srt = PipelineAggs.bucketSort(buckets,
+        Seq(col("n").desc, col("day").asc), from = 1, size = 2)
+      .select("day").as[String].collect().toSeq
+    assert(srt == Seq("d1", "d4"), s"bucket_sort slice: $srt")
+    // from past the end → empty; size unbounded keeps the tail
+    assert(PipelineAggs.bucketSort(buckets, Seq(col("n").desc), from = 9).isEmpty)
+    assert(PipelineAggs.bucketSort(buckets,
+      Seq(col("n").desc, col("day").asc), from = 1).count() == 3L)
+    intercept[IllegalArgumentException](
+      PipelineAggs.bucketSort(buckets, Seq(col("n")), from = -1))
+  }
+
+  test("percentiles_bucket == sorted interpolation; normalize == brute, broadcasts, degenerate range pinned") {
+    val vals = Seq(3L, 9L, 1L, 7L, 5L) // sorted: 1 3 5 7 9
+    val buckets = vals.zipWithIndex.map { case (v, i) => (s"d$i", v) }.toDF("day", "n")
+    val pb = PipelineAggs.percentilesBucket(buckets, "n", Seq(25, 50, 75))
+      .as[(Double, Double, Double)].head()
+    assert(pb == ((3.0, 5.0, 7.0)), s"percentiles_bucket: $pb") // exact ranks
+    val pb2 = PipelineAggs.percentilesBucket(buckets, "n", Seq(90))
+      .as[Double].head()
+    assert(pb2 == 8.2, s"interpolated p90 over [1,3,5,7,9]: $pb2") // 7 + 0.6*(9-7)
+    intercept[IllegalArgumentException](
+      PipelineAggs.percentilesBucket(buckets, "n", Seq(101)))
+    intercept[IllegalArgumentException](
+      PipelineAggs.percentilesBucket(buckets, "n", Nil))
+
+    val pos = PipelineAggs.normalize(buckets, "n", "percent_of_sum", "v")
+      .orderBy("day").select("v").as[Double].collect().toSeq
+    assert(pos == vals.map(_.toDouble / vals.sum), s"percent_of_sum: $pos")
+    val r01 = PipelineAggs.normalize(buckets, "n", "rescale_0_1", "v")
+      .orderBy("day").select("v").as[Double].collect().toSeq
+    assert(r01 == vals.map(v => (v - 1.0) / 8.0), s"rescale_0_1: $r01")
+    // degenerate range: constant series pins to 0.0, not NaN
+    val const = Seq(("a", 4L), ("b", 4L)).toDF("day", "n")
+    assert(PipelineAggs.normalize(const, "n", "rescale_0_1", "v")
+      .select("v").as[Double].collect().toSeq == Seq(0.0, 0.0))
+    intercept[IllegalArgumentException](
+      PipelineAggs.normalize(buckets, "n", "zscore", "v"))
+    val plan = PipelineAggs.normalize(buckets, "n", "percent_of_sum", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"normalize must not plan a Window:\n$plan")
+    assert(plan.contains("Broadcast"), s"1-row stats frame must broadcast:\n$plan")
+  }
+
   test("has_child == brute counts in [min, max]; orphan children excluded; bad bounds rejected") {
     val parents = Seq(1L, 2L, 3L, 4L).toDF("pid")
     val children = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"), (5L, "x"), (5L, "x"))
