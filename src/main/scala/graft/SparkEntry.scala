@@ -461,6 +461,39 @@ object SparkEntry {
         .select(col("day"), col("n"), round(col("pct"), 6).as("pct"))
         .orderBy("day")
     }),
+    // ES value_count + missing over a SPARSE field: the purchase amount
+    // exists only on purchase events — exactly the sparse-doc shape those
+    // two aggs exist for; one combinable pass serves both.
+    "a43_value_count" -> ((s, d) =>
+      graft.ops.MetricAggs.valueCountMissing(
+        tbl(s, d, "events")
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("purchase_value",
+            when(col("event_type") === "purchase", col("value"))),
+        "purchase_value", "day")),
+    // ES string_stats: per-lang length stats + Shannon entropy of the
+    // pooled character distribution of the source field.
+    "a44_string_stats" -> ((s, d) =>
+      graft.ops.MetricAggs.stringStats(tbl(s, d, "documents"), "source", "lang")),
+    // ES median_absolute_deviation (exact two-pass; t-digest = 100 TB path)
+    "a45_mad" -> ((s, d) =>
+      graft.ops.MetricAggs.medianAbsoluteDeviation(
+        tbl(s, d, "documents"), "n_chars", "lang")),
+    // ES boxplot (exact interpolated quartiles, the a24 protocol)
+    "a46_boxplot" -> ((s, d) =>
+      graft.ops.MetricAggs.boxplot(tbl(s, d, "lineitem"), "l_quantity", "l_returnflag")),
+    // ES matrix_stats between the event value and its JSON doc-value k —
+    // one combinable central-moment pass.
+    "a47_matrix_stats" -> ((s, d) =>
+      graft.ops.MetricAggs.matrixStats(
+        tbl(s, d, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("double")),
+        "value", "k")),
+    // ES auto_date_histogram: ladder pick (hour → day → month) at target
+    // 40 — 30 daily buckets fit, ~720 hourly ones don't, so `day` is chosen
+    // at every SF and the chosen interval is pinned as a column.
+    "a48_auto_date_histogram" -> ((s, d) =>
+      graft.ops.MetricAggs.autoDateHistogram(tbl(s, d, "events"), "ts", 40)),
     // ES rank_feature (saturation): static-relevance score dl/(dl+pivot)
     // off the registry doc value — one scan, one codegen'd projection.
     "b67_rank_feature" -> ((s, d) => DocumentsIndex.rankFeature(s, d, 64.0, 20)),
@@ -1239,6 +1272,55 @@ object SparkEntry {
         |SELECT day, n,
         |       round(cast(n AS double) / (SELECT sum(n) FROM b), 6) AS pct
         |FROM b ORDER BY day""".stripMargin,
+    "a43_value_count" ->
+      """SELECT cast(ts AS date) AS day,
+        |       count(CASE WHEN event_type = 'purchase' THEN value END) AS value_count,
+        |       count(*) - count(CASE WHEN event_type = 'purchase' THEN value END) AS missing
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // string_stats twin: same two grains — value lengths + pooled chars;
+    // entropy via the identical log2 identity
+    "a44_string_stats" ->
+      """WITH ls AS (
+        |  SELECT lang, count(source) AS count, min(length(source)) AS min_length,
+        |         max(length(source)) AS max_length, round(avg(length(source)), 6) AS avg_length
+        |  FROM documents GROUP BY 1),
+        |cc AS (
+        |  SELECT lang, c.ch AS ch, count(*) AS n
+        |  FROM documents, unnest(string_split(source, '')) AS c(ch) GROUP BY 1, 2),
+        |ent AS (
+        |  SELECT lang, round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4) AS entropy
+        |  FROM cc GROUP BY 1)
+        |SELECT ls.lang, count, min_length, max_length, avg_length, entropy
+        |FROM ls JOIN ent USING (lang) ORDER BY lang""".stripMargin,
+    "a45_mad" ->
+      """WITH m AS (SELECT lang, quantile_cont(n_chars, 0.5) AS med FROM documents GROUP BY 1)
+        |SELECT d.lang, round(quantile_cont(abs(n_chars - med), 0.5), 6) AS mad
+        |FROM documents d JOIN m USING (lang) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a46_boxplot" ->
+      """SELECT l_returnflag, cast(min(l_quantity) AS double) AS min,
+        |       round(quantile_cont(l_quantity, 0.25), 6) AS q1,
+        |       round(quantile_cont(l_quantity, 0.50), 6) AS q2,
+        |       round(quantile_cont(l_quantity, 0.75), 6) AS q3,
+        |       cast(max(l_quantity) AS double) AS max
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a47_matrix_stats" ->
+      """WITH t AS (SELECT value, cast(json_extract_string(props, '$.k') AS double) AS k FROM events)
+        |SELECT count(*) AS doc_count,
+        |       round(avg(value), 6) AS mean_x, round(avg(k), 6) AS mean_y,
+        |       round(var_pop(value), 4) AS var_x, round(var_pop(k), 4) AS var_y,
+        |       round(covar_pop(value, k), 4) AS covariance,
+        |       round(corr(value, k), 6) AS correlation
+        |FROM t""".stripMargin,
+    // auto_date_histogram twin: the SAME finest-fitting-rung pick, in SQL
+    "a48_auto_date_histogram" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN count(DISTINCT date_trunc('hour', ts)) <= 40 THEN 'hour'
+        |              WHEN count(DISTINCT date_trunc('day', ts)) <= 40 THEN 'day'
+        |              ELSE 'month' END AS iv
+        |  FROM events)
+        |SELECT date_trunc((SELECT iv FROM c), ts) AS bucket, count(*) AS n,
+        |       (SELECT iv FROM c) AS interval
+        |FROM events GROUP BY 1, 3 ORDER BY 1""".stripMargin,
     // rank-feature twin: dl recomputed from raw text, identical saturation
     "b67_rank_feature" ->
       s"""WITH $TokCte,
