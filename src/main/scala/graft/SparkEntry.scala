@@ -532,6 +532,68 @@ object SparkEntry {
     "a26_filters_agg" -> ((s, d) => DocumentsIndex.filtersAgg(s, d, Seq(
       "both" -> Seq("hash join"), "none" -> Seq("hash qqqzzznotfound"),
       "sorted" -> Seq("sort order")))),
+    // B16 terms_set query (ES CoveringQuery over term clauses): docs with
+    // >= 2 of the three terms, scored as the matched clauses' BM25 sum —
+    // the msm executor reused under a pinned constant floor (this schema
+    // has no per-doc minimum_should_match_field; documented divergence).
+    "b72_terms_set" -> ((s, d) =>
+      DocumentsIndex.termsSetQuery(s, d, Seq("merge", "vector", "window"), 2)),
+    // B17 match_bool_prefix (the positionless autocomplete bool form):
+    // "hash" scored BM25, "jo*" a constant-score-1 prefix clause, either
+    // alone matches (bool msm = 1).
+    "b73_bool_prefix" -> ((s, d) => DocumentsIndex.matchBoolPrefix(s, d, "hash jo")),
+    // B11 _count API: the matching-doc count of an OR match as ONE ids-only
+    // aggregated row — no scoring, no payloads.
+    "b74_count" -> ((s, d) => DocumentsIndex.countMatches(s, d, "spark stream")),
+    // B31 _termvectors API (no-stored-vectors mode — ES re-analyzes the
+    // live _source): doc 42's term vectors with tf, corpus df
+    // (term_statistics=true) and comma-joined positions.
+    "b75_termvectors" -> ((s, d) => DocumentsIndex.termVectors(s, d, 42L)),
+    // B24 diversified_sampler: the top-30 'query sort' sample de-duplicated
+    // to <= 2 docs per lang (max_docs_per_value on the diversity field).
+    "b76_div_sample" -> ((s, d) =>
+      DocumentsIndex.diversifiedSample(s, d, "query sort", 30, 2)),
+    // TD ES-8 kNN search with filter (knn.filter pre-filters candidates;
+    // exact when num_candidates covers the filtered set — the brute
+    // baseline the ANN paths verify against): cosine top-10 among label=3.
+    "b77_knn_filtered" -> ((s, d) => graft.ops.VectorOps.cosineTopKAmong(
+      tbl(s, d, "embeddings").where(col("label") === 3),
+      tbl(s, d, "embeddings"), 0L, 10)),
+    // B29 children aggregation: per parent lang bucket, child-event count
+    // and mean value across the doc_id<-user_id join field.
+    "a49_children_agg" -> ((s, d) => graft.ops.JoinFieldOps.childrenAgg(
+      tbl(s, d, "documents"), "doc_id", "lang",
+      tbl(s, d, "events"), "user_id", "value")),
+    // B21 geo_bounds aggregation (pinned wrap_longitude=false): the
+    // tightest box around the derived points — integer-exact 2-dp decimals.
+    "a50_geo_bounds" -> ((s, d) => {
+      val (lat, lon) = graft.ops.GeoOps.derivedCoords(col("doc_id"))
+      graft.ops.GeoOps.geoBounds(
+        tbl(s, d, "documents").select(lat.as("lat"), lon.as("lon")), "lat", "lon")
+    }),
+    // B21 geo_centroid aggregation: planar mean point + count, 4 dp.
+    "a51_geo_centroid" -> ((s, d) => {
+      val (lat, lon) = graft.ops.GeoOps.derivedCoords(col("doc_id"))
+      graft.ops.GeoOps.geoCentroid(
+        tbl(s, d, "documents").select(lat.as("lat"), lon.as("lon")), "lat", "lon")
+    }),
+    // B19 date_range aggregation: three half-open ranges over the events
+    // stream, unbounded edges in the ES '*' key style, empties kept.
+    "a52_date_range" -> ((s, d) => graft.ops.MetricAggs.dateRangeAgg(
+      tbl(s, d, "events"), "ts", "value", Seq("2024-01-10", "2024-01-20"))),
+    // B19 cumulative_cardinality pipeline agg: exact running distinct-user
+    // count per day via the first-seen-day identity (ES's HLL is
+    // approximate — documented divergence in the exact direction).
+    "a53_cum_cardinality" -> ((s, d) => graft.ops.PipelineAggs
+      .cumulativeCardinality(tbl(s, d, "events"), "ts", "user_id")),
+    // B19 t_test aggregation (Welch unpaired, the ES default): click vs
+    // error event values, one conditional-moments pass.
+    "a54_t_test" -> ((s, d) => graft.ops.MetricAggs.tTest(
+      tbl(s, d, "events"), "value", "event_type", "click", "error")),
+    // B19 rate aggregation: weekly buckets reported per day (unit=day
+    // under a week calendar_interval — exact /7 rescale).
+    "a55_rate" -> ((s, d) => graft.ops.MetricAggs.rateAgg(
+      tbl(s, d, "events"), "ts", "value")),
 
     // -- Layer A: toolchain operators (SURVEY.md §2.1/2.2) -----------------
     "a01_scan_projection" -> ((s, d) =>
@@ -2005,6 +2067,118 @@ object SparkEntry {
          |SELECT doc_id, count(DISTINCT term) AS n_terms FROM tok
          |WHERE regexp_full_match(term, '(s|qu)[a-z]*r[a-z]*')
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // terms_set twin: the msm twin with no must clause — matched-term count
+    // over the requested set gates, the BM25 sum scores
+    "b72_terms_set" ->
+      s"""WITH ${bm25Ctes(Seq("merge", "vector", "window"))},
+         |cnt AS (
+         |  SELECT doc_id, count(DISTINCT term) AS scnt FROM tf
+         |  WHERE term IN ('merge', 'vector', 'window') GROUP BY doc_id)
+         |SELECT sc.doc_id, round(sc.score, 6) AS score
+         |FROM sc JOIN cnt ON sc.doc_id = cnt.doc_id
+         |WHERE cnt.scnt >= 2
+         |ORDER BY round(sc.score, 6) DESC, sc.doc_id""".stripMargin,
+    // match_bool_prefix twin: BM25 over the init terms FULL JOINed with the
+    // constant-1 prefix membership — either side alone matches
+    "b73_bool_prefix" ->
+      s"""WITH ${bm25Ctes(Seq("hash"))},
+         |pm AS (SELECT DISTINCT doc_id FROM tok WHERE starts_with(term, 'jo')),
+         |u AS (
+         |  SELECT coalesce(sc.doc_id, pm.doc_id) AS doc_id,
+         |         coalesce(sc.score, 0) +
+         |         CASE WHEN pm.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END AS score
+         |  FROM sc FULL JOIN pm ON sc.doc_id = pm.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM u
+         |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
+    "b74_count" ->
+      s"""WITH $TokCte
+         |SELECT count(DISTINCT doc_id) AS total FROM tok
+         |WHERE term IN ('spark', 'stream')""".stripMargin,
+    // termvectors twin: the positional token stream (the b16-family
+    // pattern) filtered to the doc, df from the full stream
+    "b75_termvectors" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS a
+        |  FROM documents),
+        |t0 AS (SELECT doc_id, unnest(a) AS term0, unnest(range(0, len(a))) AS pos FROM arr),
+        |tokp AS (SELECT doc_id, substr(term0, 1, 64) AS term, pos FROM t0),
+        |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokp GROUP BY 1)
+        |SELECT t.term, count(*) AS tf, any_value(d.df) AS df,
+        |       array_to_string(list_sort(list(t.pos)), ',') AS positions
+        |FROM tokp t JOIN dfx d USING (term) WHERE t.doc_id = 42
+        |GROUP BY t.term ORDER BY t.term""".stripMargin,
+    // diversified_sampler twin: protocol top-30 cut, then the per-lang
+    // row_number de-dup under the same (score desc, doc_id) order
+    "b76_div_sample" ->
+      s"""WITH ${bm25Ctes(Seq("query", "sort"))},
+         |ranked AS (
+         |  SELECT doc_id, round(score, 6) AS score FROM sc
+         |  ORDER BY round(score, 6) DESC, doc_id LIMIT 30),
+         |j AS (
+         |  SELECT r.doc_id, d.lang, r.score,
+         |         row_number() OVER (PARTITION BY d.lang ORDER BY r.score DESC, r.doc_id) AS rn
+         |  FROM ranked r JOIN documents d USING (doc_id))
+         |SELECT doc_id, lang, score FROM j WHERE rn <= 2
+         |ORDER BY score DESC, doc_id""".stripMargin,
+    "b77_knn_filtered" ->
+      """SELECT a.vec_id, round(list_cosine_similarity(cast(a.embedding AS double[]), cast(b.embedding AS double[])), 4) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE b.vec_id = 0 AND a.vec_id <> 0 AND a.label = 3
+        |ORDER BY round(list_cosine_similarity(cast(a.embedding AS double[]), cast(b.embedding AS double[])), 4) DESC, a.vec_id
+        |LIMIT 10""".stripMargin,
+    "a49_children_agg" ->
+      """SELECT d.lang, count(*) AS n_children, round(avg(e.value), 4) AS avg_value
+        |FROM events e JOIN documents d ON e.user_id = d.doc_id
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "a50_geo_bounds" ->
+      """WITH pts AS (
+        |  SELECT (doc_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+        |         (doc_id * 73 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM documents)
+        |SELECT max(lat) AS top, min(lon) AS "left", min(lat) AS bottom, max(lon) AS "right"
+        |FROM pts""".stripMargin,
+    "a51_geo_centroid" ->
+      """WITH pts AS (
+        |  SELECT (doc_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+        |         (doc_id * 73 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM documents)
+        |SELECT round(avg(lat), 4) AS lat, round(avg(lon), 4) AS lon, count(*) AS n
+        |FROM pts""".stripMargin,
+    "a52_date_range" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN ts < TIMESTAMP '2024-01-10' THEN '*-2024-01-10'
+        |              WHEN ts < TIMESTAMP '2024-01-20' THEN '2024-01-10-2024-01-20'
+        |              ELSE '2024-01-20-*' END AS range, value
+        |  FROM events),
+        |g AS (SELECT range, count(*) AS n, round(sum(value), 2) AS sum_value
+        |      FROM c GROUP BY 1)
+        |SELECT r.range, coalesce(g.n, 0) AS n, coalesce(g.sum_value, 0.0) AS sum_value
+        |FROM (VALUES ('*-2024-01-10'), ('2024-01-10-2024-01-20'), ('2024-01-20-*')) r(range)
+        |LEFT JOIN g USING (range)
+        |ORDER BY r.range""".stripMargin,
+    "a53_cum_cardinality" ->
+      """WITH days AS (SELECT DISTINCT cast(ts AS date) AS day FROM events),
+        |fd AS (SELECT user_id, min(cast(ts AS date)) AS day FROM events GROUP BY 1),
+        |nb AS (SELECT day, count(*) AS n_new FROM fd GROUP BY 1)
+        |SELECT d.day, coalesce(nb.n_new, 0) AS n_new,
+        |       sum(coalesce(nb.n_new, 0)) OVER
+        |         (ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_keys
+        |FROM days d LEFT JOIN nb USING (day) ORDER BY d.day""".stripMargin,
+    "a54_t_test" ->
+      """SELECT round(
+        |  (avg(CASE WHEN event_type = 'click' THEN value END)
+        |   - avg(CASE WHEN event_type = 'error' THEN value END))
+        |  / sqrt(var_samp(CASE WHEN event_type = 'click' THEN value END)
+        |           / count(CASE WHEN event_type = 'click' THEN value END)
+        |       + var_samp(CASE WHEN event_type = 'error' THEN value END)
+        |           / count(CASE WHEN event_type = 'error' THEN value END)), 4) AS t_value
+        |FROM events""".stripMargin,
+    "a55_rate" ->
+      """SELECT cast(date_trunc('week', ts) AS date) AS week,
+        |       count(*) / 7.0 AS docs_per_day,
+        |       round(sum(value) / 7.0, 4) AS value_per_day
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a01_scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem

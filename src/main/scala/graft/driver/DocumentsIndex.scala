@@ -230,6 +230,90 @@ object DocumentsIndex {
         filter = filter, dlRange = dlRange),
       indexDir(spark, sfDir))
 
+  /** ES `terms_set` query: docs containing at least `minMatch` of the given
+    * terms, scored as the bool-should sum of the matched terms' BM25
+    * contributions — exactly how ES executes it (a CoveringQuery over the
+    * same term clauses). ES reads the per-doc requirement from
+    * `minimum_should_match_field`; the driver table carries no such field,
+    * so the floor is pinned constant (documented divergence — the executor
+    * is field-ready: B16's msm path already takes any per-query floor).
+    * Pure reuse: zero new plan shapes.
+    */
+  def termsSetQuery(spark: SparkSession, sfDir: String, terms: Seq[String],
+      minMatch: Int): DataFrame =
+    bm25Bool(spark, sfDir, Nil, terms, Nil, minMatch)
+
+  /** ES `match_bool_prefix` under the output protocol — see
+    * [[IndexReader.matchBoolPrefixDf]] for the pinned constant-score prefix
+    * semantics and the two-sided plan.
+    */
+  def matchBoolPrefix(spark: SparkSession, sfDir: String, query: String,
+      maxExpansions: Int = 32): DataFrame =
+    rankedByDocId(spark,
+      reader(spark, sfDir).matchBoolPrefixDf(query, maxExpansions),
+      indexDir(spark, sfDir))
+
+  /** ES `_count` — the hit count of a match query without scoring: the
+    * ids-only membership scan aggregated to ONE row. No payload bytes, no
+    * BM25 fold, no per-doc rows anywhere — the cheapest form of "how many
+    * match", and at 100 TB the count is a partial-agg tree over the
+    * postings scan (one long per partition crosses the exchange).
+    */
+  def countMatches(spark: SparkSession, sfDir: String, query: String): DataFrame =
+    reader(spark, sfDir).matchIdsDf(query).agg(count(lit(1)).as("total"))
+
+  /** ES `_termvectors` — per-doc term vectors in the API's
+    * no-stored-vectors mode: ES re-analyzes the live `_source` field
+    * on the fly (exactly what happens on any index that never enabled
+    * `term_vector` storage), returning per term the freq, its positions,
+    * and (term_statistics=true) the corpus df. Here: ONE pushdown fetch of
+    * the doc's text (doc_id predicate reaches the parquet scan), the
+    * analyzer emits (term, position) pairs, one tiny groupBy folds tf +
+    * the sorted positions list, and the corpus df attaches via a broadcast
+    * join against the dictionary (dictionary-sized, never the postings).
+    */
+  def termVectors(spark: SparkSession, sfDir: String, docId: Long): DataFrame = {
+    import spark.implicits._
+    val text = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id") === docId).select(col("text")).as[String]
+    val toks = text
+      .flatMap(t => graft.tokenize.CodeTokenizer.tokenize(t).iterator.zipWithIndex)
+      .toDF("term", "pos")
+    toks.groupBy("term")
+      .agg(count(lit(1)).as("tf"),
+        // comma-joined sorted positions: scalar columns keep the oracle
+        // compare value-typed (the a11 array_to_string protocol)
+        expr("array_join(transform(sort_array(collect_list(pos)), x -> cast(x AS string)), ',')")
+          .as("positions"))
+      .join(broadcast(dictionaryDf(spark, sfDir).select(col("term"), col("df"))),
+        Seq("term"))
+      .select(col("term"), col("tf"), col("df"), col("positions"))
+      .orderBy("term")
+  }
+
+  /** ES `diversified_sampler` aggregation: the top `shardSize` hits under
+    * the protocol order, de-duplicated to at most `maxPerLang` per lang
+    * (ES `max_docs_per_value` on the diversity field) — the "don't let one
+    * source dominate the sample" scope every sampled agg runs under. The
+    * de-dup is a per-lang row_number over the BOUNDED sample (shardSize
+    * rows — broadcast-sized; the Window never sees the corpus), keeping
+    * each lang's best-ranked docs, exactly Lucene's
+    * DiversifiedTopDocsCollector policy.
+    */
+  def diversifiedSample(spark: SparkSession, sfDir: String, query: String,
+      shardSize: Int, maxPerLang: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = bm25(spark, sfDir, query, shardSize)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val w = Window.partitionBy("lang").orderBy(desc("score"), asc("doc_id"))
+    broadcast(top).join(docs, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= maxPerLang)
+      .select(col("doc_id"), col("lang"), col("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+  }
+
   /** ES `search_after` deep pagination: page 2 of a BM25 ranking via the
     * KEYSET cursor (the page-1 tail's (rounded score, doc_id)), never an
     * offset — at corpus scale offset-N pagination re-ranks and discards N
@@ -1234,6 +1318,101 @@ object DocumentsIndex {
     reader(spark, sfDir).constantScoreDf(filter)
       .join(docIdMap(spark, sfDir), Seq("docId"))
       .select(col("doc_id"))
+
+  /** ES `intervals` query, pinned v1 = `any_of` over ordered two-term
+    * `match` rules with `max_gaps` (the modern positional algebra's most
+    * common composition: "these words near each other, or those"). For an
+    * ordered two-term rule, max_gaps = g means positions p0 < p1 with
+    * p1 − p0 − 1 ≤ g — EXACTLY the B15 ordered-slop window, so each rule
+    * IS matchPhraseDf(phrase, slop = g): preference-(a) composition, no
+    * new positional kernel. `interval_tf` sums the rules' start counts;
+    * rules must have DISTINCT lead terms (enforced) so start positions are
+    * disjoint and the sum equals the merged-stream interval count ES's
+    * any_of iterator would emit. Longer sources / other rule types stay
+    * rejected loudly (matchPhraseDf's own two-term+ validation).
+    */
+  def intervalsAnyOf(spark: SparkSession, sfDir: String,
+      rules: Seq[(String, Int)]): DataFrame = {
+    require(rules.nonEmpty, "intervals any_of needs at least one rule")
+    val leads = rules.map(r => graft.tokenize.CodeTokenizer.tokenize(r._1).head)
+    require(leads.distinct.size == leads.size,
+      s"any_of rules must have distinct lead terms for the exact merged count, got $leads")
+    rules.map { case (ph, gaps) => phraseMatch(spark, sfDir, ph, gaps) }
+      .reduce { (a, b) =>
+        a.withColumnRenamed("phrase_tf", "ta")
+          .join(b.withColumnRenamed("phrase_tf", "tb"), Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            (coalesce(col("ta"), lit(0L)) + coalesce(col("tb"), lit(0L))).as("phrase_tf"))
+      }
+      .withColumnRenamed("phrase_tf", "interval_tf")
+      .orderBy("doc_id")
+  }
+
+  /** ES `_rank_eval`: ranking-quality metrics over judged relevance —
+    * precision@k, MRR@k (reciprocal rank of the first relevant hit) and
+    * binary DCG@k per query. ES takes explicit (query, doc, rating) lists;
+    * here the judgment set derives DETERMINISTICALLY as each query's
+    * term-CONJUNCTION docs (binary relevance both engines recompute — the
+    * same membership frame the filter context serves), so the row needs no
+    * side-channel fixture at any SF; `judgmentTerms` tightens the rule with
+    * extra required terms (a rarer gold set than the query's own conjunction
+    * — the top-k then misses some of it and the metrics discriminate).
+    * Plan per query: the bounded top-k (k rows), a row_number over those k,
+    * a left join against the ids-only conjunction frame, ONE aggregate —
+    * metric cost is k-sized everywhere beyond the searches themselves.
+    */
+  def rankEval(spark: SparkSession, sfDir: String, queries: Seq[String],
+      k: Int, judgmentTerms: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty && k > 0, "rank_eval needs queries and k > 0")
+    queries.map { q =>
+      val terms = (graft.tokenize.CodeTokenizer.tokenize(q) ++ judgmentTerms).distinct
+      val w = Window.orderBy(desc("score"), asc("doc_id"))
+      val ranked = bm25(spark, sfDir, q, k).withColumn("rank", row_number().over(w))
+      val rel = matchingDocIds(spark, sfDir, terms.toIndexedSeq).withColumn("rel", lit(1))
+      ranked.join(broadcast(rel), Seq("doc_id"), "left")
+        .agg(
+          round(sum(coalesce(col("rel"), lit(0))) / lit(k.toDouble), 6).as("precision_k"),
+          round(coalesce(max(when(col("rel") === 1, lit(1.0) / col("rank"))), lit(0.0)), 6)
+            .as("mrr"),
+          round(coalesce(sum(when(col("rel") === 1,
+            lit(1.0) / log2(col("rank") + 1))), lit(0.0)), 6).as("dcg"))
+        .select(lit(q).as("query"), col("precision_k"), col("mrr"), col("dcg"))
+    }.reduce(_ unionByName _).orderBy("query")
+  }
+
+  /** ES runtime fields (`runtime_mappings` — script-computed fields
+    * evaluated at QUERY time, never indexed): the top-k hits with a derived
+    * `chars_per_token` = n_chars / dl field attached. The runtime field is
+    * one codegen'd projection over the k-row page joined to its doc values
+    * (source n_chars + registry dl) — exactly ES's cost model, where the
+    * script runs per RETURNED hit, not per indexed doc.
+    */
+  def runtimeFieldSearch(spark: SparkSession, sfDir: String, query: String,
+      k: Int): DataFrame = {
+    val top = bm25(spark, sfDir, query, k)
+    val chars = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val dl = DeltaIndex.segmentDirs(spark, indexDir(spark, sfDir))
+      .map(seg => Tables.read(spark, seg, InvertedIndex.DocsTable)
+        .select(col("path").cast("long").as("doc_id"), col("dl")))
+      .reduce(_ unionByName _)
+    broadcast(top).join(chars, Seq("doc_id")).join(broadcast(dl), Seq("doc_id"))
+      .select(col("doc_id"), col("score"),
+        round(col("n_chars") / col("dl"), 4).as("chars_per_token"))
+      .orderBy(desc("score"), asc("doc_id"))
+  }
+
+  /** ES `min_score`: drop hits scoring below the floor. Applied to the
+    * PROTOCOL (rounded) score on both engines so the boundary can't flip
+    * on sub-ulp noise; relationally the floor composes with the rank-all
+    * frame as one filter (and on a bounded path it would tighten θ).
+    */
+  def minScoreSearch(spark: SparkSession, sfDir: String, query: String,
+      minScore: Double): DataFrame =
+    rankedByDocId(spark, reader(spark, sfDir).scoreAllDf(query),
+      indexDir(spark, sfDir))
+      .where(col("score") >= minScore)
 
   /** ES `top_hits` aggregation: the best `n` hits of `query` per `lang`
     * group (collapseByLang generalized from 1 to n). The per-group cut is

@@ -131,6 +131,29 @@ object GeoOps {
       clamp(x).cast("long"), clamp(y).cast("long"))
   }
 
+  /** ES `geo_bounds` aggregation: the tightest box around every point —
+    * (top, left, bottom, right), one map-side-combinable min/max pass.
+    * Pinned `wrap_longitude = false` (documented divergence: ES's default
+    * true may report a narrower box crossing the antimeridian by picking
+    * the largest longitude gap; the non-wrapping box is the same four
+    * aggregates both engines compute bit-identically over the synthesized
+    * exact-2-dp coordinates, and is itself a valid ES mode). At 100 TB this
+    * is four partial aggs — one row crosses the exchange per partition.
+    */
+  def geoBounds(df: DataFrame, latCol: String, lonCol: String): DataFrame =
+    df.agg(max(col(latCol)).as("top"), min(col(lonCol)).as("left"),
+      min(col(latCol)).as("bottom"), max(col(lonCol)).as("right"))
+
+  /** ES `geo_centroid` aggregation: arithmetic mean of lat and lon plus the
+    * point count (ES's exact semantics for the planar mean it computes).
+    * Rounded 4 dp — avg is a sum whose fold order differs per engine, and
+    * the oracle compare is tolerance-based under the rounding. One
+    * map-side-combinable pass, same exchange shape as [[geoBounds]].
+    */
+  def geoCentroid(df: DataFrame, latCol: String, lonCol: String): DataFrame =
+    df.agg(round(avg(col(latCol)), 4).as("lat"),
+      round(avg(col(lonCol)), 4).as("lon"), count(lit(1)).as("n"))
+
   /** ES `geotile_grid` aggregation: per-tile doc counts at precision `z`,
     * top `size` buckets by (count desc, key asc — the pinned tie-break).
     * Points outside the Web-Mercator band are EXCLUDED, exactly as ES

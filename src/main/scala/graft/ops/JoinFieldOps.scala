@@ -54,4 +54,22 @@ object JoinFieldOps {
         matchingParents.select(col(parentKey).as(childKey)).distinct(),
         Seq(childKey), "left_semi")
       .select(children.columns.map(col).toIndexedSeq: _*) // joins hoist the key column first
+
+  /** ES `children` aggregation: bucket the PARENTS (here by `bucket`), then
+    * aggregate metrics over each bucket's CHILD documents — "per parent
+    * category, how many children and what's their mean value". One shuffle
+    * join on the parent key attaches the bucket to each child, then one
+    * map-side-combined groupBy folds the metrics — the exchanges move
+    * (bucket, partials), never joined child rows, and when the parent side
+    * projects to (key, bucket) it is broadcastable at any realistic parent
+    * cardinality (ES's global-ordinals map is exactly that structure).
+    */
+  def childrenAgg(parents: DataFrame, parentKey: String, bucket: String,
+      children: DataFrame, childKey: String, valueCol: String): DataFrame =
+    children.select(col(childKey).as(parentKey), col(valueCol))
+      .join(parents.select(col(parentKey), col(bucket)), Seq(parentKey))
+      .groupBy(bucket)
+      .agg(count(lit(1)).as("n_children"),
+        round(avg(col(valueCol)), 4).as("avg_value"))
+      .orderBy(bucket)
 }

@@ -131,4 +131,64 @@ object MetricAggs {
       .withColumn("interval", lit(interval))
       .orderBy("bucket")
   }
+
+  /** ES `t_test` (type `heteroscedastic` — Welch's unpaired t, the ES
+    * default): t = (m̄₁ − m̄₂) / √(s₁²/n₁ + s₂²/n₂) between the values of
+    * two populations selected by a group column. ONE conditional aggregate
+    * pass computes all six moments (ES runs the same two-filter shape over
+    * its doc values); sample variance, like ES. Rounded 4 dp under the
+    * variance-family protocol above.
+    */
+  def tTest(df: DataFrame, valueCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    val va = when(col(groupCol) === a, col(valueCol))
+    val vb = when(col(groupCol) === b, col(valueCol))
+    df.agg(avg(va).as("m1"), var_samp(va).as("v1"), count(va).as("n1"),
+        avg(vb).as("m2"), var_samp(vb).as("v2"), count(vb).as("n2"))
+      .select(round((col("m1") - col("m2")) /
+        sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 4).as("t_value"))
+  }
+
+  /** ES `date_range` aggregation: named half-open [from, to) buckets over a
+    * timestamp, unbounded edges spelled `*` in the ES key style
+    * ("*-2024-01-10", "2024-01-10-2024-01-20", "2024-01-20-*"). Every
+    * REQUESTED range appears even when empty (count 0) — the same
+    * static-key left join that keeps the geo_distance rings. One CASE
+    * projection + one map-side-combined groupBy; `edges` must be sorted
+    * ISO dates.
+    */
+  def dateRangeAgg(df: DataFrame, tsCol: String, valueCol: String,
+      edges: Seq[String]): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted,
+      s"date_range edges must be non-empty ascending ISO dates, got $edges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = (("*" +: edges) :+ "*").sliding(2).map(p => (p.head, p(1))).toSeq
+    val key = keys.tail.foldLeft(
+        when(col(tsCol) < lit(edges.head).cast("timestamp"), s"*-${edges.head}")) {
+      case (acc, (lo, "*")) => acc.otherwise(s"$lo-*")
+      case (acc, (lo, hi)) =>
+        acc.when(col(tsCol) < lit(hi).cast("timestamp"), s"$lo-$hi")
+    }
+    val counts = df.groupBy(key.as("range"))
+      .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 2).as("sum_value"))
+    keys.map { case (lo, hi) => s"$lo-$hi" }.toDF("range")
+      .join(counts, Seq("range"), "left")
+      .select(col("range"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("range")
+  }
+
+  /** ES `rate` aggregation: per calendar bucket, the count and value sum
+    * RESCALED to a smaller unit — here weekly buckets reported per day
+    * (`unit: day` under a week date_histogram divides by exactly 7). The
+    * division is one codegen'd projection after the ordinary histogram
+    * agg; count/7 is IEEE-exact-identical in both engines, the value rate
+    * rounds 4 dp over the engine-order sum.
+    */
+  def rateAgg(df: DataFrame, tsCol: String, valueCol: String): DataFrame =
+    df.groupBy(date_trunc("week", col(tsCol)).cast("date").as("week"))
+      .agg((count(lit(1)) / 7.0).as("docs_per_day"),
+        round(sum(col(valueCol)) / 7.0, 4).as("value_per_day"))
+      .orderBy("week")
 }

@@ -182,4 +182,29 @@ object PipelineAggs {
       .withColumn(out, scaled)
       .drop("__sum", "__min", "__max")
   }
+
+  /** ES `cumulative_cardinality` over a day date_histogram: per day, the
+    * running count of DISTINCT keys seen so far — EXACT, via the identity
+    * |∪ buckets ≤ d| = |{keys whose FIRST day ≤ d}|: one map-side-
+    * combinable min-agg per key (key grain, distributed), one count per
+    * first-day (bucket grain), then the documented unpartitioned running
+    * sum over bucket rows. ES computes this with merged HLL sketches and
+    * is approximate; the first-day identity gives the exact answer with
+    * the same distributed cost — divergence documented in its favor. Days
+    * that bucket events but no first-seen keys keep their row (left join
+    * against the day list, 0 new).
+    */
+  def cumulativeCardinality(df: DataFrame, tsCol: String,
+      keyCol: String): DataFrame = {
+    val days = df.select(to_date(col(tsCol)).as("day")).distinct()
+    val newByDay = df.groupBy(col(keyCol))
+      .agg(min(to_date(col(tsCol))).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(newByDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_keys", sum(col("n_new")).over(w))
+      .orderBy("day")
+  }
 }

@@ -594,7 +594,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   def matchIdsDf(query: String): DataFrame = {
     val qterms = analyze(query)
     if (qterms.isEmpty) emptyResult("docId", org.apache.spark.sql.types.LongType)
-    else distinctIds(qterms)
+    else distinctIds(qterms.toSeq)
   }
 
   /** Membership-only postings scan: (firstDocId, count, docDeltas) of the
@@ -1621,6 +1621,37 @@ final class IndexReader(spark: SparkSession, indexDir: String,
         Iterator.tabulate(b.count)(i => (ids(i), poss(i)(0))).filter(_._2 < e)
       }
       .toDF("docId", "first_pos")
+  }
+
+  /** ES `match_bool_prefix` (the positionless autocomplete sibling of
+    * match_phrase_prefix): every token but the last is an ordinary scored
+    * term clause — the bool-should BM25 sum, each under its own idf — and
+    * the LAST token is a PREFIX clause. Lucene executes that prefix under
+    * its constant-score rewrite, so it contributes exactly the boost
+    * (pinned 1.0) to every doc matching ANY expansion — never a
+    * per-expansion BM25 sum (that scored shape is match_phrase_prefix's,
+    * a different query). Any single clause suffices (bool
+    * minimum_should_match = 1), so prefix-only docs match at score 1.0.
+    *
+    * Plan: the init terms ride the shared rank-all fold; the prefix rides
+    * the ids-only membership scan over the capped expansion (no payload
+    * bytes — constant score needs no tf); ONE full outer join stitches
+    * the two score columns, both sides keyed by docId. Nothing
+    * corpus-sized touches the driver; the expansion cap bounds the
+    * membership scan exactly as in B17.
+    */
+  def matchBoolPrefixDf(query: String, maxExpansions: Int = 32): DataFrame = {
+    val terms = analyze(query)
+    require(terms.length >= 2,
+      s"match_bool_prefix wants >= 2 analyzed tokens (terms + trailing prefix), got '$query'")
+    val exp = expandPrefixCapped(terms.last, maxExpansions)
+    val scored = scoreAllTerms(terms.init)
+    val pids =
+      if (exp.isEmpty) emptyResult("docId", org.apache.spark.sql.types.LongType)
+      else distinctIds(exp.toSeq)
+    scored.join(pids.withColumn("pmatch", lit(1.0)), Seq("docId"), "full_outer")
+      .select(col("docId"),
+        (coalesce(col("score"), lit(0.0)) + coalesce(col("pmatch"), lit(0.0))).as("score"))
   }
 
   /** ES `match_phrase_prefix` (autocomplete-style: the LAST token is a
