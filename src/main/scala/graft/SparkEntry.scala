@@ -594,6 +594,50 @@ object SparkEntry {
     // under a week calendar_interval — exact /7 rescale).
     "a55_rate" -> ((s, d) => graft.ops.MetricAggs.rateAgg(
       tbl(s, d, "events"), "ts", "value")),
+    // B15 intervals query (ES any_of over ordered match rules with
+    // max_gaps): "hash join" within 1 gap OR "sort merge" adjacent —
+    // summed interval starts (distinct lead terms => exact merged count).
+    "b78_intervals" -> ((s, d) => DocumentsIndex.intervalsAnyOf(s, d,
+      Seq(("hash join", 1), ("sort merge", 0)))),
+    // B31 _rank_eval: precision@10 / MRR / DCG@10 for two queries against
+    // the deterministic gold rule (query terms + 'dup' — rarer than the
+    // query's own conjunction, so the metrics discriminate).
+    "b79_rank_eval" -> ((s, d) => DocumentsIndex.rankEval(s, d,
+      Seq("merge sort", "query window"), 10, Seq("dup"))),
+    // ES runtime fields (runtime_mappings): top-10 hits with the
+    // query-time chars_per_token = n_chars / dl script field.
+    "b80_runtime_fields" -> ((s, d) =>
+      DocumentsIndex.runtimeFieldSearch(s, d, "spark join", 10)),
+    // ES min_score: the rank-all frame cut at protocol score >= 0.2.
+    "b81_min_score" -> ((s, d) =>
+      DocumentsIndex.minScoreSearch(s, d, "spark join", 0.2)),
+    // A1 sliced scroll (upstream es2json slices scrolls for parallel
+    // export): slice 1 of 4, pinned doc_id % 4 (ES hashes _id — modulo
+    // documented as the deterministic stand-in).
+    "a56_sliced_scan" -> ((s, d) =>
+      tbl(s, d, "documents").where(col("doc_id") % 4 === 1)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
+    // B19 percentile_ranks (inverse percentiles — EXACT; ES's TDigest is
+    // approximate, divergence in the exact direction): % of event values
+    // at or below each probe.
+    "a57_percentile_ranks" -> ((s, d) => tbl(s, d, "events").agg(
+      round(sum(when(col("value") <= 25.0, 1).otherwise(0)) * 100.0 / count(lit(1)), 4)
+        .as("pct_25"),
+      round(sum(when(col("value") <= 50.0, 1).otherwise(0)) * 100.0 / count(lit(1)), 4)
+        .as("pct_50"),
+      round(sum(when(col("value") <= 75.0, 1).otherwise(0)) * 100.0 / count(lit(1)), 4)
+        .as("pct_75"))),
+    // B19 global aggregation: corpus-wide stats NEXT TO a filtered bucket
+    // (ES `global` escapes the enclosing filter scope).
+    "a58_global_agg" -> ((s, d) => {
+      val docs = tbl(s, d, "documents")
+      docs.agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 4).as("avg_chars"))
+        .select(lit("global").as("bucket"), col("n"), col("avg_chars"))
+        .unionByName(docs.where(col("lang") === "en")
+          .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 4).as("avg_chars"))
+          .select(lit("lang_en").as("bucket"), col("n"), col("avg_chars")))
+        .orderBy("bucket")
+    }),
 
     // -- Layer A: toolchain operators (SURVEY.md §2.1/2.2) -----------------
     "a01_scan_projection" -> ((s, d) =>
@@ -2179,6 +2223,86 @@ object SparkEntry {
         |       count(*) / 7.0 AS docs_per_day,
         |       round(sum(value) / 7.0, 4) AS value_per_day
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // intervals any_of twin: two ordered-window positional rules over one
+    // token stream, full-joined and summed (lead terms distinct => exact)
+    "b78_intervals" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS a
+        |  FROM documents),
+        |t0 AS (SELECT doc_id, unnest(a) AS term0, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |toks AS (SELECT doc_id, substr(term0, 1, 64) AS term, pos FROM t0),
+        |r1 AS (
+        |  SELECT p0.doc_id, count(DISTINCT p0.pos) AS tf
+        |  FROM toks p0 JOIN toks p1 ON p1.doc_id = p0.doc_id
+        |    AND p1.pos > p0.pos AND p1.pos <= p0.pos + 2
+        |  WHERE p0.term = 'hash' AND p1.term = 'join' GROUP BY 1),
+        |r2 AS (
+        |  SELECT p0.doc_id, count(DISTINCT p0.pos) AS tf
+        |  FROM toks p0 JOIN toks p1 ON p1.doc_id = p0.doc_id
+        |    AND p1.pos > p0.pos AND p1.pos <= p0.pos + 1
+        |  WHERE p0.term = 'sort' AND p1.term = 'merge' GROUP BY 1)
+        |SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+        |       coalesce(r1.tf, 0) + coalesce(r2.tf, 0) AS interval_tf
+        |FROM r1 FULL JOIN r2 ON r1.doc_id = r2.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // rank_eval twin: per query a protocol top-10 rank frame left-joined to
+    // the gold conjunction (query terms + 'dup'), metrics as one aggregate
+    "b79_rank_eval" ->
+      s"""WITH ${fieldBm25Ctes("text", "q1", Seq("merge", "sort"))},
+         |${fieldBm25Ctes("text", "q2", Seq("query", "window"))},
+         |r1 AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |  FROM q1sc QUALIFY rank <= 10),
+         |rel1 AS (SELECT doc_id FROM q1tok WHERE term IN ('merge', 'sort', 'dup')
+         |         GROUP BY 1 HAVING count(DISTINCT term) = 3),
+         |m1 AS (
+         |  SELECT 'merge sort' AS query,
+         |         round(count(rel.doc_id) / 10.0, 6) AS precision_k,
+         |         round(coalesce(max(CASE WHEN rel.doc_id IS NOT NULL THEN 1.0 / r.rank END), 0), 6) AS mrr,
+         |         round(coalesce(sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1.0 / log2(r.rank + 1) END), 0), 6) AS dcg
+         |  FROM r1 r LEFT JOIN rel1 rel USING (doc_id)),
+         |r2 AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rank
+         |  FROM q2sc QUALIFY rank <= 10),
+         |rel2 AS (SELECT doc_id FROM q2tok WHERE term IN ('query', 'window', 'dup')
+         |         GROUP BY 1 HAVING count(DISTINCT term) = 3),
+         |m2 AS (
+         |  SELECT 'query window' AS query,
+         |         round(count(rel.doc_id) / 10.0, 6) AS precision_k,
+         |         round(coalesce(max(CASE WHEN rel.doc_id IS NOT NULL THEN 1.0 / r.rank END), 0), 6) AS mrr,
+         |         round(coalesce(sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1.0 / log2(r.rank + 1) END), 0), 6) AS dcg
+         |  FROM r2 r LEFT JOIN rel2 rel USING (doc_id))
+         |SELECT * FROM m1 UNION ALL SELECT * FROM m2 ORDER BY query""".stripMargin,
+    "b80_runtime_fields" ->
+      s"""WITH ${bm25Ctes(Seq("join", "spark"))},
+         |ranked AS (
+         |  SELECT doc_id, round(score, 6) AS score FROM sc
+         |  ORDER BY round(score, 6) DESC, doc_id LIMIT 10),
+         |dlx AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1)
+         |SELECT r.doc_id, r.score, round(d.n_chars / cast(dlx.dl AS double), 4) AS chars_per_token
+         |FROM ranked r JOIN documents d USING (doc_id) JOIN dlx USING (doc_id)
+         |ORDER BY r.score DESC, r.doc_id""".stripMargin,
+    "b81_min_score" ->
+      s"""WITH ${bm25Ctes(Seq("join", "spark"))}
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |WHERE round(score, 6) >= 0.2
+         |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
+    "a56_sliced_scan" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 4 = 1 ORDER BY doc_id""".stripMargin,
+    "a57_percentile_ranks" ->
+      """SELECT round(sum(CASE WHEN value <= 25.0 THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS pct_25,
+        |       round(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS pct_50,
+        |       round(sum(CASE WHEN value <= 75.0 THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS pct_75
+        |FROM events""".stripMargin,
+    "a58_global_agg" ->
+      """SELECT 'global' AS bucket, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT 'lang_en' AS bucket, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
+        |FROM documents WHERE lang = 'en'
+        |ORDER BY bucket""".stripMargin,
 
     "a01_scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem

@@ -106,6 +106,66 @@ class ApiSurfaceSpec extends SparkSpec {
     assert(got.groupBy(_._2).values.forall(_.size <= 2))
   }
 
+  test("intervals any_of == brute sum of per-rule ordered-window start counts; dup leads rejected") {
+    assume(haveData, s"$sfDir not mounted")
+    val rules = Seq(("hash join", 1), ("sort merge", 0))
+    val got = DocumentsIndex.intervalsAnyOf(spark, sfDir, rules)
+      .as[(Long, Long)].collect().toMap
+    def starts(ts: Array[String], t0: String, t1: String, gaps: Int): Long =
+      ts.indices.count(i => ts(i) == t0 &&
+        (i + 1 to math.min(ts.length - 1, i + 1 + gaps)).exists(j => ts(j) == t1)).toLong
+    val want = toksById.flatMap { case (id, ts) =>
+      val n = starts(ts, "hash", "join", 1) + starts(ts, "sort", "merge", 0)
+      if (n > 0) Some(id -> n) else None
+    }
+    assert(got == want, s"intervals mismatch (sizes ${got.size}/${want.size})")
+    intercept[IllegalArgumentException] {
+      DocumentsIndex.intervalsAnyOf(spark, sfDir, Seq(("hash join", 0), ("hash sort", 1)))
+    }
+  }
+
+  test("rank_eval == brute precision/MRR/DCG over the protocol top-10 vs the gold conjunction") {
+    assume(haveData, s"$sfDir not mounted")
+    val got = DocumentsIndex.rankEval(spark, sfDir, Seq("merge sort", "query window"), 10,
+      Seq("dup")).as[(String, Double, Double, Double)].collect().toSeq
+    val want = Seq("merge sort", "query window").map { q =>
+      val qt = CodeTokenizer.tokenize(q).toSeq
+      val top = toksById.keysIterator
+        .map(id => (id, round6(qt.sorted.distinct.foldLeft(0.0)((a, t) => a + bm25Of(id, t)))))
+        .filter(_._2 > 0.0).toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+      val gold = toksById.keysIterator
+        .filter(id => (qt :+ "dup").forall(toksById(id).contains)).toSet
+      val ranks = top.zipWithIndex.collect { case ((id, _), i) if gold(id) => i + 1 }
+      (q, round6(ranks.size / 10.0),
+        round6(ranks.headOption.map(1.0 / _).getOrElse(0.0)),
+        round6(ranks.map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0))).sum))
+    }
+    assert(got == want, s"rank_eval: $got vs $want")
+    // the gold rule must actually discriminate at this corpus
+    assert(got.exists(_._2 < 1.0), "precision@10 saturated — gold rule not discriminative")
+  }
+
+  test("runtime field == n_chars / dl over the top-10 page; min_score cuts the rounded frame") {
+    assume(haveData, s"$sfDir not mounted")
+    val chars = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).as[(Long, Long)].collect().toMap
+    val got = DocumentsIndex.runtimeFieldSearch(spark, sfDir, "spark join", 10)
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got.size == 10)
+    got.foreach { case (id, _, cpt) =>
+      val want = BigDecimal(chars(id).toDouble / toksById(id).length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(cpt == want, s"chars_per_token doc $id: $cpt vs $want")
+    }
+    val ms = DocumentsIndex.minScoreSearch(spark, sfDir, "spark join", 0.2)
+      .as[(Long, Double)].collect().toSeq
+    val wantMs = toksById.keysIterator
+      .map(id => (id, round6(Seq("join", "spark").foldLeft(0.0)((a, t) => a + bm25Of(id, t)))))
+      .filter(_._2 >= 0.2).toSeq.sortBy { case (id, s) => (-s, id) }
+    assert(ms == wantMs, s"min_score sizes ${ms.size}/${wantMs.size}")
+    assert(ms.nonEmpty, "min_score row matches nothing — raise/lower the floor")
+  }
+
   test("children agg: per parent bucket child count/avg; orphan children drop (inner join)") {
     val parents = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
     val children = Seq((1L, 10.0), (1L, 20.0), (2L, 30.0), (99L, 5.0))
