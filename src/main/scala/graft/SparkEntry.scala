@@ -638,6 +638,27 @@ object SparkEntry {
           .select(lit("lang_en").as("bucket"), col("n"), col("avg_chars")))
         .orderBy("bucket")
     }),
+    // B19 scripted_metric aggregation: user-scripted init/map/combine/
+    // reduce as a typed Aggregator (the 1:1 Spark-native contract for the
+    // four ES scripts) — pinned script = per-event_type RMS of value.
+    "a59_scripted_metric" -> ((s, d) => graft.ops.MetricAggs.scriptedMetric(
+      tbl(s, d, "events"), "value", "event_type")),
+    // B19 histogram with extended_bounds + min_doc_count=0: width-25 value
+    // buckets forced out to the [-50, 500] bounds — empty buckets emitted
+    // at n = 0 (the axis shape chart clients depend on).
+    "a60_histogram_bounds" -> ((s, d) => graft.ops.MetricAggs.histogramBounds(
+      tbl(s, d, "events"), "value", 25L, -50L, 500L)),
+    // B32 multi-index search (GET /documents,documents_tags/_search): one
+    // query against both indexes, each under its OWN corpus stats (ES
+    // never blends cross-index idf), merged globally with the _index
+    // tie-break — 'en' hits the tags index, 'spark' the text index.
+    "b82_multi_index" -> ((s, d) =>
+      DocumentsIndex.multiIndexSearch(s, d, "en spark", 10)),
+    // B27 simple_query_string (lenient surface grammar, shared BooleanQuery
+    // composer with b49): optional phrase + optional prefix, prohibited
+    // 'merge', required 'spark' (leading '+' = infix-AND chunk).
+    "b83_simple_qs" -> ((s, d) =>
+      DocumentsIndex.simpleQueryString(s, d, "\"hash join\" | quer* -merge +spark")),
 
     // -- Layer A: toolchain operators (SURVEY.md §2.1/2.2) -----------------
     "a01_scan_projection" -> ((s, d) =>
@@ -2303,6 +2324,73 @@ object SparkEntry {
         |SELECT 'lang_en' AS bucket, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
         |FROM documents WHERE lang = 'en'
         |ORDER BY bucket""".stripMargin,
+    "a59_scripted_metric" ->
+      """SELECT event_type, round(sqrt(sum(value * value) / count(*)), 4) AS rms
+        |FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a60_histogram_bounds" ->
+      """WITH c AS (
+        |  SELECT cast(floor(value / 25) AS bigint) AS bucket, count(*) AS n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |span AS (
+        |  SELECT least(cast(floor(min(value) / 25) AS bigint), -2) AS blo,
+        |         greatest(cast(floor(max(value) / 25) AS bigint), 20) AS bhi
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT unnest(range(blo, bhi + 1)) AS bucket FROM span)
+        |SELECT b.bucket * 25 AS bucket_lo, coalesce(c.n, 0) AS n
+        |FROM b LEFT JOIN c USING (bucket)
+        |ORDER BY bucket_lo""".stripMargin,
+    // multi-index twin: the text chain and the tags field chain (each with
+    // its OWN df/N/avgdl — exactly the engine's per-index readers), unioned
+    // under the protocol order extended with the idx tie-break
+    "b82_multi_index" ->
+      s"""WITH ${bm25Ctes(Seq("en", "spark"))},
+         |${fieldBm25Ctes("concat_ws(' ', lang, source)", "g", Seq("en", "spark"))},
+         |u AS (
+         |  SELECT 'documents' AS idx, doc_id, round(score, 6) AS score FROM sc
+         |  UNION ALL
+         |  SELECT 'documents_tags' AS idx, doc_id, round(score, 6) AS score FROM gsc)
+         |SELECT idx, doc_id, score FROM u
+         |ORDER BY score DESC, idx, doc_id LIMIT 10""".stripMargin,
+    // simple_query_string twin: required 'spark' BM25 base + phrase score +
+    // constant-score prefix, prohibited 'merge' — contributions added in
+    // clause appearance order (phrase, prefix, required term), the
+    // composer's pinned fold
+    "b83_simple_qs" ->
+      s"""WITH ${bm25Ctes(Seq("spark"))},
+         |arr AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS a
+         |  FROM documents),
+         |t0 AS (SELECT doc_id, unnest(a) AS term0, unnest(range(1, len(a)+1)) AS pos FROM arr),
+         |toks AS (SELECT doc_id, substr(term0, 1, 64) AS term, pos FROM t0),
+         |ph AS (
+         |  SELECT p0.doc_id, count(*) AS ptf
+         |  FROM toks p0 JOIN toks p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+         |  WHERE p0.term = 'hash' AND p1.term = 'join'
+         |  GROUP BY 1),
+         |isum AS (
+         |  SELECT (SELECT ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+         |          FROM dfx CROSS JOIN st WHERE dfx.term = 'hash')
+         |       + (SELECT ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+         |          FROM dfx CROSS JOIN st WHERE dfx.term = 'join') AS v),
+         |phsc AS (
+         |  SELECT ph.doc_id,
+         |         isum.v * (ph.ptf / (ph.ptf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score
+         |  FROM ph JOIN dl USING (doc_id) CROSS JOIN st CROSS JOIN isum),
+         |pfx AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'quer%'),
+         |neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge')
+         |SELECT s.doc_id,
+         |       round(coalesce(p.score, 0)
+         |             + (CASE WHEN x.doc_id IS NOT NULL THEN cast(1.0 AS double) ELSE cast(0.0 AS double) END)
+         |             + s.score, 6) AS score
+         |FROM sc s
+         |LEFT JOIN phsc p ON p.doc_id = s.doc_id
+         |LEFT JOIN pfx x ON x.doc_id = s.doc_id
+         |WHERE s.doc_id NOT IN (SELECT doc_id FROM neg)
+         |ORDER BY round(coalesce(p.score, 0)
+         |             + (CASE WHEN x.doc_id IS NOT NULL THEN cast(1.0 AS double) ELSE cast(0.0 AS double) END)
+         |             + s.score, 6) DESC,
+         |         s.doc_id""".stripMargin,
 
     "a01_scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem

@@ -1205,6 +1205,40 @@ object DocumentsIndex {
     rankedByDocId(spark, reader(spark, sfDir).queryStringDf(q),
       indexDir(spark, sfDir))
 
+  /** ES `simple_query_string` (lenient surface grammar — see
+    * IndexReader.simpleQueryStringDf / QueryString.parseSimple) over the
+    * text index, keyed by doc_id under the shared output protocol.
+    */
+  def simpleQueryString(spark: SparkSession, sfDir: String, q: String): DataFrame =
+    rankedByDocId(spark, reader(spark, sfDir).simpleQueryStringDf(q),
+      indexDir(spark, sfDir))
+
+  /** ES multi-index search (`GET /documents,documents_tags/_search`): ONE
+    * query run against BOTH indexes, each hit scored under its OWN index's
+    * corpus statistics — ES computes df/N/avgdl per index, cross-index idf
+    * is never blended — and merged globally by score with the `_index`
+    * discriminator column (the same doc_id can legitimately hit in both).
+    * Output protocol extends the shared one with `idx` in the tie-break
+    * key: (rounded score desc, idx asc, doc_id asc), cut at k.
+    *
+    * Plan shape: two independent term/tbucket-pruned scans (one per
+    * index), each already aggregated to hit grain, unioned — the only
+    * cross-index operator is the final TakeOrderedAndProject. Rank-all
+    * under the cut is deliberate: the tags side is tie-heavy categorical
+    * (same rationale as bm25Tags), and the union inherits each side's
+    * exact distributed ranking.
+    */
+  def multiIndexSearch(spark: SparkSession, sfDir: String, query: String,
+      k: Int): DataFrame = {
+    val text = rankedByDocId(spark, reader(spark, sfDir).scoreAllDf(query),
+      indexDir(spark, sfDir)).select(lit("documents").as("idx"), col("doc_id"), col("score"))
+    val tags = rankedByDocId(spark, tagsReader(spark, sfDir).scoreAllDf(query),
+      tagsIndexDir(spark, sfDir)).select(lit("documents_tags").as("idx"), col("doc_id"), col("score"))
+    val out = text.unionByName(tags)
+      .orderBy(desc("score"), asc("idx"), asc("doc_id"))
+    if (k > 0) out.limit(k) else out
+  }
+
   /** ES `dis_max` over match subqueries on the text index, keyed by doc_id
     * under the shared output protocol.
     */

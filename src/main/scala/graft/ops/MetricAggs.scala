@@ -17,6 +17,80 @@ import org.apache.spark.sql.functions._
   */
 object MetricAggs {
 
+  /** The pinned scripted_metric script: per-group RMS (root-mean-square)
+    * of the value — state (Σv², n). Each Aggregator member IS one of ES's
+    * four scripts: `zero` = init_script, `reduce` = map_script, `merge` =
+    * combine_script, `finish` = reduce_script — the contract maps 1:1,
+    * which is why Aggregator is the Spark-native home for user-scripted
+    * aggregation (it compiles to a partial-aggregate plan with map-side
+    * combine; the exchange moves one tiny state row per (partition, key),
+    * never the inputs).
+    */
+  private object RmsScript
+      extends org.apache.spark.sql.expressions.Aggregator[Double, (Double, Long), Double] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), v: Double): (Double, Long) = (b._1 + v * v, b._2 + 1L)
+    def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) = (a._1 + b._1, a._2 + b._2)
+    def finish(r: (Double, Long)): Double =
+      if (r._2 == 0L) 0.0 else math.sqrt(r._1 / r._2)
+    def bufferEncoder: Encoder[(Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** ES `scripted_metric` aggregation (ES reference:
+    * search.aggregations.metrics.ScriptedMetric*): user-scripted
+    * init/map/combine/reduce per bucket. Pinned script = [[RmsScript]]
+    * (RMS of `valCol`), 4-dp protocol rounding like the variance family
+    * (the Σv² fold order differs across engines/partitionings — sub-ulp,
+    * absorbed). Groups whose every value is NULL never enter the typed
+    * pipeline (ES maps only docs carrying the field); NULL values are
+    * filtered before the map script, matching that semantics.
+    */
+  def scriptedMetric(df: DataFrame, valCol: String, groupCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(valCol).isNotNull)
+      .select(col(groupCol).cast("string"), col(valCol).cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(RmsScript.toColumn.name("rms_raw"))
+      .toDF(groupCol, "rms_raw")
+      .select(col(groupCol), round(col("rms_raw"), 4).as("rms"))
+      .orderBy(groupCol)
+  }
+
+  /** ES `histogram` aggregation with `extended_bounds` + `min_doc_count: 0`
+    * (ES reference: search.aggregations.bucket.histogram.*): fixed-width
+    * buckets where the emitted range is FORCED to cover
+    * [min(data_min, bounds.min), max(data_max, bounds.max)] and empty
+    * buckets appear with n = 0 — the shape chart clients depend on.
+    * Plan: the per-bucket count agg (one combinable pass) left-joined to
+    * the full bucket axis, which is the 1-row min/max aggregate exploded
+    * through `sequence()` — pure plan, no driver collect, and the axis
+    * side is bucket-count-sized (broadcastable) regardless of data scale.
+    */
+  def histogramBounds(df: DataFrame, valCol: String, width: Long,
+      boundMin: Long, boundMax: Long): DataFrame = {
+    require(width > 0, s"histogram width must be positive, got $width")
+    require(boundMin <= boundMax, s"extended_bounds min $boundMin > max $boundMax")
+    val bucket = floor(col(valCol) / width).cast("long")
+    val counts = df.where(col(valCol).isNotNull)
+      .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("n"))
+    val axis = df.where(col(valCol).isNotNull).agg(
+        least(floor(min(col(valCol)) / width).cast("long"),
+          lit(Math.floorDiv(boundMin, width))).as("blo"),
+        greatest(floor(max(col(valCol)) / width).cast("long"),
+          lit(Math.floorDiv(boundMax, width))).as("bhi"))
+      .select(explode(sequence(col("blo"), col("bhi"))).as("bucket"))
+    axis.join(counts, Seq("bucket"), "left_outer")
+      .select((col("bucket") * width).as("bucket_lo"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("bucket_lo")
+  }
+
   /** ES `value_count` + `missing` over a sparse field: value_count counts
     * the VALUES present in each bucket, missing counts the docs without
     * one. ES exposes them as two sibling aggs over the same field; they

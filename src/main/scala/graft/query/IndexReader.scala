@@ -1742,8 +1742,40 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * aggregate, and the bucketed top-k exists there); this composer is for
     * the mixed-kind queries those can't express.
     */
-  def queryStringDf(q: String): DataFrame = {
-    val clauses = QueryString.parse(q)
+  def queryStringDf(q: String): DataFrame =
+    composeClauses(QueryString.parse(q))
+
+  /** ES `simple_query_string` (pinned v1 grammar — [[QueryString.parseSimple]]):
+    * the SAME clause algebra, scoring and plan shape as [[queryStringDf]]
+    * (the BooleanQuery composer is shared), different surface syntax and a
+    * LENIENT contract — `|` OR separators, infix `+` AND, leading `-`,
+    * phrases, trailing-`*` prefixes; malformed operators degrade to literal
+    * text and empty clauses drop, so this path never throws on user input
+    * (ES's documented simple_query_string contract). Raw term chunks fan
+    * out through the analyzer here (one clause per emitted token, chunk's
+    * occur preserved) — ES analyzes free text, and a chunk like `a.b` is
+    * two terms to this tokenizer; a prefix chunk keeps its LAST analyzed
+    * token as the prefix and fans earlier tokens out as same-occur terms
+    * (lenient pin). Pure-negative or empty-after-analysis queries match
+    * nothing (Lucene's pure-prohibited bool).
+    */
+  def simpleQueryStringDf(q: String): DataFrame = {
+    import QueryString._
+    val flat = parseSimple(q).flatMap {
+      case Clause(Term(t), occ) =>
+        CodeTokenizer.tokenize(t, analyzer).map(tok => Clause(Term(tok), occ)).toSeq
+      case Clause(Prefix(pfx), occ) =>
+        val toks = CodeTokenizer.tokenize(pfx, analyzer)
+        if (toks.isEmpty) Seq.empty
+        else toks.init.map(tok => Clause(Term(tok), occ)).toSeq :+
+          Clause(Prefix(toks.last), occ)
+      case c @ Clause(Phrase(_), _) => Seq(c)
+    }
+    if (flat.isEmpty || !flat.exists(_.occur >= 0)) emptyHits
+    else composeClauses(flat)
+  }
+
+  private def composeClauses(clauses: Seq[QueryString.Clause]): DataFrame = {
     def frame(b: QueryString.Body): DataFrame = b match {
       case QueryString.Term(t) =>
         val toks = CodeTokenizer.tokenize(t, analyzer)

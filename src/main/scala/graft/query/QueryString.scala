@@ -84,4 +84,73 @@ object QueryString {
       s"query_string '$q' has only prohibited clauses — nothing can match (Lucene rejects this too)")
     out.toSeq
   }
+
+  /** ES `simple_query_string` surface syntax, pinned v1 (SURVEY.md §2.3
+    * B27): same clause algebra as [[parse]] — the output feeds the SAME
+    * BooleanQuery composer — but a different grammar and a LENIENT error
+    * contract (ES: simple_query_string "discards invalid parts" and never
+    * throws, unlike query_string):
+    *
+    *   - clauses split on whitespace; a bare `|` (ES OR) is a separator
+    *     only — unsigned clauses already compose as SHOULD, which IS the
+    *     default-OR semantics;
+    *   - infix `+` (ES AND) splits a chunk into clauses that are each
+    *     REQUIRED: `a+b` → must(a), must(b);
+    *   - a leading `-` prohibits the chunk (and wins over infix `+`:
+    *     `-a+b` prohibits both — lenient pin);
+    *   - `"…"` is a phrase; an UNTERMINATED quote degrades to plain text
+    *     (the quote char drops, the rest re-scans as a term chunk);
+    *   - a trailing `*` marks a prefix clause; any other `*` placement is
+    *     literal text for the analyzer to strip (never an error);
+    *   - chunks that end up empty after operator stripping drop silently.
+    *
+    * PINNED FLATTENING divergence: ES parses `a b+c` as `a OR (b AND c)`
+    * (a recursive grammar); this v1 compiles a FLAT clause list, so
+    * `+`-members become MUST clauses globally — should(a), must(b),
+    * must(c) — exact when the query carries a single conjunction (the
+    * common case) and stricter otherwise. The driver twin mirrors the
+    * flat semantics, so parity is unaffected.
+    *
+    * Term text is returned RAW (possibly multi-token); the caller fans
+    * each Term out through its analyzer — ES analyzes free text per field,
+    * and the analyzer lives with the index, not the parser.
+    */
+  def parseSimple(q: String): Seq[Clause] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Clause]
+    val n = q.length
+    var i = 0
+    while (i < n) {
+      while (i < n && (q(i).isWhitespace || q(i) == '|')) i += 1
+      if (i < n) {
+        var occur = 0
+        if (q(i) == '-') { occur = -1; i += 1 }
+        if (i < n && q(i) == '"') {
+          val close = q.indexOf('"', i + 1)
+          if (close > i) {
+            val body = q.substring(i + 1, close)
+            if (body.trim.nonEmpty) out += Clause(Phrase(body), occur)
+            i = close + 1
+          } else {
+            i += 1 // unterminated quote: degrade to text (lenient pin)
+          }
+        } else if (i < n && !q(i).isWhitespace && q(i) != '|') {
+          var j = i
+          while (j < n && !q(j).isWhitespace && q(j) != '|') j += 1
+          val raw = q.substring(i, j)
+          // infix '+' = AND: every non-empty part becomes its own clause,
+          // REQUIRED unless the chunk head already prohibited it
+          val parts = raw.split('+').toSeq.filter(_.nonEmpty)
+          val partOccur = if (occur < 0) -1 else if (parts.size > 1 || raw.contains('+')) 1 else occur
+          for (p <- parts) {
+            if (p.endsWith("*") && p.length > 1 && !p.dropRight(1).contains('*'))
+              out += Clause(Prefix(p.dropRight(1)), partOccur)
+            else if (p != "*")
+              out += Clause(Term(p), partOccur)
+          }
+          i = j
+        }
+      }
+    }
+    out.toSeq
+  }
 }

@@ -234,4 +234,62 @@ class ApiSurfaceSpec extends SparkSpec {
     assert(got == Seq(("2024-01-01", 3.0 / 7.0, 3.0), ("2024-01-08", 1.0 / 7.0, 2.0)),
       s"rate: $got")
   }
+
+  test("multi_index: per-index corpus stats, global (score, idx, doc_id) order, k cut") {
+    assume(haveData, s"$sfDir not mounted")
+    // brute tags-index model straight from the raw columns (field = 'lang source')
+    val tagsById: Map[Long, Array[String]] =
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), concat_ws(" ", col("lang"), col("source")).as("t"))
+        .as[(Long, String)].collect()
+        .map { case (id, t) => id -> CodeTokenizer.tokenize(t) }.toMap
+    val tN = tagsById.size.toLong
+    val tAvg = tagsById.valuesIterator.map(_.length.toLong).sum.toDouble / tN
+    def tagsDf(t: String): Long = tagsById.valuesIterator.count(_.contains(t)).toLong
+    def tagsBm25(id: Long, t: String): Double = {
+      val ts = tagsById(id)
+      val tf = ts.count(_ == t).toLong
+      if (tf == 0) 0.0
+      else Bm25.idf(tN, tagsDf(t)) * Bm25.tfNorm(tf, ts.length.toLong, tAvg, Bm25.Default)
+    }
+    val terms = Seq("en", "spark") // sorted — the engine's pinned fold order
+    val textHits = toksById.keysIterator
+      .filter(id => terms.exists(toksById(id).contains))
+      .map(id => ("documents", id,
+        round6(terms.foldLeft(0.0)((a, t) => a + bm25Of(id, t))))).toSeq
+    val tagHits = tagsById.keysIterator
+      .filter(id => terms.exists(tagsById(id).contains))
+      .map(id => ("documents_tags", id,
+        round6(terms.foldLeft(0.0)((a, t) => a + tagsBm25(id, t))))).toSeq
+    assert(textHits.nonEmpty && tagHits.nonEmpty, "query must hit BOTH indexes")
+    val want = (textHits ++ tagHits).sortBy { case (ix, id, s) => (-s, ix, id) }.take(10)
+    val got = DocumentsIndex.multiIndexSearch(spark, sfDir, "en spark", 10)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == want, s"multi_index top-10: $got vs $want")
+    // k <= 0 is the full union — one row per (index, hit)
+    assert(DocumentsIndex.multiIndexSearch(spark, sfDir, "en spark", -1).count() ==
+      (textHits.size + tagHits.size).toLong)
+  }
+
+  test("simple_query_string driver row: optional phrase+prefix, required term, prohibited term == brute") {
+    assume(haveData, s"$sfDir not mounted")
+    val idfSum = Bm25.idf(nDocs, dfOf("hash")) + Bm25.idf(nDocs, dfOf("join"))
+    val got = DocumentsIndex.simpleQueryString(spark, sfDir,
+      "\"hash join\" | quer* -merge +spark").as[(Long, Double)].collect().toMap
+    val want = toksById.iterator.flatMap { case (id, ts) =>
+      if (!ts.contains("spark") || ts.contains("merge")) None
+      else {
+        val ptf = (0 to ts.length - 2).count(i => ts(i) == "hash" && ts(i + 1) == "join")
+        val ph = if (ptf == 0) 0.0
+          else idfSum * Bm25.tfNorm(ptf.toLong, ts.length.toLong, avgDl, Bm25.Default)
+        val pfx = if (ts.exists(_.startsWith("quer"))) 1.0 else 0.0
+        Some(id -> round6(ph + pfx + bm25Of(id, "spark")))
+      }
+    }.toMap
+    assert(got == want, s"simple_qs: ${(got.toSet -- want.toSet).take(3)} vs ${(want.toSet -- got.toSet).take(3)}")
+    // the fixture must exercise the prefix and the exclusion non-trivially
+    assert(want.valuesIterator.exists(_ >= 1.0), "prefix clause never fired")
+    assert(toksById.valuesIterator.exists(ts => ts.contains("spark") && ts.contains("merge")),
+      "exclusion clause never fired")
+  }
 }

@@ -93,4 +93,39 @@ class MetricAggsSpec extends SparkSpec {
     assert(mo == Seq((ts("2024-01-01 00:00:00"), 4L, "month")), s"month: $mo")
     intercept[IllegalArgumentException](MetricAggs.autoDateHistogram(df, "ts", 0))
   }
+
+  test("scripted_metric: Aggregator map/combine/reduce == brute RMS; nulls never reach the map script") {
+    val df = Seq(
+      ("a", Option(3.0)), ("a", Option(4.0)),
+      ("b", Option(5.0)), ("b", Option.empty[Double]), ("b", Option(12.0)))
+      .toDF("g", "v")
+    val got = MetricAggs.scriptedMetric(df, "v", "g").as[(String, Double)].collect().toSeq
+    // a: sqrt((9+16)/2) = 3.5355; b: sqrt((25+144)/2) = 9.1924 — the null drops
+    assert(got == Seq(("a", 3.5355), ("b", 9.1924)), s"scripted_metric: $got")
+    // 16 input partitions: combine_script (merge) must fold partials associatively
+    val big = spark.range(0, 1000, 1, 16)
+      .select(lit("k").as("g"), col("id").cast("double").as("v"))
+    val rms = MetricAggs.scriptedMetric(big, "v", "g").as[(String, Double)].head()._2
+    val brute = math.sqrt((0 until 1000).map(i => i.toDouble * i).sum / 1000)
+    assert(math.abs(rms - brute) < 5e-5, s"partitioned RMS $rms vs brute $brute")
+  }
+
+  test("histogram extended_bounds + min_doc_count=0: axis covers data ∪ bounds, zero-filled") {
+    val df = Seq(5.0, 7.0, 31.0, 99.0).toDF("v")
+    // bounds INSIDE the data span: the axis is data-driven, interior gaps zero-fill
+    val tight = MetricAggs.histogramBounds(df, "v", 10L, 20L, 40L)
+      .as[(Long, Long)].collect().toSeq
+    val wantTight = (0L to 9L).map(b => (b * 10, b match {
+      case 0 => 2L; case 3 => 1L; case 9 => 1L; case _ => 0L
+    }))
+    assert(tight == wantTight, s"tight: $tight")
+    // bounds BEYOND the data on both sides, negative floor included
+    val wide = MetricAggs.histogramBounds(df, "v", 10L, -25L, 120L)
+      .as[(Long, Long)].collect().toSeq
+    assert(wide.size == 16 && wide.head == ((-30L, 0L)) && wide.last == ((120L, 0L)),
+      s"wide axis: $wide")
+    assert(wide.toMap.apply(0L) == 2L && wide.toMap.apply(30L) == 1L)
+    intercept[IllegalArgumentException](MetricAggs.histogramBounds(df, "v", 0L, 0L, 1L))
+    intercept[IllegalArgumentException](MetricAggs.histogramBounds(df, "v", 10L, 5L, -5L))
+  }
 }

@@ -144,6 +144,51 @@ class QueryComposeSpec extends SparkSpec with BeforeAndAfterAll {
     assert(noPh.keySet == matchDocs("def").filterNot(id => slide(tokensById(id))))
   }
 
+  // --- simple_query_string ---------------------------------------------------
+  test("simple_query_string parser: lenient operators, infix AND, degrade-to-text") {
+    import QueryString._
+    assert(parseSimple("a b") == Seq(Clause(Term("a"), 0), Clause(Term("b"), 0)))
+    assert(parseSimple("a | b") == Seq(Clause(Term("a"), 0), Clause(Term("b"), 0)))
+    assert(parseSimple("a+b c") ==
+      Seq(Clause(Term("a"), 1), Clause(Term("b"), 1), Clause(Term("c"), 0)))
+    assert(parseSimple("+a") == Seq(Clause(Term("a"), 1)))
+    assert(parseSimple("-a+b") == Seq(Clause(Term("a"), -1), Clause(Term("b"), -1)))
+    assert(parseSimple("\"x y\" -\"z w\"") ==
+      Seq(Clause(Phrase("x y"), 0), Clause(Phrase("z w"), -1)))
+    assert(parseSimple("pre* -r*") ==
+      Seq(Clause(Prefix("pre"), 0), Clause(Prefix("r"), -1)))
+    // every input below throws in the classic parser; simple degrades silently
+    assert(parseSimple("") == Seq.empty)
+    assert(parseSimple("  |  ") == Seq.empty)
+    assert(parseSimple("\"unclosed x") ==
+      Seq(Clause(Term("unclosed"), 0), Clause(Term("x"), 0)))
+    assert(parseSimple("a -") == Seq(Clause(Term("a"), 0)))
+    assert(parseSimple("a * b") == Seq(Clause(Term("a"), 0), Clause(Term("b"), 0)))
+  }
+
+  test("simple_query_string == classic query_string where the grammars overlap") {
+    val pairs = Seq(
+      ("def val", "def | val"),
+      ("+def -class \"def val\"", "+def -class \"def val\""),
+      ("\"def val\" va* -class", "\"def val\" | va* -class"))
+    for ((classic, simple) <- pairs) {
+      val want = reader.queryStringDf(classic).as[(Long, Double)].collect().toMap
+      val got = reader.simpleQueryStringDf(simple).as[(Long, Double)].collect().toMap
+      assert(got == want, s"simple '$simple' vs classic '$classic'")
+      assert(want.nonEmpty, s"'$classic' matched nothing — fixture too sparse")
+    }
+  }
+
+  test("simple_query_string engine leniency: never throws; pure-negative/empty match nothing; analyzer fan-out") {
+    assert(reader.simpleQueryStringDf("").isEmpty)
+    assert(reader.simpleQueryStringDf("-def").isEmpty)
+    assert(reader.simpleQueryStringDf("\"unclosed").isEmpty) // degrades to an absent term
+    // a chunk the analyzer splits fans out to SHOULD clauses == the spaced form
+    val dotted = reader.simpleQueryStringDf("def.val").as[(Long, Double)].collect().toMap
+    val spaced = reader.simpleQueryStringDf("def val").as[(Long, Double)].collect().toMap
+    assert(dotted == spaced && dotted.nonEmpty, "analyzer fan-out must equal the spaced form")
+  }
+
   // --- dis_max --------------------------------------------------------------
   test("dis_max == brute max + tb·(sum − max) at tb in {0, 0.5, 1}; single query passthrough") {
     val (q1, q2) = ("def val", "class import")
