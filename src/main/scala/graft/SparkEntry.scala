@@ -659,6 +659,28 @@ object SparkEntry {
     // 'merge', required 'spark' (leading '+' = infix-AND chunk).
     "b83_simple_qs" -> ((s, d) =>
       DocumentsIndex.simpleQueryString(s, d, "\"hash join\" | quer* -merge +spark")),
+    // B33 rrf retriever (ES 8 hybrid search): BM25('spark join') fused
+    // with kNN(vec 0) via reciprocal rank fusion — 1/(60+rank) summed over
+    // each retriever's top-100 window, top 10 fused hits.
+    "b84_rrf" -> ((s, d) => DocumentsIndex.rrfSearch(s, d, "spark join", 0L)),
+    // B22/B10 field collapse with inner_hits: top-3 hits per lang group,
+    // ranked inside the group under the protocol order.
+    "b85_collapse_inner" -> ((s, d) =>
+      DocumentsIndex.collapseInnerHits(s, d, "hash table", 3)),
+    // B29 has_child with inner_hits: qualifying parents (>= 12 error
+    // events) each carrying their top-3 children by (value desc, event_id).
+    "b86_has_child_inner" -> ((s, d) => {
+      val errs = tbl(s, d, "events").where(col("event_type") === "error")
+      graft.ops.JoinFieldOps.hasChildInnerHits(tbl(s, d, "documents"), "doc_id",
+          errs, "user_id", "value", "event_id", 3, minChildren = 12L)
+        .select(col("user_id").as("parent_id"), col("hit_rank"),
+          col("event_id"), col("value"))
+        .orderBy("parent_id", "hit_rank")
+    }),
+    // B16 minimum_should_match PERCENTAGE spec: '75%' of 4 should clauses
+    // resolves to floor(3) — the parameter form every ES client sends.
+    "b87_msm_pct" -> ((s, d) => DocumentsIndex.bm25BoolMsmSpec(s, d, Nil,
+      Seq("join", "vector", "window", "stream"), "75%")),
 
     // -- Layer A: toolchain operators (SURVEY.md §2.1/2.2) -----------------
     "a01_scan_projection" -> ((s, d) =>
@@ -2391,6 +2413,66 @@ object SparkEntry {
          |             + (CASE WHEN x.doc_id IS NOT NULL THEN cast(1.0 AS double) ELSE cast(0.0 AS double) END)
          |             + s.score, 6) DESC,
          |         s.doc_id""".stripMargin,
+    // rrf twin: each retriever's window is its own protocol-ordered LIMIT,
+    // ranks via row_number over the ROUNDED keys (integer-stable), fused
+    // reciprocals summed over the full-outer join
+    "b84_rrf" ->
+      s"""WITH ${bm25Ctes(Seq("join", "spark"))},
+         |tw AS (SELECT doc_id, round(score, 6) AS s FROM sc
+         |       ORDER BY round(score, 6) DESC, doc_id LIMIT 100),
+         |tr AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rt FROM tw),
+         |vw AS (SELECT a.vec_id AS doc_id,
+         |              round(list_cosine_similarity(cast(a.embedding AS double[]), cast(b.embedding AS double[])), 4) AS c
+         |       FROM embeddings a, embeddings b
+         |       WHERE b.vec_id = 0 AND a.vec_id <> 0
+         |       ORDER BY 2 DESC, 1 LIMIT 100),
+         |vr AS (SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rv FROM vw)
+         |SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id,
+         |       round(coalesce(1.0 / (60 + rt), 0) + coalesce(1.0 / (60 + rv), 0), 6) AS score
+         |FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id
+         |ORDER BY round(coalesce(1.0 / (60 + rt), 0) + coalesce(1.0 / (60 + rv), 0), 6) DESC,
+         |         coalesce(tr.doc_id, vr.doc_id)
+         |LIMIT 10""".stripMargin,
+    "b85_collapse_inner" ->
+      s"""WITH ${bm25Ctes(Seq("hash", "table"))},
+         |scr AS (SELECT doc_id, round(score, 6) AS score FROM sc),
+         |r AS (
+         |  SELECT d.lang, s.doc_id, s.score,
+         |         row_number() OVER (PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id) AS hit_rank
+         |  FROM scr s JOIN documents d USING (doc_id))
+         |SELECT lang, hit_rank, doc_id, score FROM r
+         |WHERE hit_rank <= 3 ORDER BY lang, hit_rank""".stripMargin,
+    "b86_has_child_inner" ->
+      """WITH q AS (
+        |  SELECT user_id FROM events WHERE event_type = 'error'
+        |  GROUP BY 1 HAVING count(*) >= 12),
+        |qp AS (SELECT q.user_id FROM q JOIN documents d ON d.doc_id = q.user_id),
+        |r AS (
+        |  SELECT e.user_id AS parent_id, e.event_id, e.value,
+        |         row_number() OVER (PARTITION BY e.user_id ORDER BY e.value DESC, e.event_id) AS hit_rank
+        |  FROM events e JOIN qp ON qp.user_id = e.user_id
+        |  WHERE e.event_type = 'error')
+        |SELECT parent_id, hit_rank, event_id, value FROM r
+        |WHERE hit_rank <= 3 ORDER BY parent_id, hit_rank""".stripMargin,
+    // msm percentage twin: b26's distinct-should counter at the resolved
+    // floor — 75% of 4 rounds DOWN to 3
+    "b87_msm_pct" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+         |             * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score,
+         |         count(DISTINCT tf.term) AS scnt
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
+         |  WHERE tf.term IN ('join', 'vector', 'window', 'stream')
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |WHERE scnt >= 3
+         |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
 
     "a01_scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem

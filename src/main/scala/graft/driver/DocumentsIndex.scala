@@ -230,6 +230,79 @@ object DocumentsIndex {
         filter = filter, dlRange = dlRange),
       indexDir(spark, sfDir))
 
+  /** ES bool `should` with a `minimum_should_match` SPEC string — the
+    * percentage / integer parameter form every ES client sends
+    * (BoolMatcher.resolveMinShould pins the v1 grammar); resolution is
+    * pure arithmetic feeding the SAME msm executor b26 rides.
+    */
+  def bm25BoolMsmSpec(spark: SparkSession, sfDir: String, must: Seq[String],
+      should: Seq[String], spec: String): DataFrame =
+    bm25Bool(spark, sfDir, must, should, Nil,
+      minShould = graft.query.BoolMatcher.resolveMinShould(spec, should.size))
+
+  /** ES 8 `rrf` retriever (reciprocal rank fusion — the hybrid-search
+    * combiner over a lexical and a kNN retriever): each retriever
+    * contributes 1/(rank_constant + rank) for hits inside its OWN
+    * rank_window_size, summed across retrievers. Ranks come from each
+    * retriever's protocol order (text: 6-dp BM25 desc then doc_id; vector:
+    * 4-dp cosine desc then vec_id — both already rounded), so they are
+    * integer-stable across engines and the fused doubles are bit-identical
+    * sums of exact reciprocals.
+    *
+    * Plan shape: each retriever cuts to its window FIRST as a distributed
+    * TakeOrderedAndProject (the text side through the bounded WAND top-k,
+    * the vector side through the broadcast-probe scan); the row_number
+    * windows then run over window_size-row frames — bounded single
+    * partitions, exactly where ES fuses coordinator-side — and the fusion
+    * join is window-sized on both sides. The corpus is never globally
+    * sorted or windowed.
+    */
+  def rrfSearch(spark: SparkSession, sfDir: String, query: String,
+      probeId: Long, windowSize: Int = 100, rankConstant: Int = 60,
+      k: Int = 10): DataFrame = {
+    require(windowSize >= 1 && rankConstant >= 1 && k >= 1,
+      s"rrf params must be positive: window=$windowSize, const=$rankConstant, k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val tWin = bm25(spark, sfDir, query, windowSize)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(desc("score"), asc("doc_id"))).as("rt"))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vWin = graft.ops.VectorOps.cosineTopK(emb, probeId, windowSize)
+      .select(col("vec_id").as("doc_id"), row_number().over(
+        Window.orderBy(desc("cosine"), asc("vec_id"))).as("rv"))
+    tWin.join(vWin, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(rankConstant) + col("rt")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rankConstant) + col("rv")), lit(0.0)), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** ES field collapse with `inner_hits` (collapse on `lang`, top
+    * `perGroup` hits per group): every matching doc ranks INSIDE its
+    * collapse group under the protocol order; groups surface with their
+    * members ranked 1..perGroup. The ranking window partitions on the
+    * collapse key — the distributed shape (b35's collapse as a max-struct
+    * agg stays the cheaper form when only the best hit is wanted); output
+    * rows are (lang, hit_rank, doc_id, score), set-deterministic under
+    * the (lang, hit_rank) order.
+    */
+  def collapseInnerHits(spark: SparkSession, sfDir: String, query: String,
+      perGroup: Int): DataFrame = {
+    require(perGroup >= 1, s"inner_hits size must be >= 1, got $perGroup")
+    import org.apache.spark.sql.expressions.Window
+    val scores = rankedByDocId(spark, reader(spark, sfDir).scoreAllDf(query),
+      indexDir(spark, sfDir))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val byGroup = Window.partitionBy("lang").orderBy(desc("score"), asc("doc_id"))
+    scores.join(docs, Seq("doc_id"))
+      .withColumn("hit_rank", row_number().over(byGroup))
+      .where(col("hit_rank") <= perGroup)
+      .select(col("lang"), col("hit_rank"), col("doc_id"), col("score"))
+      .orderBy(asc("lang"), asc("hit_rank"))
+  }
+
   /** ES `terms_set` query: docs containing at least `minMatch` of the given
     * terms, scored as the bool-should sum of the matched terms' BM25
     * contributions — exactly how ES executes it (a CoveringQuery over the

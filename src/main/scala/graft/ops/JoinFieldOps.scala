@@ -55,6 +55,30 @@ object JoinFieldOps {
         Seq(childKey), "left_semi")
       .select(children.columns.map(col).toIndexedSeq: _*) // joins hoist the key column first
 
+  /** ES `has_child` with `inner_hits`: the qualifying parents ([[hasChild]]
+    * count-range semantics) each carrying their top-`perParent` matching
+    * children, ranked INSIDE the parent by (sortCol desc, tieCol asc) — ES
+    * returns an inner_hits block per parent hit. The ranking window
+    * partitions on the join key (distributed — never a global sort), and
+    * children rank only AFTER the semi join onto qualifying parents (ES
+    * collects inner_hits only for emitted parent hits), so the window's
+    * input is already cut to the output parents' children. Output = the
+    * child's columns + `hit_rank`.
+    */
+  def hasChildInnerHits(parents: DataFrame, parentKey: String,
+      children: DataFrame, childKey: String, sortCol: String, tieCol: String,
+      perParent: Int, minChildren: Long = 1L,
+      maxChildren: Long = Long.MaxValue): DataFrame = {
+    require(perParent >= 1, s"inner_hits size must be >= 1, got $perParent")
+    val qualifying = hasChild(parents, parentKey, children, childKey,
+      minChildren, maxChildren).select(col(parentKey).as(childKey))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(childKey)).orderBy(desc(sortCol), asc(tieCol))
+    children.join(qualifying, Seq(childKey), "left_semi")
+      .withColumn("hit_rank", row_number().over(w))
+      .where(col("hit_rank") <= perParent)
+  }
+
   /** ES `children` aggregation: bucket the PARENTS (here by `bucket`), then
     * aggregate metrics over each bucket's CHILD documents — "per parent
     * category, how many children and what's their mean value". One shuffle

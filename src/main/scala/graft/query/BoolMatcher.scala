@@ -19,6 +19,32 @@ import graft.index.PostingBlock
   * as one primitive long-array sort — no boxing.
   */
 object BoolMatcher {
+
+  /** ES `minimum_should_match` SPEC resolution (pinned v1 subset of the
+    * parameter syntax): a plain non-negative integer (`"3"`), or a positive
+    * percentage (`"75%"`) resolved as floor(n · pct / 100) — ES documents
+    * that percentages "round down". Out of the v1 grammar (each rejected
+    * LOUDLY rather than mis-parsed): negative forms (`-2`, `-25%` — count
+    * FROM the clause total), conditional combinations (`3<90%`), and
+    * multiple space-separated conditions. The resolved floor feeds the
+    * SAME msm executors (searchBool / searchBoolDf) an integer floor
+    * always did — resolution is pure arithmetic, no new query semantics.
+    */
+  def resolveMinShould(spec: String, nOptional: Int): Int = {
+    require(nOptional >= 0, s"optional clause count must be >= 0, got $nOptional")
+    val s = spec.trim
+    val pct = """(\d{1,3})%""".r
+    val int = """(\d+)""".r
+    s match {
+      case pct(v) =>
+        val p = v.toInt
+        require(p <= 100, s"minimum_should_match percentage > 100%: '$spec'")
+        nOptional * p / 100 // integer floor — ES rounds percentages down
+      case int(v) => v.toInt
+      case _ => throw new IllegalArgumentException(
+        s"minimum_should_match spec '$spec' outside the pinned v1 grammar (integer or 'N%')")
+    }
+  }
   /** Bucket-local top-k. `scoring` = (term, idf) for must ∪ should terms,
     * ASCENDING term order; `mustT`/`notT` are distinct term lists; every
     * term's blocks (sorted by firstDocId) that exist in this bucket are in

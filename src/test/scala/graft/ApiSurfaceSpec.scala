@@ -292,4 +292,72 @@ class ApiSurfaceSpec extends SparkSpec {
     assert(toksById.valuesIterator.exists(ts => ts.contains("spark") && ts.contains("merge")),
       "exclusion clause never fired")
   }
+
+  test("rrf: fused reciprocals over per-retriever windows == brute fusion; both retrievers contribute") {
+    assume(haveData, s"$sfDir not mounted")
+    val (window, rc, k) = (100, 60, 10)
+    // text ranks brute from raw tokenization under the protocol order
+    val terms = Seq("join", "spark")
+    val textRank: Map[Long, Int] = toksById.keysIterator
+      .filter(id => terms.exists(toksById(id).contains))
+      .map(id => id -> round6(terms.foldLeft(0.0)((a, t) => a + bm25Of(id, t))))
+      .toSeq.sortBy { case (id, s) => (-s, id) }.take(window)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    // vector ranks from the cosine kernel (itself brute-gated in OpsSpec) —
+    // this gate verifies the FUSION and windowing, not the cosine
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vecRank: Map[Long, Int] = graft.ops.VectorOps.cosineTopK(emb, 0L, window)
+      .as[(Long, Double)].collect().toSeq
+      .sortBy { case (id, c) => (-c, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val want = (textRank.keySet ++ vecRank.keySet).iterator.map { id =>
+      val f = textRank.get(id).map(r => 1.0 / (rc + r)).getOrElse(0.0) +
+        vecRank.get(id).map(r => 1.0 / (rc + r)).getOrElse(0.0)
+      (id, round6(f))
+    }.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+    val got = DocumentsIndex.rrfSearch(spark, sfDir, "spark join", 0L, window, rc, k)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want, s"rrf top-$k: $got vs $want")
+    // a hit fused from BOTH retrievers must exist in the window union
+    assert((textRank.keySet & vecRank.keySet).nonEmpty, "no doc in both windows — fixture too sparse")
+    intercept[IllegalArgumentException](DocumentsIndex.rrfSearch(spark, sfDir, "spark", 0L, 0))
+  }
+
+  test("collapse inner_hits: per-group protocol ranks, cut at 3, every matching group present") {
+    assume(haveData, s"$sfDir not mounted")
+    val terms = Seq("hash", "table")
+    val langById = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("lang")).as[(Long, String)].collect().toMap
+    val scored = toksById.keysIterator
+      .filter(id => terms.exists(toksById(id).contains))
+      .map(id => (langById(id), id,
+        round6(terms.foldLeft(0.0)((a, t) => a + bm25Of(id, t))))).toSeq
+    val want = scored.groupBy(_._1).iterator.flatMap { case (lang, hits) =>
+      hits.sortBy { case (_, id, s) => (-s, id) }.take(3).zipWithIndex
+        .map { case ((_, id, s), i) => (lang, i + 1, id, s) }
+    }.toSeq.sortBy { case (lang, r, _, _) => (lang, r) }
+    val got = DocumentsIndex.collapseInnerHits(spark, sfDir, "hash table", 3)
+      .as[(String, Int, Long, Double)].collect().toSeq
+    assert(got == want, s"collapse inner_hits: ${got.take(4)} vs ${want.take(4)}")
+    assert(want.map(_._1).distinct.size > 1, "single group — fixture too sparse")
+  }
+
+  test("minimum_should_match spec: percentage floors, integers pass through, bad specs loud; engine == integer twin") {
+    import graft.query.BoolMatcher.resolveMinShould
+    assert(resolveMinShould("75%", 4) == 3)
+    assert(resolveMinShould("50%", 3) == 1)
+    assert(resolveMinShould("100%", 4) == 4)
+    assert(resolveMinShould("0%", 4) == 0)
+    assert(resolveMinShould("2", 5) == 2)
+    for (bad <- Seq("-25%", "3<90%", "abc", "150%", "", "2 3"))
+      intercept[IllegalArgumentException](resolveMinShould(bad, 4))
+    assume(haveData, s"$sfDir not mounted")
+    val should = Seq("join", "vector", "window", "stream")
+    val got = DocumentsIndex.bm25BoolMsmSpec(spark, sfDir, Nil, should, "75%")
+      .as[(Long, Double)].collect().toSeq
+    val want = DocumentsIndex.bm25Bool(spark, sfDir, Nil, should, Nil, minShould = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want, "percentage spec must ride the identical integer-floor path")
+    assert(got.nonEmpty)
+  }
 }

@@ -165,6 +165,30 @@ class PipelineJoinSpec extends SparkSpec {
       "has_parent must plan a semi join")
   }
 
+  test("has_child inner_hits: per-parent (sort desc, tie asc) ranks cut at perParent; only qualifying parents' children") {
+    val parents = Seq(1L, 2L, 3L).toDF("pid")
+    // parent 1: three children (one value tie broken by eid); parent 2: one
+    // child (below min_children=2); parent 5: orphan (no parent row)
+    val children = Seq(
+      (10L, 1L, 5.0), (11L, 1L, 9.0), (12L, 1L, 5.0),
+      (20L, 2L, 7.0), (50L, 5L, 8.0), (51L, 5L, 8.5))
+      .toDF("eid", "cid", "v")
+    val got = JoinFieldOps.hasChildInnerHits(parents, "pid", children, "cid",
+        "v", "eid", 2, minChildren = 2L)
+      .select("cid", "hit_rank", "eid", "v")
+      .orderBy("cid", "hit_rank").as[(Long, Int, Long, Double)].collect().toSeq
+    // parent 1 qualifies; rank = (9.0, eid 11), then the tie (5.0) broken by
+    // eid 10 < 12; perParent=2 cuts eid 12. Parent 2 under-count, 5 orphan.
+    assert(got == Seq((1L, 1, 11L, 9.0), (1L, 2, 10L, 5.0)), s"inner_hits: $got")
+    // perParent=1 keeps only the best child per parent
+    val top1 = JoinFieldOps.hasChildInnerHits(parents, "pid", children, "cid",
+        "v", "eid", 1).select("cid", "eid").orderBy("cid")
+      .as[(Long, Long)].collect().toSeq
+    assert(top1 == Seq((1L, 11L), (2L, 20L)), s"top1: $top1")
+    intercept[IllegalArgumentException](JoinFieldOps.hasChildInnerHits(
+      parents, "pid", children, "cid", "v", "eid", 0))
+  }
+
   /** The engine's tile formula re-spelled driver-side (same JVM libm, same
     * 6-dp mercator rounding) — the brute oracle for the grid gate.
     */
