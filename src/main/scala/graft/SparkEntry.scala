@@ -681,6 +681,43 @@ object SparkEntry {
     // resolves to floor(3) — the parameter form every ES client sends.
     "b87_msm_pct" -> ((s, d) => DocumentsIndex.bm25BoolMsmSpec(s, d, Nil,
       Seq("join", "vector", "window", "stream"), "75%")),
+    // B14 point-in-time search: the PIT manifest here = the delta index's
+    // BASE segment only — deterministically the manifest openPit returned
+    // before the delta commit landed (segments are immutable; the sbt gate
+    // proves live open-commit-search bit-stability).
+    "b88_pit" -> ((s, d) => DocumentsIndex.pitSearch(s, d, "spark join",
+      Seq(DocumentsIndex.deltaIndexDir(s, d)))),
+    // B18 fuzzy with prefix_length=1: edits only after the exact first
+    // char — the expansion scans a dictionary RANGE slice, not every term.
+    "b89_fuzzy_prefix" -> ((s, d) =>
+      DocumentsIndex.fuzzyMatch(s, d, "bag", 2, prefixLength = 1)),
+    // A3 _mget: k keyed GETs with per-id found/missing flags — the id list
+    // pushes to the scan as an IN filter, the miss marker is a left join
+    // over the (tiny) found set.
+    "a61_mget" -> ((s, d) => {
+      import s.implicits._
+      val wanted = Seq(1L, 7L, 42L, 123456789L)
+      val found = tbl(s, d, "documents").where(col("doc_id").isin(wanted: _*))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      wanted.toDF("doc_id").join(found, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("lang").isNotNull.as("found"),
+          coalesce(col("lang"), lit("")).as("lang"),
+          coalesce(col("n_chars"), lit(0L)).as("n_chars"))
+        .orderBy("doc_id")
+    }),
+    // A5 _update_by_query: matched docs (lang = 'de') get the script
+    // applied (n_chars += 1000) THROUGH the storage round-trip — the write
+    // API semantics, then the post-update table state is served.
+    "a62_update_by_query" -> ((s, d) => {
+      import graft.io.Tables
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      val dir = s"/tmp/graft_ubq_${graft.fixtures.CorpusGen.sha256Hex(d).substring(0, 12)}"
+      Tables.write(docs, dir, "docs") // fresh target each run => idempotent entry
+      val matched = Tables.read(s, dir, "docs").where(col("lang") === "de")
+      Tables.upsert(s, dir, "docs",
+        matched.withColumn("n_chars", col("n_chars") + 1000L), Seq("doc_id"))
+      Tables.read(s, dir, "docs").select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
 
     // -- Layer A: toolchain operators (SURVEY.md §2.1/2.2) -----------------
     "a01_scan_projection" -> ((s, d) =>
@@ -2473,6 +2510,41 @@ object SparkEntry {
          |SELECT doc_id, round(score, 6) AS score FROM sc
          |WHERE scnt >= 3
          |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
+    // PIT twin: the base segment indexed doc_id % 17 <> 0 (the delta split
+    // rule) — every corpus stat (N, avgdl, df) derives from that subset,
+    // exactly the pinned manifest's own registries
+    "b88_pit" ->
+      s"""WITH ${bm25Ctes(Seq("join", "spark"), tokCteOver("text", "tok", " AND doc_id % 17 <> 0"))}
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
+    // fuzzy prefix_length twin: the b20 expansion constrained to the exact
+    // first character — LIKE 'b%' is the dictionary range slice
+    "b89_fuzzy_prefix" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |fz AS (SELECT term FROM dfx WHERE term LIKE 'b%' AND levenshtein(term, 'bag') <= 2),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+         |             * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
+         |  WHERE tf.term IN (SELECT term FROM fz)
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
+    "a61_mget" ->
+      """WITH ids(doc_id) AS (VALUES (1), (7), (42), (123456789))
+        |SELECT i.doc_id, d.doc_id IS NOT NULL AS found,
+        |       coalesce(d.lang, '') AS lang, coalesce(d.n_chars, 0) AS n_chars
+        |FROM ids i LEFT JOIN documents d USING (doc_id)
+        |ORDER BY i.doc_id""".stripMargin,
+    "a62_update_by_query" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN lang = 'de' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "a01_scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem

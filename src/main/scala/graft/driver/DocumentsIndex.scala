@@ -986,9 +986,39 @@ object DocumentsIndex {
     * keyed by doc_id under the shared output protocol.
     */
   def fuzzyMatch(spark: SparkSession, sfDir: String, term: String,
-      maxEdits: Int): DataFrame =
-    rankedByDocId(spark, reader(spark, sfDir).matchFuzzyDf(term, maxEdits),
+      maxEdits: Int, prefixLength: Int = 0): DataFrame =
+    rankedByDocId(spark,
+      reader(spark, sfDir).matchFuzzyDf(term, maxEdits, prefixLength = prefixLength),
       indexDir(spark, sfDir))
+
+  /** ES point-in-time (`_pit`): the PIT id IS the index's segment manifest
+    * captured at open — searches through [[pitSearch]] see EXACTLY that
+    * committed state no matter what commits afterwards, with zero data
+    * copy (committed segments are immutable; delta commits only ADD
+    * segment dirs — see IndexReader's pinnedSegments contract). ES backs
+    * PIT with the same argument: a PIT holds the Lucene segments of the
+    * moment alive.
+    */
+  def openPit(spark: SparkSession, sfDir: String): Seq[String] =
+    DeltaIndex.segmentDirs(spark, deltaIndexDir(spark, sfDir))
+
+  /** Search through a PIT manifest (see [[openPit]]) under the shared
+    * output protocol. Corpus stats, df, and the docId→doc_id map all
+    * derive from the pinned segments only, so PIT results are bit-stable
+    * against concurrent delta commits.
+    */
+  def pitSearch(spark: SparkSession, sfDir: String, query: String,
+      pit: Seq[String]): DataFrame = {
+    require(pit.nonEmpty, "empty PIT manifest")
+    val idx = deltaIndexDir(spark, sfDir)
+    val r = new IndexReader(spark, idx, pinnedSegments = Some(pit))
+    val map = pit.map(seg => Tables.read(spark, seg, InvertedIndex.DocsTable)
+        .select(col("docId"), col("path").cast("long").as("doc_id")))
+      .reduce(_ unionByName _)
+    r.scoreAllDf(query).join(map, Seq("docId"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+  }
 
   /** ES wildcard query (non-anchored glob) over the text index, keyed by
     * doc_id (integer-exact matched-term counts).

@@ -33,11 +33,21 @@ import org.apache.spark.util.LongAccumulator
   * exact stored bound.
   */
 final class IndexReader(spark: SparkSession, indexDir: String,
-    p: Bm25Params = Bm25.Default) extends Serializable {
+    p: Bm25Params = Bm25.Default,
+    pinnedSegments: Option[Seq[String]] = None) extends Serializable {
   import spark.implicits._
 
-  /** Base + committed delta segments, each a full index directory. */
-  val segments: Seq[String] = DeltaIndex.segmentDirs(spark, indexDir)
+  /** Base + committed delta segments, each a full index directory. When
+    * `pinnedSegments` is given (ES point-in-time: the segment manifest
+    * captured at PIT open), the reader serves EXACTLY that committed state
+    * regardless of later delta commits — valid with zero data copy because
+    * committed segments are immutable (a delta commit only ADDS segment
+    * dirs; nothing rewrites an existing one), the same immutability
+    * argument Lucene's PIT rests on. Every stat below (N, avgdl, df) then
+    * derives from the pinned list, so PIT scores are bit-stable too.
+    */
+  val segments: Seq[String] =
+    pinnedSegments.getOrElse(DeltaIndex.segmentDirs(spark, indexDir))
 
   // Version check at CONSTRUCTION, not lazily inside stats: termMeta reads
   // version-specific dictionary columns before anything forces stats, so a
@@ -668,11 +678,24 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * the DuckDB twin's levenshtein() pins the same classic distance, so
     * cross-engine parity is unaffected.
     */
-  def expandFuzzy(term: String, maxEdits: Int = 2, maxExpansions: Int = 50): Array[String] = {
+  def expandFuzzy(term: String, maxEdits: Int = 2, maxExpansions: Int = 50,
+      prefixLength: Int = 0): Array[String] = {
     val q = singleTerm(term, "fuzzy term")
     require(maxEdits >= 0 && maxExpansions > 0, "maxEdits >= 0 and maxExpansions > 0")
+    require(prefixLength >= 0, s"prefix_length must be >= 0, got $prefixLength")
+    // ES `prefix_length`: the first P characters are EXACT — no edits spent
+    // there (Lucene anchors the automaton walk after the common prefix).
+    // Here the exact prefix becomes a RANGE predicate on the term-sorted
+    // dictionary — the same row-group min/max pruning expandPrefix rides —
+    // so a prefix_length>0 fuzzy query scans a dictionary SLICE instead of
+    // every term: the parameter IS the scale lever ES documents it as.
+    val pfx = q.take(prefixLength)
     val scans = segments.map { seg =>
-      Tables.read(spark, seg, InvertedIndex.DictTable)
+      val dict = Tables.read(spark, seg, InvertedIndex.DictTable)
+      val pruned =
+        if (pfx.isEmpty) dict
+        else dict.where(col("term") >= pfx && col("term") < (pfx.init + (pfx.last + 1).toChar))
+      pruned
         .where(length(col("term")).between(q.length - maxEdits, q.length + maxEdits) &&
           levenshtein(col("term"), lit(q)) <= maxEdits)
         .select(col("term"), col("df"))
@@ -1262,8 +1285,8 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * Lucene's blended-idf rewrite, documented at [[matchFuzzyDf]]).
     */
   def fuzzyTopK(term: String, maxEdits: Int = 2, k: Int = 10,
-      maxExpansions: Int = 50): Array[SearchHit] =
-    bmwTopK(termMeta(expandFuzzy(term, maxEdits, maxExpansions)), k)
+      maxExpansions: Int = 50, prefixLength: Int = 0): Array[SearchHit] =
+    bmwTopK(termMeta(expandFuzzy(term, maxEdits, maxExpansions, prefixLength)), k)
 
   /** Bounded top-k over the wildcard expansion, scored as a term OR (the
     * constant_score membership form stays [[matchWildcardDf]]).
@@ -1957,8 +1980,9 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * idfs — documented divergence, the per-term form is what the DuckDB
     * twin expresses exactly).
     */
-  def matchFuzzyDf(term: String, maxEdits: Int = 2, maxExpansions: Int = 50): DataFrame =
-    scoreAllTerms(expandFuzzy(term, maxEdits, maxExpansions))
+  def matchFuzzyDf(term: String, maxEdits: Int = 2, maxExpansions: Int = 50,
+      prefixLength: Int = 0): DataFrame =
+    scoreAllTerms(expandFuzzy(term, maxEdits, maxExpansions, prefixLength))
 
   /** DataFrame form for the driver contract (SparkEntry.queries). */
   def searchDf(query: String, k: Int, useBmw: Boolean = true): DataFrame = {

@@ -178,6 +178,18 @@ class BoolQuerySpec extends SparkSpec with BeforeAndAfterAll {
     assert(nonEmpty >= 3, "fuzzy gate near-vacuous — fixture too sparse")
     // maxExpansions cap keeps the HIGHEST-df members of the expansion
     val full = reader.expandFuzzy("deff", 2)
+    // prefix_length: edits only AFTER the exact prefix — the expansion is
+    // the unconstrained one intersected with the startsWith filter
+    for ((q, e, p) <- Seq(("deff", 2, 1), ("clasz", 2, 2), ("vall", 1, 1))) {
+      val want = vocab.filter(t => t.startsWith(q.take(p)) && levenshtein(t, q) <= e).sorted.toSeq
+      assert(reader.expandFuzzy(q, e, prefixLength = p).toSeq == want,
+        s"fuzzy expansion for '$q'~$e prefix_length=$p")
+    }
+    assert(reader.expandFuzzy("deff", 2, prefixLength = 0).toSeq == full.toSeq,
+      "prefix_length 0 must be the unconstrained expansion")
+    assert(reader.expandFuzzy("zzof", 1, prefixLength = 2).isEmpty,
+      "a prefix no vocabulary term shares must empty the expansion")
+    intercept[IllegalArgumentException](reader.expandFuzzy("deff", 1, prefixLength = -1))
     if (full.length > 2) {
       val dfs = rawRows.filter(r => full.contains(r._2)).groupBy(_._2)
         .map { case (t, rs) => t -> rs.map(_._1).distinct.length }

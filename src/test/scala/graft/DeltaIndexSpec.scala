@@ -84,6 +84,24 @@ class DeltaIndexSpec extends SparkSpec {
     assert(dfcf(rd.segments) == dfcf(Seq(dirFull)))
   }
 
+  test("PIT: the pinned manifest is bit-stable across a later delta commit; fresh readers see past it") {
+    Tables.delete(spark, "/tmp", "graft_delta_pit")
+    val dir = "/tmp/graft_delta_pit"
+    InvertedIndex.build(spark, docsRange(0, N), dir, cfg, "pitbase")
+    val pit = DeltaIndex.segmentDirs(spark, dir) // PIT opened BEFORE the commit
+    def pitRun() = new IndexReader(spark, dir, pinnedSegments = Some(pit))
+      .scoreAllDf("def val").orderBy(desc("score"), asc("docId"))
+      .as[(Long, Double)].collect().toSeq
+    val before = pitRun()
+    assert(before.nonEmpty)
+    DeltaIndex.addDocuments(spark, dir, docsRange(N, N + M), cfg, "pitd0")
+    // same manifest, AFTER the commit: identical rows, identical doubles —
+    // stats/df/docId map all derive from the pinned segments only
+    assert(pitRun() == before, "PIT results must be bit-identical across the delta commit")
+    val fresh = new IndexReader(spark, dir).scoreAllDf("def val").count()
+    assert(fresh > before.size.toLong, "a fresh (unpinned) reader must see the delta docs")
+  }
+
   test("addDocuments rejects a key that already exists in any segment") {
     built
     val boom = intercept[IllegalArgumentException] {
