@@ -705,6 +705,47 @@ object SparkEntry {
           coalesce(col("n_chars"), lit(0L)).as("n_chars"))
         .orderBy("doc_id")
     }),
+    // B33 linear retriever (ES 8, rrf's weighted sibling): min-max
+    // normalized BM25 and cosine windows fused at 0.75/0.25 (exact binary
+    // weights), top 10.
+    "b90_linear_retriever" -> ((s, d) =>
+      DocumentsIndex.linearSearch(s, d, "spark join", 0L, 0.75, 0.25)),
+    // B25 term suggester suggest_mode=popular: only corrections MORE
+    // frequent than the input ('part' df sits between its neighbours', so
+    // the gate bites).
+    "b91_suggest_popular" -> ((s, d) =>
+      DocumentsIndex.suggest(s, d, "part", 2, 5, mode = "popular")),
+    // A6 _cat/segments: per-segment docs + token counts straight off the
+    // delta-served index's registries (segment 0 = base, 1 = delta).
+    "a63_cat_segments" -> ((s, d) => {
+      import graft.io.Tables
+      val idx = DocumentsIndex.deltaIndexDir(s, d)
+      graft.index.DeltaIndex.segmentDirs(s, idx).zipWithIndex.map { case (seg, i) =>
+        Tables.read(s, seg, graft.index.InvertedIndex.DocsTable)
+          .agg(count(lit(1)).as("docs"), sum(col("dl")).as("tokens"))
+          .select(lit(i).as("segment"), col("docs"), col("tokens"))
+      }.reduce(_ unionByName _).orderBy("segment")
+    }),
+    // A5 versioned upsert (ES version_type=external optimistic
+    // concurrency): v2 batch lands, v0 batch is stale and drops — including
+    // on keys in BOTH batches (max-version winner per key).
+    "a64_versioned_upsert" -> ((s, d) => {
+      import graft.io.Tables
+      val base = tbl(s, d, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), lit(1L).as("version"))
+      val dir = s"/tmp/graft_vup_${graft.fixtures.CorpusGen.sha256Hex(d).substring(0, 12)}"
+      Tables.write(base, dir, "cust") // fresh target each run => idempotent entry
+      val fresh = tbl(s, d, "customer").where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), (col("c_acctbal") + 500.0).as("c_acctbal"),
+          lit(2L).as("version"))
+      val stale = tbl(s, d, "customer").where(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit(-999.0).as("c_acctbal"), lit(0L).as("version"))
+      Tables.upsertVersioned(s, dir, "cust", fresh.unionByName(stale),
+        Seq("c_custkey"), "version")
+      Tables.read(s, dir, "cust")
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("c_acctbal"), col("version"))
+        .orderBy("c_custkey")
+    }),
     // A5 _update_by_query: matched docs (lang = 'de') get the script
     // applied (n_chars += 1000) THROUGH the storage round-trip — the write
     // API semantics, then the post-update table state is served.
@@ -2545,6 +2586,54 @@ object SparkEntry {
       """SELECT doc_id, lang,
         |       CASE WHEN lang = 'de' THEN n_chars + 1000 ELSE n_chars END AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // linear retriever twin: per-window min-max normalization over the same
+    // protocol-rounded keys, weighted sum over the full-outer join
+    "b90_linear_retriever" ->
+      s"""WITH ${bm25Ctes(Seq("join", "spark"))},
+         |tw AS (SELECT doc_id, round(score, 6) AS s FROM sc
+         |       ORDER BY round(score, 6) DESC, doc_id LIMIT 100),
+         |text AS (SELECT doc_id,
+         |           CASE WHEN (SELECT max(s) FROM tw) = (SELECT min(s) FROM tw) THEN 0.0
+         |                ELSE (s - (SELECT min(s) FROM tw)) / ((SELECT max(s) FROM tw) - (SELECT min(s) FROM tw)) END AS nt
+         |         FROM tw),
+         |vw AS (SELECT a.vec_id AS doc_id,
+         |              round(list_cosine_similarity(cast(a.embedding AS double[]), cast(b.embedding AS double[])), 4) AS c
+         |       FROM embeddings a, embeddings b
+         |       WHERE b.vec_id = 0 AND a.vec_id <> 0
+         |       ORDER BY 2 DESC, 1 LIMIT 100),
+         |vec AS (SELECT doc_id,
+         |          CASE WHEN (SELECT max(c) FROM vw) = (SELECT min(c) FROM vw) THEN 0.0
+         |               ELSE (c - (SELECT min(c) FROM vw)) / ((SELECT max(c) FROM vw) - (SELECT min(c) FROM vw)) END AS nv
+         |        FROM vw)
+         |SELECT coalesce(text.doc_id, vec.doc_id) AS doc_id,
+         |       round(0.75 * coalesce(nt, 0) + 0.25 * coalesce(nv, 0), 6) AS score
+         |FROM text FULL OUTER JOIN vec ON text.doc_id = vec.doc_id
+         |ORDER BY round(0.75 * coalesce(nt, 0) + 0.25 * coalesce(nv, 0), 6) DESC,
+         |         coalesce(text.doc_id, vec.doc_id)
+         |LIMIT 10""".stripMargin,
+    "b91_suggest_popular" ->
+      s"""WITH $TokCte,
+         |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+         |SELECT term, cast(levenshtein(term, 'part') AS bigint) AS dist, df FROM dfx
+         |WHERE levenshtein(term, 'part') BETWEEN 1 AND 2
+         |  AND df > coalesce((SELECT df FROM dfx WHERE term = 'part'), 0)
+         |ORDER BY dist, df DESC, term LIMIT 5""".stripMargin,
+    // _cat/segments twin: the delta split rule partitions the corpus into
+    // the two segments' registries; tokens = emitted (analyzed) counts
+    "a63_cat_segments" ->
+      s"""WITH $TokCte,
+         |dlx AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1)
+         |SELECT 0 AS segment, count(*) AS docs, cast(sum(dl) AS bigint) AS tokens
+         |FROM dlx WHERE doc_id % 17 <> 0
+         |UNION ALL
+         |SELECT 1 AS segment, count(*) AS docs, cast(sum(dl) AS bigint) AS tokens
+         |FROM dlx WHERE doc_id % 17 = 0
+         |ORDER BY segment""".stripMargin,
+    "a64_versioned_upsert" ->
+      """SELECT c_custkey,
+        |       round(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 500.0 ELSE c_acctbal END, 2) AS c_acctbal,
+        |       CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END AS version
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "a01_scan_projection" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem

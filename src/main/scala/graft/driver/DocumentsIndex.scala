@@ -278,6 +278,43 @@ object DocumentsIndex {
       .limit(k)
   }
 
+  /** ES 8 `linear` retriever (the rrf sibling: weighted sum of min-max
+    * NORMALIZED per-retriever scores over each retriever's own window):
+    * normalized = (s − min)/(max − min) within the window (a degenerate
+    * single-score window pins to 0.0, like the `normalize` agg's rescale —
+    * documented), fused = Σ wᵢ·normᵢ with absent-retriever contribution 0.
+    * Inputs are the PROTOCOL scores (6-dp BM25 / 4-dp cosine), so both
+    * engines normalize identical doubles. Plan: same economics as
+    * [[rrfSearch]] — distributed window cuts first, then a 1-row min/max
+    * aggregate BROADCAST back into each window frame (no second sort), a
+    * window-sized fusion join, one TakeOrderedAndProject.
+    */
+  def linearSearch(spark: SparkSession, sfDir: String, query: String,
+      probeId: Long, wText: Double, wVec: Double, windowSize: Int = 100,
+      k: Int = 10): DataFrame = {
+    require(windowSize >= 1 && k >= 1, s"linear params must be positive")
+    require(wText >= 0.0 && wVec >= 0.0 && wText + wVec > 0.0,
+      s"weights must be non-negative and not both zero: ($wText, $wVec)")
+    def norm(win: DataFrame, scoreCol: String, out: String): DataFrame = {
+      val ext = win.agg(min(col(scoreCol)).as("__mn"), max(col(scoreCol)).as("__mx"))
+      win.crossJoin(broadcast(ext))
+        .select(col("doc_id"),
+          when(col("__mx") === col("__mn"), lit(0.0))
+            .otherwise((col(scoreCol) - col("__mn")) / (col("__mx") - col("__mn")))
+            .as(out))
+    }
+    val tWin = norm(bm25(spark, sfDir, query, windowSize), "score", "nt")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vWin = norm(graft.ops.VectorOps.cosineTopK(emb, probeId, windowSize)
+      .select(col("vec_id").as("doc_id"), col("cosine")), "cosine", "nv")
+    tWin.join(vWin, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(lit(wText) * coalesce(col("nt"), lit(0.0))
+          + lit(wVec) * coalesce(col("nv"), lit(0.0)), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** ES field collapse with `inner_hits` (collapse on `lang`, top
     * `perGroup` hits per group): every matching doc ranks INSIDE its
     * collapse group under the protocol order; groups surface with their
@@ -636,8 +673,8 @@ object DocumentsIndex {
     * semantics: classic Levenshtein, (dist asc, df desc, term asc)).
     */
   def suggest(spark: SparkSession, sfDir: String, input: String,
-      maxEdits: Int = 2, size: Int = 5): DataFrame =
-    reader(spark, sfDir).suggestTermsDf(input, maxEdits, size)
+      maxEdits: Int = 2, size: Int = 5, mode: String = "always"): DataFrame =
+    reader(spark, sfDir).suggestTermsDf(input, maxEdits, size, mode)
 
   /** ES completion suggester over the text index dictionary (IndexReader
     * semantics: prefix range scan ranked by df — the corpus-derived weight).

@@ -111,4 +111,40 @@ object Tables {
       s"upsert swap (in) failed for $base/$name")
     delete(spark, base, old)
   }
+
+  /** Keyed MERGE with EXTERNAL VERSIONING — ES optimistic concurrency
+    * (`version_type: external`): an update lands only when its version is
+    * STRICTLY greater than the stored row's; equal-or-lower versions are
+    * stale and dropped silently (ES answers 409 per doc; a batch pipeline
+    * drops and moves on — pinned). Among the updates themselves the
+    * highest version per key wins first (one map-side-combinable
+    * max-struct, remaining columns breaking exact-version ties
+    * deterministically — pinned). Plan = the winner aggregate + ONE
+    * keys-grain join of winners against the current generation's
+    * (key, version) projection, then the ordinary [[upsert]] staged swap —
+    * the same crash-safe economics; nothing new lands on the driver.
+    */
+  def upsertVersioned(spark: SparkSession, base: String, name: String,
+      updates: DataFrame, keys: Seq[String], versionCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, max, struct}
+    require(keys.nonEmpty, "upsertVersioned needs at least one key column")
+    require(updates.columns.contains(versionCol),
+      s"updates carry no version column '$versionCol'")
+    require(!keys.contains(versionCol), "the version column cannot be a key")
+    val keyCols = keys.map(col)
+    val payload = versionCol +: updates.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == versionCol)
+    val winners = updates.groupBy(keyCols: _*)
+      .agg(max(struct(payload.map(col): _*)).as("__w"))
+      .select(keyCols ++ payload.map(c => col(s"__w.$c").as(c)): _*)
+    val accepted =
+      if (!exists(spark, base, name)) winners
+      else winners.join(
+          read(spark, base, name)
+            .select(keyCols :+ col(versionCol).as("__cur_version"): _*),
+          keys, "left_outer")
+        .where(col("__cur_version").isNull || col(versionCol) > col("__cur_version"))
+        .drop("__cur_version")
+    upsert(spark, base, name, accepted, keys)
+  }
 }

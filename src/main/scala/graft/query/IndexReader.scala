@@ -1190,9 +1190,30 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       .orderBy(desc("freq"), asc("suggestion")).limit(size)
   }
 
-  def suggestTermsDf(input: String, maxEdits: Int = 2, size: Int = 5): DataFrame = {
+  def suggestTermsDf(input: String, maxEdits: Int = 2, size: Int = 5,
+      mode: String = "always"): DataFrame = {
     require(maxEdits >= 1 && size > 0, "maxEdits >= 1 and size > 0")
+    require(Set("always", "popular", "missing").contains(mode),
+      s"suggest_mode must be always|popular|missing, got '$mode'")
     val q = singleTerm(input, "suggest term")
+    // ES suggest_mode gates against the INPUT's own df (a dictionary point
+    // lookup — driver-side, k-row): `popular` keeps only corrections MORE
+    // frequent than the input; `missing` suggests only when the input is
+    // absent from the index entirely (df 0 makes `popular` degrade to
+    // `always`, exactly ES).
+    val inputDf: Long =
+      if (mode == "always") 0L
+      else segments.map(seg =>
+          Tables.read(spark, seg, InvertedIndex.DictTable)
+            .where(col("term") === q).select("df")
+            .collect().headOption.map(_.getLong(0)).getOrElse(0L)).sum
+    if (mode == "missing" && inputDf > 0L) {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("term", StringType),
+          StructField("dist", LongType), StructField("df", LongType))))
+    }
     val scans = segments.map { seg =>
       Tables.read(spark, seg, InvertedIndex.DictTable)
         .where(length(col("term")).between(q.length - maxEdits, q.length + maxEdits))
@@ -1204,7 +1225,8 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       if (segments.size == 1) scans.head
       else scans.reduce(_ unionByName _).groupBy("term", "dist")
         .agg(sum("df").as("df")).select("term", "dist", "df")
-    merged.orderBy(asc("dist"), desc("df"), asc("term")).limit(size)
+    val gated = if (mode == "popular") merged.where(col("df") > inputDf) else merged
+    gated.orderBy(asc("dist"), desc("df"), asc("term")).limit(size)
   }
 
   /** ES `completion` suggester analog (prefix autocomplete — `upstream:` ES

@@ -342,6 +342,65 @@ class ApiSurfaceSpec extends SparkSpec {
     assert(want.map(_._1).distinct.size > 1, "single group — fixture too sparse")
   }
 
+  test("linear retriever: min-max window normalization + weighted fusion == brute") {
+    assume(haveData, s"$sfDir not mounted")
+    val (window, k, wT, wV) = (100, 10, 0.75, 0.25)
+    def normalize(ranked: Seq[(Long, Double)]): Map[Long, Double] = {
+      if (ranked.isEmpty) return Map.empty
+      val (mn, mx) = (ranked.map(_._2).min, ranked.map(_._2).max)
+      ranked.map { case (id, s) =>
+        id -> (if (mx == mn) 0.0 else (s - mn) / (mx - mn))
+      }.toMap
+    }
+    val terms = Seq("join", "spark")
+    val textWin = toksById.keysIterator
+      .filter(id => terms.exists(toksById(id).contains))
+      .map(id => id -> round6(terms.foldLeft(0.0)((a, t) => a + bm25Of(id, t))))
+      .toSeq.sortBy { case (id, s) => (-s, id) }.take(window)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val vecWin = graft.ops.VectorOps.cosineTopK(emb, 0L, window)
+      .as[(Long, Double)].collect().toSeq
+    val (tn, vn) = (normalize(textWin), normalize(vecWin))
+    val want = (tn.keySet ++ vn.keySet).iterator
+      .map(id => (id, round6(wT * tn.getOrElse(id, 0.0) + wV * vn.getOrElse(id, 0.0))))
+      .toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+    val got = DocumentsIndex.linearSearch(spark, sfDir, "spark join", 0L, wT, wV, window, k)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want, s"linear top-$k: $got vs $want")
+    intercept[IllegalArgumentException](
+      DocumentsIndex.linearSearch(spark, sfDir, "spark", 0L, 0.0, 0.0))
+  }
+
+  test("suggest_mode: popular keeps strictly-more-frequent corrections; missing gates on input presence") {
+    assume(haveData, s"$sfDir not mounted")
+    val vocab = toksById.valuesIterator.flatten.toSeq.distinct
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def cands(q: String) = vocab.map(t => (t, lev(t, q).toLong, dfOf(t)))
+      .filter { case (_, dist, _) => dist >= 1 && dist <= 2 }
+    def top5(xs: Seq[(String, Long, Long)]) =
+      xs.sortBy { case (t, dist, df) => (dist, -df, t) }.take(5)
+    val always = DocumentsIndex.suggest(spark, sfDir, "part", 2, 5)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(always == top5(cands("part")), s"always: $always")
+    val popular = DocumentsIndex.suggest(spark, sfDir, "part", 2, 5, mode = "popular")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(popular == top5(cands("part").filter(_._3 > dfOf("part"))), s"popular: $popular")
+    assert(popular.size < always.size, "popular never filtered — fixture too sparse")
+    // missing: input present in the index => no suggestions at all
+    assert(DocumentsIndex.suggest(spark, sfDir, "part", 2, 5, mode = "missing").isEmpty)
+    // missing with an ABSENT input behaves like always (df 0 gates nothing)
+    val missAbsent = DocumentsIndex.suggest(spark, sfDir, "vectr", 2, 5, mode = "missing")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(missAbsent == top5(cands("vectr")) && missAbsent.nonEmpty, s"missing-absent: $missAbsent")
+    intercept[IllegalArgumentException](DocumentsIndex.suggest(spark, sfDir, "part", 2, 5, mode = "bogus"))
+  }
+
   test("minimum_should_match spec: percentage floors, integers pass through, bad specs loud; engine == integer twin") {
     import graft.query.BoolMatcher.resolveMinShould
     assert(resolveMinShould("75%", 4) == 3)

@@ -53,6 +53,35 @@ class IoSpec extends SparkSpec {
     assert(Tables.read(spark, base, "t2").count() == 2)
   }
 
+  test("versioned upsert: stale drops, fresh lands, new keys insert, max-version wins within the batch") {
+    val base = "/tmp/graft_vupsert_test"
+    Tables.delete(spark, "/tmp", "graft_vupsert_test")
+    Tables.write(Seq((1L, "a", 5L), (2L, "b", 5L), (3L, "c", 5L)).toDF("k", "v", "ver"),
+      base, "t")
+    val updates = Seq(
+      (1L, "A-new", 6L),   // fresh: 6 > 5 — lands
+      (2L, "b-stale", 5L), // equal version = stale (strictly-greater pin) — drops
+      (3L, "c-old", 4L),   // stale — drops
+      (9L, "ins", 1L),     // new key — inserts at any version
+      (1L, "A-mid", 3L)    // same key as the v6 row: max-version wins in-batch
+    ).toDF("k", "v", "ver")
+    Tables.upsertVersioned(spark, base, "t", updates, Seq("k"), "ver")
+    def snap() = Tables.read(spark, base, "t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(snap() == Seq((1L, "A-new", 6L), (2L, "b", 5L), (3L, "c", 5L), (9L, "ins", 1L)),
+      s"versioned upsert: ${snap()}")
+    // replay of the same batch is a no-op (every surviving row now equal-version)
+    Tables.upsertVersioned(spark, base, "t", updates, Seq("k"), "ver")
+    assert(snap() == Seq((1L, "A-new", 6L), (2L, "b", 5L), (3L, "c", 5L), (9L, "ins", 1L)))
+    // creating a fresh table applies in-batch winners only
+    Tables.upsertVersioned(spark, base, "t3", updates, Seq("k"), "ver")
+    assert(Tables.read(spark, base, "t3").count() == 4)
+    intercept[IllegalArgumentException](
+      Tables.upsertVersioned(spark, base, "t", updates, Seq("k"), "nope"))
+    intercept[IllegalArgumentException](
+      Tables.upsertVersioned(spark, base, "t", updates, Seq("ver"), "ver"))
+  }
+
   test("A14 upsert recovery: kill points roll forward or back, never lose a generation") {
     import org.apache.hadoop.fs.Path
     val base = "/tmp/graft_upsert_crash"
