@@ -705,6 +705,14 @@ object SparkEntry {
           coalesce(col("n_chars"), lit(0L)).as("n_chars"))
         .orderBy("doc_id")
     }),
+    // B15 span_containing: unordered (hash, join) windows at gap <= 4 that
+    // hold a 'table' occurrence — distinct containing windows per doc.
+    "b92_span_containing" -> ((s, d) =>
+      DocumentsIndex.spanContaining(s, d, "hash", "join", 4, "table")),
+    // B15 span_within — the inverse: 'table' occurrences sitting inside a
+    // (hash, join) window.
+    "b93_span_within" -> ((s, d) =>
+      DocumentsIndex.spanWithin(s, d, "hash", "join", 4, "table")),
     // B33 linear retriever (ES 8, rrf's weighted sibling): min-max
     // normalized BM25 and cosine windows fused at 0.75/0.25 (exact binary
     // weights), top 10.
@@ -2586,6 +2594,45 @@ object SparkEntry {
       """SELECT doc_id, lang,
         |       CASE WHEN lang = 'de' THEN n_chars + 1000 ELSE n_chars END AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // span_containing/within twins: big = distinct unordered (hash, join)
+    // windows at gap <= 4 over 1-based positions (containment is relative,
+    // so the engine's 0-based positions agree); little = 'table'
+    "b92_span_containing" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS a
+        |  FROM documents),
+        |t0 AS (SELECT doc_id, unnest(a) AS term0, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |toks AS (SELECT doc_id, substr(term0, 1, 64) AS term, pos FROM t0),
+        |spans AS (
+        |  SELECT DISTINCT p1.doc_id, least(p1.pos, p2.pos) AS s, greatest(p1.pos, p2.pos) AS e
+        |  FROM toks p1 JOIN toks p2 ON p1.doc_id = p2.doc_id
+        |  WHERE p1.term = 'hash' AND p2.term = 'join' AND abs(p1.pos - p2.pos) - 1 <= 4)
+        |SELECT sp.doc_id, count(*) AS n_spans
+        |FROM spans sp
+        |WHERE EXISTS (SELECT 1 FROM toks c
+        |              WHERE c.doc_id = sp.doc_id AND c.term = 'table'
+        |                AND c.pos BETWEEN sp.s AND sp.e)
+        |GROUP BY sp.doc_id
+        |ORDER BY sp.doc_id""".stripMargin,
+    "b93_span_within" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS a
+        |  FROM documents),
+        |t0 AS (SELECT doc_id, unnest(a) AS term0, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |toks AS (SELECT doc_id, substr(term0, 1, 64) AS term, pos FROM t0),
+        |spans AS (
+        |  SELECT DISTINCT p1.doc_id, least(p1.pos, p2.pos) AS s, greatest(p1.pos, p2.pos) AS e
+        |  FROM toks p1 JOIN toks p2 ON p1.doc_id = p2.doc_id
+        |  WHERE p1.term = 'hash' AND p2.term = 'join' AND abs(p1.pos - p2.pos) - 1 <= 4)
+        |SELECT c.doc_id, count(DISTINCT c.pos) AS n_spans
+        |FROM toks c
+        |WHERE c.term = 'table'
+        |  AND EXISTS (SELECT 1 FROM spans sp
+        |              WHERE sp.doc_id = c.doc_id AND c.pos BETWEEN sp.s AND sp.e)
+        |GROUP BY c.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     // linear retriever twin: per-window min-max normalization over the same
     // protocol-rounded keys, weighted sum over the full-outer join
     "b90_linear_retriever" ->

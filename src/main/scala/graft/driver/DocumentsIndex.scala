@@ -977,6 +977,27 @@ object DocumentsIndex {
       .select(col("doc_id"), col("n_spans").cast("long").as("n_spans"))
       .orderBy("doc_id")
 
+  /** ES `span_containing` over the text index (big = unordered (a, b)
+    * near window at gap <= slop, little = a term — IndexReader pinned v1),
+    * keyed by doc_id; integer-exact containing-window counts.
+    */
+  def spanContaining(spark: SparkSession, sfDir: String, a: String, b: String,
+      slop: Int, little: String): DataFrame =
+    reader(spark, sfDir).matchSpanContainingDf(a, b, slop, little)
+      .join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("doc_id"), col("n_spans").cast("long").as("n_spans"))
+      .orderBy("doc_id")
+
+  /** ES `span_within` — the inverse of [[spanContaining]]: contained
+    * little occurrences per doc, keyed by doc_id.
+    */
+  def spanWithin(spark: SparkSession, sfDir: String, a: String, b: String,
+      slop: Int, little: String): DataFrame =
+    reader(spark, sfDir).matchSpanWithinDf(a, b, slop, little)
+      .join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("doc_id"), col("n_spans").cast("long").as("n_spans"))
+      .orderBy("doc_id")
+
   /** ES `span_first` over the text index (term within the first `end`
     * token slots), keyed by doc_id — integer-exact first position, no
     * float protocol.

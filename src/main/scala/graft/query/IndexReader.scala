@@ -1642,6 +1642,46 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       .toDF("docId", "n_spans")
   }
 
+  /** Lucene `SpanContainingQuery` (ES `span_containing`): big spans that
+    * hold a little span — pinned v1: big = the unordered (a, b) near
+    * window at gap ≤ slop, little = a term. Output (docId, n_spans) =
+    * DISTINCT containing windows per doc, integer-exact. Degenerate shapes
+    * reject loudly: a == b (no two-term window), little ∈ {a, b} (every
+    * window trivially holds its own endpoints). Plan: ONE positional scan
+    * of the three terms' blocks, the containment walk bucket-local
+    * (PhraseMatcher.spanContainBucket — a-driven, b/little probed at
+    * candidate docs only), one groupBy(bucket) exchange.
+    */
+  def matchSpanContainingDf(a: String, b: String, slop: Int,
+      little: String): DataFrame =
+    spanContainOf(a, b, slop, little, within = false)
+
+  /** Lucene `SpanWithinQuery` (ES `span_within`) — the inverse of
+    * [[matchSpanContainingDf]]: little occurrences that sit inside ≥ 1 big
+    * window; (docId, n_spans) = DISTINCT contained little positions.
+    */
+  def matchSpanWithinDf(a: String, b: String, slop: Int,
+      little: String): DataFrame =
+    spanContainOf(a, b, slop, little, within = true)
+
+  private def spanContainOf(a: String, b: String, slop: Int, little: String,
+      within: Boolean): DataFrame = {
+    import spark.implicits._
+    requirePositions(if (within) "span_within" else "span_containing")
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val (ta, tb) = (singleTerm(a, "span big term"), singleTerm(b, "span big term"))
+    val tc = singleTerm(little, "span little term")
+    require(ta != tb, "span big needs two DISTINCT terms")
+    require(tc != ta && tc != tb,
+      "little ∈ big's terms holds trivially in every window — a shape error")
+    val (aN, bN, cN, sl, w) = (ta, tb, tc, slop, within)
+    bucketedBlocks[(Long, Int)](Seq(ta, tb, tc).distinct.sorted, withPositions = true) {
+      (lo, hi, byTerm) =>
+        PhraseMatcher.spanContainBucket(byTerm, aN, bN, sl, cN, lo, hi, w)
+    }
+      .toDF("docId", "n_spans")
+  }
+
   /** Lucene `SpanFirstQuery` (ES `span_first`): the term must occur within
     * the first `end` token slots — a span [p, p+1) matches when p + 1 ≤ end,
     * i.e. p < end over the 0-based positions. Output (docId, first_pos)

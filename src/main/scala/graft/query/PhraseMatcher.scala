@@ -329,6 +329,81 @@ object PhraseMatcher {
     out.iterator
   }
 
+  /** Lucene `SpanContainingQuery` / `SpanWithinQuery` walk for one bucket,
+    * pinned v1 shapes: big = the unordered two-term near window over
+    * (a, b) with gap ≤ slop (the [[matchNearBucket]] span definition for a
+    * pair), little = a term span [p, p+1). Containment is positional:
+    * window [s, e] holds p iff s ≤ p ≤ e.
+    *   - containing (within = false): count of DISTINCT big windows
+    *     holding ≥ 1 little occurrence — "big spans that contain little";
+    *   - within (within = true): count of DISTINCT little occurrences
+    *     inside ≥ 1 big window — the inverse query.
+    * The walk drives a's postings; b and little are probed per candidate
+    * doc only (the spanNot economics — the conjunction never decodes
+    * positions for docs missing any side). Docs with zero survivors are
+    * omitted; integer-exact, no float protocol.
+    */
+  def spanContainBucket(termBlocks: Map[String, Array[PostingBlock]],
+      a: String, b: String, slop: Int, little: String,
+      lo: Long, hi: Long, within: Boolean): Iterator[(Long, Int)] = {
+    val avO = termBlocks.get(a).map(new PostingsView(_))
+    val bvO = termBlocks.get(b).map(new PostingsView(_))
+    val cvO = termBlocks.get(little).map(new PostingsView(_))
+    if (avO.isEmpty || bvO.isEmpty || cvO.isEmpty) return Iterator.empty
+    val (av, bv, cv) = (avO.get, bvO.get, cvO.get)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var bi = 0
+    while (bi < av.ids.length) {
+      val idArr = av.ids(bi)
+      var i = 0
+      while (i < idArr.length) {
+        val d = idArr(i)
+        if (d >= lo && d < hi) {
+          val hb = bv.find(d)
+          if (hb != null) {
+            val hc = cv.find(d)
+            if (hc != null) {
+              val pa = av.positionsOf(bi, i)
+              val pb = bv.positionsOf(hb._1, hb._2)
+              val pc = cv.positionsOf(hc._1, hc._2)
+              // distinct near windows of (a, b) at gap <= slop
+              val wins = scala.collection.mutable.LinkedHashSet.empty[(Int, Int)]
+              var x = 0
+              while (x < pa.length) {
+                var y = 0
+                while (y < pb.length) {
+                  val s = math.min(pa(x), pb(y))
+                  val e = math.max(pa(x), pb(y))
+                  if (e - s - 1 <= slop) wins += ((s, e))
+                  y += 1
+                }
+                x += 1
+              }
+              var cnt = 0
+              if (within) {
+                var p = 0
+                while (p < pc.length) {
+                  if (wins.exists { case (s, e) => s <= pc(p) && pc(p) <= e }) cnt += 1
+                  p += 1
+                }
+              } else {
+                val it = wins.iterator
+                while (it.hasNext) {
+                  val (s, e) = it.next()
+                  if (pc.exists(p => s <= p && p <= e)) cnt += 1
+                }
+              }
+              if (cnt > 0) out += ((d, cnt))
+            }
+          }
+        }
+        i += 1
+      }
+      bi += 1
+    }
+    out.iterator
+  }
+
   def matchBucket(termBlocks: Map[String, Array[PostingBlock]], tokens: Array[String],
       lo: Long, hi: Long, slop: Int = 0): Array[(Long, Int)] = {
     require(slop >= 0, s"slop must be >= 0, got $slop")

@@ -51,4 +51,41 @@ object StreamOps {
       .groupBy(window(col("ts"), windowLen), col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .select(col("window.start").as("window_start"), col("doc_id"), col("term"), col("tf"))
+
+  /** Streaming LIVE-INDEX ingest: a `foreachBatch` sink committing each
+    * micro-batch of documents as ONE delta segment of an existing index
+    * (graft.index.DeltaIndex.addDocuments — the engine's refresh). This IS
+    * ES's ingest model re-expressed: bulk batches land, a refresh makes
+    * them searchable, segment count grows until a merge; here every
+    * micro-batch is a refresh. Compaction stays OUT-OF-BAND, exactly like
+    * Lucene's background merges: the index operator runs
+    * `DeltaIndex.maybeCompact` (it needs the accumulated corpus union, not
+    * a micro-batch) on its own cadence — the DeltaIndexSpec refresh-loop
+    * gate already proves that policy bounds segment count under exactly
+    * this commit pattern. Readers opened BEFORE a commit never see it
+    * (segment immutability — the PIT contract), readers opened after see
+    * base ∪ deltas; the sbt gate drives a MemoryStream through two batches
+    * and checks both sides.
+    *
+    * Scale shape: each micro-batch runs the ordinary distributed delta
+    * build (SPIMI over the batch, salted exchange); empty batches commit
+    * nothing. Exactly-once: addDocuments rejects duplicate keys, so a
+    * replayed batch fails loudly rather than double-indexing — the caller
+    * keyspace (streaming source offsets → doc keys) must be idempotent,
+    * documented here rather than hidden.
+    *
+    * Returns the DataStreamWriter; the caller starts/stops it (tests use
+    * `.trigger(AvailableNow)` + `awaitTermination`).
+    */
+  def indexSink(docs: org.apache.spark.sql.Dataset[graft.fixtures.CodeFile],
+      indexDir: String, cfg: graft.index.IndexConfig)
+      : org.apache.spark.sql.streaming.DataStreamWriter[graft.fixtures.CodeFile] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[graft.fixtures.CodeFile], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.index.DeltaIndex.addDocuments(batch.sparkSession, indexDir, batch,
+            cfg, runId = s"stream-$batchId")
+          ()
+        }
+    }
 }

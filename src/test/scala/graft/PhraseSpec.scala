@@ -253,6 +253,42 @@ class PhraseSpec extends SparkSpec with BeforeAndAfterAll {
     assert(unord.keySet != ord, "no reverse-order matches in fixture — unordered gate vacuous")
   }
 
+  test("span_containing/within == brute window-containment oracle; degenerate shapes loud") {
+    import spark.implicits._
+    def bruteSpans(ts: Array[String], a: String, b: String, slop: Int): Set[(Int, Int)] = {
+      val pa = ts.zipWithIndex.filter(_._1 == a).map(_._2)
+      val pb = ts.zipWithIndex.filter(_._1 == b).map(_._2)
+      (for (x <- pa; y <- pb; s = math.min(x, y); e = math.max(x, y)
+            if e - s - 1 <= slop) yield (s, e)).toSet
+    }
+    var (nzC, nzW) = (0, 0)
+    for ((a, b, c, sl) <- Seq(("def", "val", "class", 3), ("return", "if", "def", 5),
+        ("def", "val", "import", 8))) {
+      val expC = tokensById.iterator.flatMap { case (id, ts) =>
+        val wins = bruteSpans(ts, a, b, sl)
+        val pc = ts.zipWithIndex.filter(_._1 == c).map(_._2)
+        val n = wins.count { case (s, e) => pc.exists(p => s <= p && p <= e) }
+        if (n > 0) Some(id -> n) else None
+      }.toMap
+      val gotC = reader.matchSpanContainingDf(a, b, sl, c).as[(Long, Int)].collect().toMap
+      assert(gotC == expC, s"containing ($a,$b,$c,$sl): ${gotC.size} vs ${expC.size}")
+      val expW = tokensById.iterator.flatMap { case (id, ts) =>
+        val wins = bruteSpans(ts, a, b, sl)
+        val n = ts.zipWithIndex.filter(_._1 == c).map(_._2)
+          .count(p => wins.exists { case (s, e) => s <= p && p <= e })
+        if (n > 0) Some(id -> n) else None
+      }.toMap
+      val gotW = reader.matchSpanWithinDf(a, b, sl, c).as[(Long, Int)].collect().toMap
+      assert(gotW == expW, s"within ($a,$b,$c,$sl): ${gotW.size} vs ${expW.size}")
+      if (expC.nonEmpty) nzC += 1
+      if (expW.nonEmpty) nzW += 1
+    }
+    assert(nzC >= 2 && nzW >= 2, "containment gates near-vacuous — fixture too sparse")
+    intercept[IllegalArgumentException](reader.matchSpanContainingDf("def", "def", 2, "val"))
+    intercept[IllegalArgumentException](reader.matchSpanWithinDf("def", "val", 2, "def"))
+    intercept[IllegalArgumentException](reader.matchSpanContainingDf("def", "val", -1, "class"))
+  }
+
   test("scored phrase == brute idf-sum × tfNorm over raw tokenization (incl. duplicates, slop)") {
     import spark.implicits._
     import graft.query.Bm25

@@ -54,4 +54,37 @@ class StreamOpsSpec extends SparkSpec {
         s"got ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("indexSink: each micro-batch commits one delta segment — searchable after, PIT-stable before") {
+    implicit val sql = spark.sqlContext
+    import graft.fixtures.CorpusGen
+    import graft.index.{DeltaIndex, IndexConfig, InvertedIndex}
+    import graft.io.Tables
+    import graft.query.IndexReader
+    val dir = "/tmp/graft_stream_index"
+    Tables.delete(spark, "/tmp", "graft_stream_index")
+    Tables.delete(spark, "/tmp", "graft_stream_index_ckpt")
+    val cfg = IndexConfig(partitions = 4, heavyDfThreshold = 100L, saltRunDocs = 100L)
+    InvertedIndex.build(spark, spark.range(0L, 200L, 1L, 4).as[Long].map(CorpusGen.row),
+      dir, cfg, "sbase")
+    val pit = DeltaIndex.segmentDirs(spark, dir)
+    val baseCount = new IndexReader(spark, dir).scoreAllDf("def").count()
+    assert(baseCount > 0L)
+    val mem = MemoryStream[Long]
+    val q = StreamOps.indexSink(mem.toDS().map(CorpusGen.row), dir, cfg)
+      .option("checkpointLocation", "/tmp/graft_stream_index_ckpt").start()
+    try {
+      mem.addData(200L to 260L: _*)
+      q.processAllAvailable()
+      mem.addData(261L to 300L: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(DeltaIndex.deltaDirs(spark, dir).size == 2,
+      "two micro-batches must commit two delta segments")
+    val after = new IndexReader(spark, dir).scoreAllDf("def").count()
+    assert(after > baseCount, "streamed docs must be searchable through a fresh reader")
+    // a PIT opened before the stream still serves exactly the base state
+    assert(new IndexReader(spark, dir, pinnedSegments = Some(pit))
+      .scoreAllDf("def").count() == baseCount)
+  }
 }
