@@ -705,6 +705,85 @@ object SparkEntry {
           coalesce(col("n_chars"), lit(0L)).as("n_chars"))
         .orderBy("doc_id")
     }),
+    // B31 _profile (deterministic structural core): per-leaf matched-doc
+    // counts (dictionary df) incl. an absent leaf at 0, plus the composed
+    // bool hit count.
+    "b94_profile" -> ((s, d) => DocumentsIndex.profileBool(s, d,
+      Seq("hash"), Seq("join", "vector", "zzmissing"), Seq("merge"))),
+    // B21 geo_polygon (pinned planar-convex v1): CCW triangle containment
+    // via per-edge cross-product signs — multiply/subtract only, exact
+    // doubles in both engines.
+    "b95_geo_polygon" -> ((s, d) => {
+      val (lat, lon) = graft.ops.GeoOps.derivedCoords(col("doc_id"))
+      graft.ops.GeoOps.withinConvexPolygon(
+        tbl(s, d, "documents").select(col("doc_id"), lat.as("lat"), lon.as("lon")),
+        "lat", "lon", Seq((-60.0, -120.0), (-10.0, 150.0), (70.0, -30.0)))
+        .select("doc_id", "lat", "lon").orderBy("doc_id")
+    }),
+    // TD near-dup CLUSTERING: connected components over the simhash pair
+    // graph, min-id canonical keeper — the survivor-selection step after
+    // pair generation.
+    "td_dedup_clusters" -> ((s, d) => DedupOps.nearDupClusters(
+      DedupOps.simhashNearPairs(s, tbl(s, d, "documents"), 8))),
+    // TD stratified sampling: deterministic per-stratum rates (50% en /
+    // 20% rest) off a pinned LCG residue — the training-mix sampler.
+    "td_stratified_sample" -> ((s, d) => {
+      val h = ((col("doc_id") * 1103515245L + 12345L) % 100L + 100L) % 100L
+      tbl(s, d, "documents").select(col("doc_id"), col("lang"), h.as("h"))
+        .where(when(col("lang") === "en", col("h") < 50).otherwise(col("h") < 20))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+    // TD repetition quality (Gopher dup-n-gram rule): duplicate word-trigram
+    // fraction per doc — a pure narrow map, nothing leaves the row.
+    "td_repetition" -> ((s, d) =>
+      graft.ops.TextOps.repetition(tbl(s, d, "documents")).orderBy("doc_id")),
+    // TD decontamination: corpus docs sharing a word-5-gram shingle with the
+    // benchmark stand-in (doc_id % 50 == 0) — broadcast benchmark shingles.
+    "td_contamination" -> ((s, d) => DedupOps.contamination(
+      tbl(s, d, "documents"), col("doc_id") % 50 === 0).orderBy("doc_id")),
+    // A5 _delete_by_query: matched docs (lang = 'de') dropped THROUGH the
+    // crash-safe staged swap, then the post-delete table state is served.
+    "a65_delete_by_query" -> ((s, d) => {
+      import graft.io.Tables
+      val docs = tbl(s, d, "documents").select(col("doc_id"), col("lang"), col("source"))
+      val dir = s"/tmp/graft_dbq_${graft.fixtures.CorpusGen.sha256Hex(d).substring(0, 12)}"
+      Tables.write(docs, dir, "docs") // fresh target each run => idempotent entry
+      Tables.deleteByQuery(s, dir, "docs", col("lang") === "de")
+      Tables.read(s, dir, "docs").select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
+    // A5 _reindex: source query (lang = 'en') + script (fingerprint + token
+    // count derived, both narrow built-ins) into a fresh dest table, served
+    // back from storage — the ES reindex-with-script shape.
+    "a66_reindex" -> ((s, d) => {
+      import graft.io.Tables
+      val dir = s"/tmp/graft_reix_${graft.fixtures.CorpusGen.sha256Hex(d).substring(0, 12)}"
+      val transformed = tbl(s, d, "documents").where(col("lang") === "en")
+        .select(col("doc_id"), md5(col("text")).as("fp"),
+          expr("size(filter(split(lower(text), '[^a-z0-9_]+'), t -> t != ''))")
+            .cast("long").as("n_tokens"))
+      Tables.write(transformed, dir, "dest")
+      Tables.read(s, dir, "dest").select("doc_id", "fp", "n_tokens").orderBy("doc_id")
+    }),
+    // B1 _analyze API: the pinned analyzer's token stream for a request
+    // literal — (0-based position, token); request-sized, nothing scans.
+    "b96_analyze" -> ((s, _) => DocumentsIndex.analyzeDf(s,
+      "Hash-Join builds a HASH table; probe_side streams 42 rows & exits.")),
+    // _field_caps API: pinned parquet->ES type mapping over the documents
+    // schema; text is analyzed (not aggregatable), the rest keyword/long.
+    "b97_field_caps" -> ((s, d) => DocumentsIndex.fieldCaps(s, d)),
+    // B29 parent aggregation: child-side buckets (event_type) ask about
+    // their PARENTS — distinct-parent count + parent-grain n_chars mean.
+    "a67_parent_agg" -> ((s, d) => graft.ops.JoinFieldOps.parentAgg(
+      tbl(s, d, "events"), "user_id", "event_type",
+      tbl(s, d, "documents"), "doc_id", "n_chars")),
+    // frequent_item_sets (pinned pairs): user-day sessions as transactions,
+    // event types as items, support >= 0.14 on the 4-dp rounded ratio —
+    // discriminative at every SF (supports cluster 0.13-0.16).
+    "a68_frequent_pairs" -> ((s, d) => graft.ops.MetricAggs.frequentPairs(
+      tbl(s, d, "events").select(
+        concat_ws("#", col("user_id"), to_date(col("ts"))).as("txn"),
+        col("event_type")),
+      "txn", "event_type", 0.14)),
     // B15 span_containing: unordered (hash, join) windows at gap <= 4 that
     // hold a 'table' occurrence — distinct containing windows per doc.
     "b92_span_containing" -> ((s, d) =>
@@ -1079,6 +1158,34 @@ object SparkEntry {
        |  WHERE tf.term IN ($inList)
        |  GROUP BY tf.doc_id)""".stripMargin
   }
+
+  /** Shared simhash near-pair CTE chain (64-bit signature from md5 term
+    * hashes, 16-bit-quarter banding, hamming verify at `maxDist`) ending
+    * in `pr(a, b, dist)` — used by the pair row and the clustering row's
+    * edge set.
+    */
+  private def simhashPairsCtes(maxDist: Int): String =
+    s"""$TokCte,
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |bits AS (
+       |  SELECT doc_id, r.b,
+       |         CASE WHEN sum(CASE WHEN
+       |           (cast(floor((strpos('0123456789abcdef', substr(md5(term), cast(16 - floor(r.b / 4) AS int), 1)) - 1)
+       |                 / power(2, r.b % 4)) AS int) % 2) = 1
+       |           THEN tf ELSE -tf END) > 0 THEN '1' ELSE '0' END AS bit
+       |  FROM tf, range(0, 64) AS r(b) GROUP BY 1, 2),
+       |bin AS (
+       |  SELECT doc_id, string_agg(bit, '' ORDER BY b DESC) AS bbits FROM bits GROUP BY doc_id),
+       |pieces AS (
+       |  SELECT doc_id, cast(r.q AS int) AS q, substr(bbits, cast(r.q*16 + 1 AS int), 16) AS piece
+       |  FROM bin, range(0, 4) AS r(q)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM pieces x JOIN pieces y ON x.q = y.q AND x.piece = y.piece AND x.doc_id < y.doc_id),
+       |pr AS (
+       |  SELECT c.a, c.b, cast(hamming(ba.bbits, bb.bbits) AS int) AS dist
+       |  FROM cand c JOIN bin ba ON ba.doc_id = c.a JOIN bin bb ON bb.doc_id = c.b
+       |  WHERE hamming(ba.bbits, bb.bbits) <= $maxDist)""".stripMargin
 
   private def bm25Sql(terms: Seq[String], limit: Int,
       tokCte: String = TokCte): String = {
@@ -2854,27 +2961,137 @@ object SparkEntry {
     // identical, and hamming() over the binary strings IS the bit Hamming
     // distance.
     "td_simhash_pairs" ->
-      s"""WITH $TokCte,
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |bits AS (
-         |  SELECT doc_id, r.b,
-         |         CASE WHEN sum(CASE WHEN
-         |           (cast(floor((strpos('0123456789abcdef', substr(md5(term), cast(16 - floor(r.b / 4) AS int), 1)) - 1)
-         |                 / power(2, r.b % 4)) AS int) % 2) = 1
-         |           THEN tf ELSE -tf END) > 0 THEN '1' ELSE '0' END AS bit
-         |  FROM tf, range(0, 64) AS r(b) GROUP BY 1, 2),
-         |bin AS (
-         |  SELECT doc_id, string_agg(bit, '' ORDER BY b DESC) AS bbits FROM bits GROUP BY doc_id),
-         |pieces AS (
-         |  SELECT doc_id, cast(r.q AS int) AS q, substr(bbits, cast(r.q*16 + 1 AS int), 16) AS piece
-         |  FROM bin, range(0, 4) AS r(q)),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |  FROM pieces x JOIN pieces y ON x.q = y.q AND x.piece = y.piece AND x.doc_id < y.doc_id)
-         |SELECT c.a, c.b, cast(hamming(ba.bbits, bb.bbits) AS int) AS dist
-         |FROM cand c JOIN bin ba ON ba.doc_id = c.a JOIN bin bb ON bb.doc_id = c.b
-         |WHERE hamming(ba.bbits, bb.bbits) <= 8
+      s"""WITH ${simhashPairsCtes(8)}
+         |SELECT a, b, dist FROM pr
          |ORDER BY a, b""".stripMargin,
+    // clustering twin: recursive min-label reachability over the SAME pair
+    // chain — min over all reachable labels IS the component minimum
+    "td_dedup_clusters" ->
+      s"""WITH RECURSIVE ${simhashPairsCtes(8)},
+         |edges AS (SELECT a AS x, b AS y FROM pr UNION SELECT b, a FROM pr),
+         |reach(id, label) AS (
+         |  SELECT x, x FROM edges
+         |  UNION
+         |  SELECT e.x, r.label FROM edges e JOIN reach r ON r.id = e.y)
+         |SELECT id AS doc_id, min(label) AS cluster, (id = min(label)) AS canonical
+         |FROM reach GROUP BY id
+         |ORDER BY cluster, doc_id""".stripMargin,
+    // repetition twin: the SAME whitespace-token trigram list as a DuckDB
+    // list comprehension; 1 - distinct/total spelled identically (IEEE
+    // division is bit-identical; round 4 dp is the float protocol)
+    "td_repetition" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(range(1, len(arr) - 2 + 1),
+        |                                i -> array_to_string(arr[i:i+2], ' ')) AS grams
+        |  FROM arrs WHERE len(arr) >= 3)
+        |SELECT doc_id, len(grams) AS n_grams,
+        |       round(1.0 - cast(len(list_distinct(grams)) AS double) / len(grams), 4) AS dup_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // contamination twin: distinct (doc, shingle) pairs split into the
+    // benchmark residue class and the rest; the inner join + count(*) over
+    // deduped pairs IS the distinct-shared-shingle count
+    "td_contamination" ->
+      s"""WITH $ShingleCtes,
+         |dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+         |bench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 50 = 0)
+         |SELECT d.doc_id, count(*) AS n_shared
+         |FROM dsh d JOIN bench USING (shingle)
+         |WHERE d.doc_id % 50 <> 0
+         |GROUP BY 1
+         |ORDER BY doc_id""".stripMargin,
+    "a65_delete_by_query" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE lang <> 'de'
+        |ORDER BY doc_id""".stripMargin,
+    "a66_reindex" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+        |                       t -> t <> '')) AS n_tokens
+        |FROM documents WHERE lang = 'en'
+        |ORDER BY doc_id""".stripMargin,
+    // _analyze twin: the same pinned tokenization as a DuckDB list pipeline;
+    // zipped unnests pair each token with its 0-based position
+    "b96_analyze" ->
+      """WITH toks AS (SELECT list_transform(
+        |    list_filter(regexp_split_to_array(lower('Hash-Join builds a HASH table; probe_side streams 42 rows & exits.'), '[^a-z0-9_]+'),
+        |                t -> t <> ''),
+        |    t -> substr(t, 1, 64)) AS l)
+        |SELECT unnest(range(len(l))) AS position, unnest(l) AS token
+        |FROM toks ORDER BY position""".stripMargin,
+    // field_caps twin: the SAME pinned type mapping over DESCRIBE output
+    "b97_field_caps" ->
+      """SELECT field, es_type, searchable, (es_type <> 'text') AS aggregatable
+        |FROM (
+        |  SELECT column_name AS field,
+        |         CASE WHEN column_type = 'BIGINT' THEN 'long'
+        |              WHEN column_type = 'INTEGER' THEN 'integer'
+        |              WHEN column_type = 'DOUBLE' THEN 'double'
+        |              WHEN column_type = 'FLOAT' THEN 'float'
+        |              WHEN column_type = 'TIMESTAMP' THEN 'date'
+        |              WHEN column_type = 'BOOLEAN' THEN 'boolean'
+        |              WHEN column_name = 'text' THEN 'text'
+        |              ELSE 'keyword' END AS es_type,
+        |         true AS searchable
+        |  FROM (DESCRIBE documents))
+        |ORDER BY field""".stripMargin,
+    // parent-agg twin: dedupe (bucket, key) BEFORE the parent join so each
+    // parent weighs once per bucket — exactly the engine's two-level fold
+    "a67_parent_agg" ->
+      """WITH cp AS (SELECT DISTINCT event_type, user_id FROM events),
+        |j AS (SELECT cp.event_type, d.n_chars
+        |      FROM cp JOIN documents d ON d.doc_id = cp.user_id)
+        |SELECT event_type, count(*) AS n_parents,
+        |       round(avg(n_chars), 4) AS avg_parent_value
+        |FROM j GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "a68_frequent_pairs" ->
+      """WITH ki AS (
+        |  SELECT DISTINCT cast(user_id AS varchar) || '#' || cast(cast(ts AS date) AS varchar) AS k,
+        |         event_type AS item
+        |  FROM events),
+        |tot AS (SELECT count(DISTINCT k) AS n_keys FROM ki),
+        |p AS (SELECT x.item AS a, y.item AS b, count(*) AS n
+        |      FROM ki x JOIN ki y ON x.k = y.k AND x.item < y.item
+        |      GROUP BY 1, 2)
+        |SELECT a, b, n, round(cast(n AS double) / t.n_keys, 4) AS support
+        |FROM p CROSS JOIN tot t
+        |WHERE round(cast(n AS double) / t.n_keys, 4) >= 0.14
+        |ORDER BY support DESC, a, b""".stripMargin,
+    "td_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         ((doc_id * 1103515245 + 12345) % 100 + 100) % 100 AS h
+        |  FROM documents) t
+        |WHERE (lang = 'en' AND h < 50) OR (lang <> 'en' AND h < 20)
+        |ORDER BY doc_id""".stripMargin,
+    "b94_profile" ->
+      s"""WITH $TokCte,
+         |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |leaves(clause, term) AS (VALUES
+         |  ('must:hash', 'hash'), ('should:join', 'join'),
+         |  ('should:vector', 'vector'), ('should:zzmissing', 'zzmissing'),
+         |  ('must_not:merge', 'merge')),
+         |leaf AS (SELECT l.clause, coalesce(d.df, 0) AS docs
+         |         FROM leaves l LEFT JOIN dfx d ON d.term = l.term),
+         |tot AS (
+         |  SELECT 'total:bool' AS clause, count(*) AS docs FROM (
+         |    SELECT DISTINCT doc_id FROM tok WHERE term = 'hash') h
+         |  WHERE h.doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'merge'))
+         |SELECT clause, docs FROM leaf
+         |UNION ALL SELECT clause, docs FROM tot
+         |ORDER BY clause""".stripMargin,
+    "b95_geo_polygon" ->
+      """WITH pts AS (
+        |  SELECT doc_id,
+        |         (doc_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+        |         (doc_id * 73 % 36000) / 100.0 - 180.0 AS lon
+        |  FROM documents)
+        |SELECT doc_id, lat, lon FROM pts
+        |WHERE (150.0 - (-120.0)) * (lat - (-60.0)) - ((-10.0) - (-60.0)) * (lon - (-120.0)) >= 0
+        |  AND ((-30.0) - 150.0) * (lat - (-10.0)) - (70.0 - (-10.0)) * (lon - 150.0) >= 0
+        |  AND ((-120.0) - (-30.0)) * (lat - 70.0) - ((-60.0) - 70.0) * (lon - (-30.0)) >= 0
+        |ORDER BY doc_id""".stripMargin,
     "td_cosine_topk" ->
       """SELECT a.vec_id, round(list_cosine_similarity(cast(a.embedding AS double[]), cast(b.embedding AS double[])), 4) AS cosine
         |FROM embeddings a, embeddings b

@@ -1366,6 +1366,93 @@ object DocumentsIndex {
     rankedByDocId(spark, reader(spark, sfDir).queryStringDf(q),
       indexDir(spark, sfDir))
 
+  /** ES `_profile`, the deterministic STRUCTURAL core (pinned v1): one
+    * row per bool leaf with its matched-doc count — by the postings
+    * invariant the dictionary's df IS that count, so leaves cost one
+    * term-pruned dictionary lookup, never a postings scan — plus the
+    * composed `total:bool` hit count. ES's profile adds per-phase
+    * nanosecond timings, nondeterministic by nature and documented OUT of
+    * the pin; the query tree structure and per-leaf counts are the part a
+    * client can assert on. Absent leaves report 0, like Lucene's
+    * null-scorer sub-explanations. Plan: clause-list frame left-joined to
+    * the dictionary counts + one count aggregate over the bool match
+    * frame, unioned — leaf side dictionary-grain, total side the ordinary
+    * b17 aggregate.
+    */
+  def profileBool(spark: SparkSession, sfDir: String, must: Seq[String],
+      should: Seq[String], mustNot: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val r = reader(spark, sfDir)
+    val clauses = must.map(("must", _)) ++ should.map(("should", _)) ++
+      mustNot.map(("must_not", _))
+    require(clauses.nonEmpty, "profile needs at least one clause")
+    val terms = clauses.map(_._2).distinct
+    val dict = r.segments.map(seg =>
+        Tables.read(spark, seg, InvertedIndex.DictTable)
+          .where(col("term").isin(terms: _*)).select(col("term"), col("df")))
+      .reduce(_ unionByName _).groupBy("term").agg(sum("df").as("docs"))
+    val leaf = clauses.toDF("kind", "term").join(dict, Seq("term"), "left_outer")
+      .select(concat_ws(":", col("kind"), col("term")).as("clause"),
+        coalesce(col("docs"), lit(0L)).as("docs"))
+    val total = r.searchBoolDf(must, should, mustNot)
+      .agg(count(lit(1)).as("docs"))
+      .select(lit("total:bool").as("clause"), col("docs"))
+    leaf.unionByName(total).orderBy("clause")
+  }
+
+  /** ES `_analyze` API (pinned v1): the analyzer's token stream for a given
+    * string — (position, token), 0-based positions, the SAME pinned
+    * CodeTokenizer semantics every index here is built with (so what this
+    * returns IS what a query or build would emit — the API's whole point).
+    * ES also returns char offsets and a token type; offsets exist
+    * engine-side (CodeTokenizer.tokenizeWithOffsets, the highlighter uses
+    * them) but are pinned OUT of the twin-checked row — scan offsets have
+    * no portable SQL spelling — and the type is constant for this analyzer.
+    * Plan: a one-row dataset flatMapped on an executor — the API is
+    * request-sized by construction; nothing scans.
+    */
+  def analyzeDf(spark: SparkSession, text: String): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(Seq(text))
+      .flatMap(t => graft.tokenize.CodeTokenizer.tokenize(t).iterator.zipWithIndex
+        .map { case (tok, i) => (i.toLong, tok) })
+      .toDF("position", "token").orderBy("position")
+  }
+
+  /** ES `_field_caps` API: per-field capabilities of an index — the ES type
+    * under the PINNED parquet→ES mapping (int64→long, int32→integer,
+    * double→double, float→float, timestamp→date, bool→boolean, string→
+    * keyword EXCEPT the analyzed field(s)→text, float/double arrays→
+    * dense_vector), `searchable` (every mapped field here), `aggregatable`
+    * (ES: text fields are not aggregatable without fielddata — pinned
+    * false, everything else true). An unmapped type is rejected loudly —
+    * silent `unsupported` rows would hide schema drift. The schema IS
+    * driver metadata (one parquet-footer read), so the k-row frame is
+    * created driver-side like every clause/registry frame in this repo.
+    */
+  def fieldCaps(spark: SparkSession, sfDir: String, table: String = "documents",
+      analyzed: Set[String] = Set("text")): DataFrame = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$sfDir/$table.parquet").schema
+    val rows = schema.fields.toSeq.map { f =>
+      val es = f.dataType match {
+        case LongType => "long"
+        case IntegerType => "integer"
+        case DoubleType => "double"
+        case FloatType => "float"
+        case TimestampType | TimestampNTZType => "date" // parquet isAdjustedToUTC both ways
+        case BooleanType => "boolean"
+        case StringType => if (analyzed(f.name)) "text" else "keyword"
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => "dense_vector"
+        case dt => throw new IllegalArgumentException(
+          s"no ES mapping for field ${f.name}: $dt")
+      }
+      (f.name, es, true, es != "text")
+    }
+    rows.toDF("field", "es_type", "searchable", "aggregatable").orderBy("field")
+  }
+
   /** ES `simple_query_string` (lenient surface grammar — see
     * IndexReader.simpleQueryStringDf / QueryString.parseSimple) over the
     * text index, keyed by doc_id under the shared output protocol.

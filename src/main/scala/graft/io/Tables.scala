@@ -84,6 +84,22 @@ object Tables {
   def upsert(spark: SparkSession, base: String, name: String,
       updates: DataFrame, keys: Seq[String]): Unit = {
     require(keys.nonEmpty, "upsert needs at least one key column")
+    stagedReplace(spark, base, name) {
+      case None => updates
+      case Some(current) =>
+        current.join(updates.select(keys.map(org.apache.spark.sql.functions.col): _*),
+          keys, "left_anti").unionByName(updates)
+    }
+  }
+
+  /** The crash-recoverable staged-swap protocol shared by every mutating
+    * write (upsert / delete-by-query): recovery, stage `next(current)`
+    * fully committed, then the rename swap. `current` is None when the
+    * table does not exist after recovery. See [[upsert]] for the protocol's
+    * correctness argument — this helper IS its steps 1–3, single-sourced.
+    */
+  private def stagedReplace(spark: SparkSession, base: String, name: String)(
+      next: Option[DataFrame] => DataFrame): Unit = {
     val staging = s"${name}__staging"
     val old = s"${name}__old"
     val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -91,26 +107,46 @@ object Tables {
     // half-written staging never rolls forward — it falls through to delete)
     if (!exists(spark, base, name) && exists(spark, base, staging))
       require(fs.rename(new Path(tablePath(base, staging)), new Path(tablePath(base, name))),
-        s"upsert roll-forward failed for $base/$name")
+        s"staged-swap roll-forward failed for $base/$name")
     else if (!exists(spark, base, name) && exists(spark, base, old))
       require(fs.rename(new Path(tablePath(base, old)), new Path(tablePath(base, name))),
-        s"upsert recovery failed for $base/$name")
+        s"staged-swap recovery failed for $base/$name")
     delete(spark, base, staging)
     delete(spark, base, old)
-    // step 2: stage the merged generation
-    val merged =
-      if (!exists(spark, base, name)) updates
-      else read(spark, base, name).join(updates.select(keys.map(org.apache.spark.sql.functions.col): _*),
-        keys, "left_anti").unionByName(updates)
-    write(merged, base, staging)
+    // step 2: stage the next generation
+    val current = if (exists(spark, base, name)) Some(read(spark, base, name)) else None
+    write(next(current), base, staging)
     // step 3: swap (old generation survives until the new one is in place)
     if (exists(spark, base, name))
       require(fs.rename(new Path(tablePath(base, name)), new Path(tablePath(base, old))),
-        s"upsert swap (aside) failed for $base/$name")
+        s"staged-swap (aside) failed for $base/$name")
     require(fs.rename(new Path(tablePath(base, staging)), new Path(tablePath(base, name))),
-      s"upsert swap (in) failed for $base/$name")
+      s"staged-swap (in) failed for $base/$name")
     delete(spark, base, old)
   }
+
+  /** ES `_delete_by_query`: rows matching `pred` are dropped through the
+    * SAME crash-safe staged swap as [[upsert]] — survivors are staged and
+    * committed before the live generation is touched, so a kill at any
+    * point leaves a recoverable table (ES's analog: per-doc version-checked
+    * deletes inside one task, conflicts=proceed). The table must exist
+    * (ES answers 404). Scale note: like upsert, this rewrites the target —
+    * the honest cost without a delete-file format; at 100 TB a partition
+    * predicate prunes the rewrite to touched partitions (or use Iceberg
+    * positional deletes through this same facade).
+    */
+  def deleteByQuery(spark: SparkSession, base: String, name: String,
+      pred: org.apache.spark.sql.Column): Unit =
+    stagedReplace(spark, base, name) {
+      case None => throw new IllegalArgumentException(
+        s"deleteByQuery target $base/$name does not exist")
+      case Some(current) =>
+        // survivors = rows where pred is NOT TRUE: a NULL predicate (e.g. a
+        // comparison over a null field) does not MATCH the delete query in
+        // ES, so the row survives — hence the coalesce, not a bare negation
+        current.where(!org.apache.spark.sql.functions.coalesce(
+          pred, org.apache.spark.sql.functions.lit(false)))
+    }
 
   /** Keyed MERGE with EXTERNAL VERSIONING — ES optimistic concurrency
     * (`version_type: external`): an update lands only when its version is

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact (hash-groupBy),
@@ -155,5 +155,82 @@ object DedupOps {
                           cast(conv(substring(hb, q*4 + 1, 4), 16, 10) as int)))"""))
       .where(col("dist") <= maxDist)
       .select("a", "b", "dist")
+  }
+
+  /** Near-dup CLUSTERING — the step every dedup pipeline runs after pair
+    * generation: connected components over the (a, b) near-dup pair graph,
+    * each doc labeled with its component's MINIMUM doc id (`cluster`) and
+    * the canonical keeper flagged (`canonical` = doc == cluster min — the
+    * deterministic survivor-selection rule; a quality-ranked keeper swaps
+    * one orderBy). Min-label propagation to fixpoint: labels start at the
+    * node id, each round takes min(own, neighbors') over ONE exchange
+    * (map-side-combined min per node), stop when no label changes. Rounds
+    * are bounded by the component DIAMETER — near-dup components are
+    * band-join cliques-ish, so 2-4 rounds in practice; the iteration cap
+    * makes a pathological chain loud instead of silent. This is the
+    * standard iterative-join CC formulation (large-star/small-star's
+    * simple core) — every round is embarrassingly parallel, driver sees
+    * ONE convergence count per round. Output covers docs that appear in
+    * at least one pair (singletons are their own trivial cluster —
+    * callers union them back if they want full coverage).
+    */
+  /** Benchmark-contamination check — the decontamination step every
+    * training-data pipeline runs before a model ships: corpus docs that
+    * share at least one word-5-gram shingle with the benchmark/eval set
+    * (`benchPred` marks benchmark member rows), reported as
+    * (doc_id, n_shared) with n_shared = DISTINCT shared shingles.
+    * Benchmark-internal overlap is not contamination and is excluded.
+    *
+    * Plan shape — the real-pipeline economics: the benchmark side is
+    * eval-suite-sized (thousands of docs, millions of shingles — fixed,
+    * tiny vs the corpus), so its distinct-shingle set BROADCASTS and the
+    * corpus side joins it inside the scan stage; the only exchange is the
+    * per-doc count aggregate over the (rare) matching shingles. At 100 TB
+    * the same shape holds with the broadcast swapped for a Bloom filter of
+    * the benchmark shingles pushed into the scan (false positives re-checked
+    * by the exact join) — the corpus is never shuffled by shingle.
+    */
+  def contamination(df: DataFrame, benchPred: Column,
+      id: String = "doc_id", text: String = "text"): DataFrame = {
+    val isBench = coalesce(benchPred, lit(false)) // NULL pred = not benchmark
+    val benchSh = shingles(df.where(isBench), id, text).select("shingle").distinct()
+    shingles(df.where(!isBench), id, text)
+      .dropDuplicates(id, "shingle")
+      .join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
+  }
+
+  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    // eager localCheckpoint TRUNCATES LINEAGE each round — without it the
+    // iterative self-join's plan tree doubles per round (the classic
+    // iterative-algorithm analyzer blowup: the pair-generation chain gets
+    // re-embedded at every step and planning alone exhausts the heap). At
+    // cluster scale swap for a reliable checkpoint dir; the algorithm is
+    // unchanged.
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("x").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbr = edges.join(labels.withColumnRenamed("id", "y"), Seq("y"))
+        .groupBy(col("x").as("id")).agg(min("label").as("nbr_min"))
+      val next = labels.join(nbr, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") < col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      round += 1
+    }
+    require(converged, s"label propagation did not converge in $maxRounds rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"),
+        (col("id") === col("label")).as("canonical"))
+      .orderBy("cluster", "doc_id")
   }
 }

@@ -70,6 +70,46 @@ object GeoOps {
     df.where(latPred && lonPred)
   }
 
+  /** ES `geo_polygon` query, pinned v1 = CONVEX polygons on the planar
+    * (lon, lat) chart: a point is inside iff it sits on the non-negative
+    * side of every edge of the counter-clockwise ring — one cross-product
+    * sign check per edge, multiply/subtract ONLY (no libm), so both
+    * engines evaluate bit-identical doubles and the whole predicate is a
+    * codegen'd conjunction that lands next to the scan. Boundary points
+    * count as inside (cross = 0), matching ES's inclusive edges.
+    * DIVERGENCES (documented): ES evaluates great-circle edges and accepts
+    * concave rings (it triangulates); the planar-convex pin keeps the
+    * predicate exact-arithmetic and twin-expressible — a concave ring
+    * decomposes into convex pieces OR'd together by the caller. The ring
+    * must be CCW and genuinely convex — both validated driver-side (pure
+    * arithmetic over the vertex list), rejecting silently-wrong input
+    * loudly. Antimeridian-crossing rings are out of the v1 (reject by
+    * construction: vertices are plain [-180, 180] lon values).
+    */
+  def withinConvexPolygon(df: DataFrame, latCol: String, lonCol: String,
+      ring: Seq[(Double, Double)] /* (lat, lon) vertices, CCW */): DataFrame = {
+    require(ring.size >= 3, s"polygon needs >= 3 vertices, got ${ring.size}")
+    ring.foreach { case (la, lo) =>
+      require(la >= -90 && la <= 90 && lo >= -180 && lo <= 180,
+        s"vertex ($la, $lo) outside the lat/lon domain")
+    }
+    // driver-side convex/CCW validation: every consecutive edge-pair turn
+    // must be non-negative (left turns only), with at least one strict
+    val n = ring.size
+    val turns = (0 until n).map { i =>
+      val (ay, ax) = ring(i); val (by, bx) = ring((i + 1) % n); val (cy, cx) = ring((i + 2) % n)
+      (bx - ax) * (cy - by) - (by - ay) * (cx - bx)
+    }
+    require(turns.forall(_ >= 0.0) && turns.exists(_ > 0.0),
+      "ring must be counter-clockwise and convex (left turns only)")
+    val inside = (0 until n).map { i =>
+      val (ay, ax) = ring(i); val (by, bx) = ring((i + 1) % n)
+      (lit(bx - ax) * (col(latCol) - lit(ay)) -
+        lit(by - ay) * (col(lonCol) - lit(ax))) >= 0.0
+    }.reduce(_ && _)
+    df.where(inside)
+  }
+
   /** All rows of `df` within `radiusKm` of (lat0, lon0), with `dist_km`
     * (rounded 4 dp — the predicate applies to the rounded value; see the
     * protocol note above). `prefilter = false` disables the bbox phase —

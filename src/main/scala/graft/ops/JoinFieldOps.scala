@@ -96,4 +96,25 @@ object JoinFieldOps {
       .agg(count(lit(1)).as("n_children"),
         round(avg(col(valueCol)), 4).as("avg_value"))
       .orderBy(bucket)
+
+  /** ES `parent` aggregation — the reverse of [[childrenAgg]]: child-side
+    * buckets ask about their PARENTS — per child bucket, the count of
+    * distinct matching parents and a parent-metric mean. ES walks the join
+    * field's ordinals child→parent under the child agg's scope; the
+    * relational form must weight each PARENT ONCE per bucket, not once per
+    * child (ES aggregates the parent DOC SET) — hence the two-level fold:
+    * dedupe (bucket, key) first (map-side-combinable distinct), join the
+    * parent's (key, value) onto that key-grain frame, then one aggregate.
+    * Exchanges move (bucket, key) pairs and partials, never documents; the
+    * parent projection is two columns and broadcasts at dimension-like
+    * parent cardinalities.
+    */
+  def parentAgg(children: DataFrame, childKey: String, bucket: String,
+      parents: DataFrame, parentKey: String, parentValueCol: String): DataFrame =
+    children.select(col(bucket), col(childKey).as(parentKey)).distinct()
+      .join(parents.select(col(parentKey), col(parentValueCol)), Seq(parentKey))
+      .groupBy(bucket)
+      .agg(count(lit(1)).as("n_parents"),
+        round(avg(col(parentValueCol)), 4).as("avg_parent_value"))
+      .orderBy(bucket)
 }

@@ -265,4 +265,35 @@ object MetricAggs {
       .agg((count(lit(1)) / 7.0).as("docs_per_day"),
         round(sum(col(valueCol)) / 7.0, 4).as("value_per_day"))
       .orderBy("week")
+
+  /** ES `frequent_item_sets` aggregation (8.4+ market-basket mining),
+    * pinned v1 = size-2 itemsets: support(a, b) = |keys containing both a
+    * and b| / |keys|, pairs kept at support ≥ `minSupport`, ordered
+    * (support desc, a, b). ES mines general itemsets with Eclat over its
+    * top doc buckets (approximate at scale); pairs are its overwhelmingly
+    * common use and stay EXACT here. Plan shape — the part that matters at
+    * 100 TB: candidates come from a per-key self-join of the DEDUPED
+    * (key, item) frame, bounded by the per-key distinct-item count (the
+    * item vocabulary, e.g. event types — small by construction), so
+    * candidate rows grow LINEARLY in keys, never keys²; then one
+    * map-side-combined count per pair and a broadcast 1-row total. The
+    * support predicate applies to the 4-dp ROUNDED ratio (float protocol —
+    * the boundary cannot flip on sub-ulp division noise).
+    */
+  def frequentPairs(df: DataFrame, keyCol: String, itemCol: String,
+      minSupport: Double): DataFrame = {
+    require(minSupport > 0.0 && minSupport <= 1.0,
+      s"minSupport must be in (0, 1], got $minSupport")
+    val ki = df.select(col(keyCol).as("k"), col(itemCol).as("item")).distinct()
+    val total = ki.select(countDistinct("k").as("n_keys"))
+    ki.as("x").join(ki.as("y"),
+        col("x.k") === col("y.k") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total)) // 1-row side — a scalar, not a cartesian
+      .withColumn("support", round(col("n").cast("double") / col("n_keys"), 4))
+      .where(col("support") >= minSupport)
+      .select("a", "b", "n", "support")
+      .orderBy(desc("support"), col("a"), col("b"))
+  }
 }

@@ -70,6 +70,33 @@ object TextOps {
       .withColumn("stop_ratio", round(col("stop_cnt").cast("double") / greatest(col("n_terms"), lit(1L)), 4))
   }
 
+  /** Repetition quality signal (the Gopher-rules family's "fraction of
+    * duplicate n-grams" filter — the strongest single predictor of
+    * boilerplate/spam in web-scale training corpora): per doc, the fraction
+    * of word `n`-grams that are repeats of an earlier one,
+    * `1 - distinct/total` over the whitespace-token n-gram stream (the same
+    * token stream the shingle/dedup family uses). Docs with fewer than `n`
+    * tokens emit no row (no n-gram exists — Gopher leaves them to the
+    * length filter). Plan shape: a pure NARROW map — the n-gram list, its
+    * size and its distinct size are all array built-ins evaluated inside
+    * one whole-stage-codegen projection; no explode, no shuffle, nothing
+    * leaves the row. At 100 TB this is the ideal operator: corpus scan in,
+    * one double per doc out. Float protocol: `1 - cast(distinct as double)
+    * / total` rounded 4 dp, spelled identically in the twin.
+    */
+  def repetition(df: DataFrame, id: String = "doc_id", text: String = "text",
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    df.select(col(id), split(trim(lower(col(text))), "\\s+").as("arr"))
+      .where(size(col("arr")) >= n)
+      .select(col(id), expr(
+        s"transform(sequence(1, size(arr) - ${n - 1}), i -> array_join(slice(arr, i, $n), ' '))")
+        .as("grams"))
+      .select(col(id), size(col("grams")).as("n_grams"),
+        round(lit(1.0) - size(array_distinct(col("grams"))).cast("double") / size(col("grams")), 4)
+          .as("dup_frac"))
+  }
+
   /** Language-ID heuristic: non-ASCII ratio -> zh; else argmax of per-language
     * stopword hits with a fixed tie order (en > de > es > fr). Deterministic
     * and SQL-twinnable; a real pipeline would swap in a trained model here.
