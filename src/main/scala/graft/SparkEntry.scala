@@ -784,6 +784,45 @@ object SparkEntry {
         concat_ws("#", col("user_id"), to_date(col("ts"))).as("txn"),
         col("event_type")),
       "txn", "event_type", 0.14)),
+    // B33 sparse_vector (ELSER/text_expansion serving shape): sparse
+    // term->weight dot product with the doc tf vector; binary-fraction
+    // weights keep every sum exact; absent term contributes nothing.
+    "b98_sparse_vector" -> ((s, d) => DocumentsIndex.sparseVector(s, d,
+      Map("hash" -> 2.0, "join" -> 1.0, "vector" -> 0.5, "zzmissing" -> 4.0))),
+    // B15 span_or: union of term span sets — occurrences of any clause.
+    "b99_span_or" -> ((s, d) =>
+      DocumentsIndex.spanOrMatch(s, d, Seq("hash", "vector", "stream"))),
+    // B32 _mtermvectors: per-(doc, term) vectors for an id list in ONE
+    // pushdown fetch; the absent id emits no rows.
+    "b100_mtermvectors" -> ((s, d) =>
+      DocumentsIndex.termVectorsMulti(s, d, Seq(7L, 42L, 99L, 999999L))),
+    // B21 geohash_grid: standard geohash cells (precision 2), top-15 by
+    // (count desc, key) — pure integer interleave after one IEEE div/mul.
+    "a69_geohash_grid" -> ((s, d) => {
+      val (lat, lon) = graft.ops.GeoOps.derivedCoords(col("doc_id"))
+      graft.ops.GeoOps.geohashGrid(
+        tbl(s, d, "documents").select(lat.as("lat"), lon.as("lon")),
+        "lat", "lon", precision = 2, size = 15)
+    }),
+    // B18 fuzzy with ES `transpositions: true` (the default Lucene fuzziness
+    // mode): one adjacent swap = ONE edit, so "ordre"@1 reaches 'order'
+    // (classic levenshtein = 2 — the transpositions=false row b20 would
+    // find NOTHING at maxEdits 1). Unrestricted Damerau–Levenshtein via the
+    // native codegen'd expression; the oracle's damerau_levenshtein() is
+    // the same unrestricted variant (see graft.functions.DamerauLevenshtein).
+    "b101_fuzzy_transpositions" -> ((s, d) =>
+      DocumentsIndex.fuzzyMatch(s, d, "ordre", maxEdits = 1, transpositions = true)),
+    // B13 combined_fields (BM25F): term-centric multi-field scoring — the
+    // fields merge into ONE synthetic field (weighted tf, weighted dl,
+    // union df) BEFORE BM25. 'hash' lives only in text, 'de' only in tags,
+    // so the row exercises the union df + weighted dl_c economics; the
+    // overlapping-vocabulary tf_c merge is sbt-gated (Ring12Spec).
+    "b102_combined_fields" -> ((s, d) =>
+      DocumentsIndex.combinedFields(s, d, "hash de", Seq("text^2", "tags"))),
+    // Training-data quality signal: per-doc unigram LM mean log-probability
+    // (the corpus IS the model — Σ tf·ln(cf/C) / dl). Common-vocabulary
+    // docs score high; rare-token noise scores low.
+    "td_unigram_lm" -> ((s, d) => DocumentsIndex.unigramLogProb(s, d)),
     // B15 span_containing: unordered (hash, join) windows at gap <= 4 that
     // hold a 'table' occurrence — distinct containing windows per doc.
     "b92_span_containing" -> ((s, d) =>
@@ -1186,6 +1225,25 @@ object SparkEntry {
        |  SELECT c.a, c.b, cast(hamming(ba.bbits, bb.bbits) AS int) AS dist
        |  FROM cand c JOIN bin ba ON ba.doc_id = c.a JOIN bin bb ON bb.doc_id = c.b
        |  WHERE hamming(ba.bbits, bb.bbits) <= $maxDist)""".stripMargin
+
+  /** The geohash character expressions over (gx, gy) — the SQL mirror of
+    * GeoOps.geohashGrid's interleave loop (MSB-first, lon-first, base32
+    * via substr). Pure integer shifts/masks — exact in both engines.
+    */
+  private def geohashCharsSql(precision: Int): String = {
+    val bits = 5 * precision
+    val lonBits = (bits + 1) / 2
+    val latBits = bits / 2
+    (0 until precision).map { c =>
+      val v = (0 until 5).map { m =>
+        val j = 5 * c + m
+        val e = if (j % 2 == 0) s"((gx >> ${lonBits - 1 - j / 2}) & 1)"
+                else s"((gy >> ${latBits - 1 - (j - 1) / 2}) & 1)"
+        s"$e * ${1L << (4 - m)}"
+      }.mkString(" + ")
+      s"substr('0123456789bcdefghjkmnpqrstuvwxyz', cast(($v) + 1 AS int), 1)"
+    }.mkString(" || ")
+  }
 
   private def bm25Sql(terms: Seq[String], limit: Int,
       tokCte: String = TokCte): String = {
@@ -3058,6 +3116,122 @@ object SparkEntry {
         |FROM p CROSS JOIN tot t
         |WHERE round(cast(n AS double) / t.n_keys, 4) >= 0.14
         |ORDER BY support DESC, a, b""".stripMargin,
+    // sparse_vector twin: the same dot product off the tf frame; doubles
+    // forced (2.0 * cast(tf AS double)) so DuckDB never folds in DECIMAL
+    "b98_sparse_vector" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       round(sum(CASE term WHEN 'hash' THEN 2.0 * cast(tf AS double)
+         |                           WHEN 'join' THEN 1.0 * cast(tf AS double)
+         |                           WHEN 'vector' THEN 0.5 * cast(tf AS double)
+         |                           WHEN 'zzmissing' THEN 4.0 * cast(tf AS double) END), 6) AS score
+         |FROM tf WHERE term IN ('hash', 'join', 'vector', 'zzmissing')
+         |GROUP BY doc_id
+         |ORDER BY score DESC, doc_id""".stripMargin,
+    // span_or twin: the union span count IS the occurrence count of any
+    // clause term (width-1 spans, distinct terms never share a position)
+    "b99_span_or" ->
+      s"""WITH $TokCte
+         |SELECT doc_id, count(*) AS n_spans
+         |FROM tok WHERE term IN ('hash', 'vector', 'stream')
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "b100_mtermvectors" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS a
+        |  FROM documents),
+        |t0 AS (SELECT doc_id, unnest(a) AS term0, unnest(range(0, len(a))) AS pos FROM arr),
+        |tokp AS (SELECT doc_id, substr(term0, 1, 64) AS term, pos FROM t0),
+        |dfx AS (SELECT term, count(DISTINCT doc_id) AS df FROM tokp GROUP BY 1)
+        |SELECT t.doc_id, t.term, count(*) AS tf, any_value(d.df) AS df,
+        |       array_to_string(list_sort(list(t.pos)), ',') AS positions
+        |FROM tokp t JOIN dfx d USING (term)
+        |WHERE t.doc_id IN (7, 42, 99, 999999)
+        |GROUP BY t.doc_id, t.term ORDER BY t.doc_id, t.term""".stripMargin,
+    "a69_geohash_grid" ->
+      s"""WITH pts AS (
+         |  SELECT (doc_id * 37 % 18000) / 100.0 - 90.0 AS lat,
+         |         (doc_id * 73 % 36000) / 100.0 - 180.0 AS lon
+         |  FROM documents),
+         |xy AS (
+         |  SELECT cast(greatest(least(floor((lon + 180.0) / 360.0 * 32.0), 31.0), 0.0) AS bigint) AS gx,
+         |         cast(greatest(least(floor((lat + 90.0) / 180.0 * 32.0), 31.0), 0.0) AS bigint) AS gy
+         |  FROM pts),
+         |g AS (SELECT ${geohashCharsSql(2)} AS geohash FROM xy)
+         |SELECT geohash, count(*) AS doc_count FROM g GROUP BY 1
+         |ORDER BY doc_count DESC, geohash
+         |LIMIT 15""".stripMargin,
+    // fuzzy-transpositions twin: the expansion set under DuckDB's
+    // damerau_levenshtein (the SAME unrestricted variant the engine's
+    // native expression computes), then the ordinary BM25 OR — the exact
+    // b20 twin with the distance swapped
+    "b101_fuzzy_transpositions" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |fz AS (SELECT term FROM dfx WHERE damerau_levenshtein(term, 'ordre') <= 1),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |         sum(ln(1 + cast(st.n - dfx.df + 0.5 AS double) / cast(dfx.df + 0.5 AS double))
+         |             * tf.tf / (tf.tf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * dl.dl / st.avgdl))) AS score
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfx USING (term) CROSS JOIN st
+         |  WHERE tf.term IN (SELECT term FROM fz)
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
+    // combined_fields twin: BM25F spelled term for term — weighted tf union
+    // (text^2 + tags), union df off that merged frame, weighted dl and
+    // weighted per-field avgdl (each avg = sum/N over ALL docs, missing
+    // field = 0, exactly the engine's registry economics)
+    "b102_combined_fields" ->
+      s"""WITH ${tokCteOver("text", "ttok")},
+         |${tokCteOver("concat_ws(' ', lang, source)", "gtok")},
+         |ttf AS (SELECT doc_id, term, count(*) AS tf FROM ttok GROUP BY 1, 2),
+         |gtf AS (SELECT doc_id, term, count(*) AS tf FROM gtok GROUP BY 1, 2),
+         |tdl AS (SELECT doc_id, count(*) AS dl FROM ttok GROUP BY 1),
+         |gdl AS (SELECT doc_id, count(*) AS dl FROM gtok GROUP BY 1),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |u AS (
+         |  SELECT doc_id, term, 2.0 * cast(tf AS double) AS wtf FROM ttf WHERE term IN ('hash', 'de')
+         |  UNION ALL
+         |  SELECT doc_id, term, 1.0 * cast(tf AS double) AS wtf FROM gtf WHERE term IN ('hash', 'de')),
+         |ctf AS (SELECT doc_id, term, sum(wtf) AS ctf FROM u GROUP BY 1, 2),
+         |dfu AS (SELECT term, count(*) AS dfu FROM ctf GROUP BY 1),
+         |cdl AS (
+         |  SELECT d.doc_id,
+         |         2.0 * cast(coalesce(tdl.dl, 0) AS double) + 1.0 * cast(coalesce(gdl.dl, 0) AS double) AS cdl
+         |  FROM documents d LEFT JOIN tdl ON d.doc_id = tdl.doc_id
+         |                   LEFT JOIN gdl ON d.doc_id = gdl.doc_id),
+         |st AS (
+         |  SELECT n.n,
+         |         2.0 * (cast((SELECT sum(dl) FROM tdl) AS double) / n.n)
+         |           + 1.0 * (cast((SELECT sum(dl) FROM gdl) AS double) / n.n) AS cavg
+         |  FROM nd n),
+         |sc AS (
+         |  SELECT c.doc_id,
+         |         sum(ln(1 + cast(st.n - f.dfu + 0.5 AS double) / cast(f.dfu + 0.5 AS double))
+         |             * (c.ctf / (c.ctf + cast(1.2 AS double) * (cast(0.25 AS double) + cast(0.75 AS double) * l.cdl / st.cavg)))) AS score
+         |  FROM ctf c JOIN dfu f USING (term) JOIN cdl l USING (doc_id) CROSS JOIN st
+         |  GROUP BY c.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |ORDER BY round(score, 6) DESC, doc_id""".stripMargin,
+    // unigram LM twin: cf from the same token stream, C = total tokens,
+    // mean log-prob = Σ tf·ln(cf/C) / dl — division AFTER the sum, 6 dp
+    "td_unigram_lm" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |cf AS (SELECT term, count(*) AS cf FROM tok GROUP BY 1),
+         |tot AS (SELECT count(*) AS c FROM tok)
+         |SELECT tf.doc_id,
+         |       round(sum(tf.tf * ln(cast(cf.cf AS double) / cast(t.c AS double))) / dl.dl, 6) AS logprob
+         |FROM tf JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN tot t
+         |GROUP BY tf.doc_id, dl.dl
+         |ORDER BY tf.doc_id""".stripMargin,
     "td_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

@@ -401,6 +401,54 @@ object DocumentsIndex {
       .orderBy("term")
   }
 
+  /** ES 8 `sparse_vector` retrieval keyed by doc_id — see
+    * IndexReader.sparseVectorDf for the pinned dot-product semantics. The
+    * shared 6-dp protocol rounding is a no-op here (binary-fraction
+    * weights × integer tfs are exact doubles) but keeps one output path.
+    */
+  def sparseVector(spark: SparkSession, sfDir: String,
+      weights: Map[String, Double]): DataFrame =
+    rankedByDocId(spark, reader(spark, sfDir).sparseVectorDf(weights),
+      indexDir(spark, sfDir))
+
+  /** Lucene `span_or` union span counts keyed by doc_id — integer-exact,
+    * no float protocol.
+    */
+  def spanOrMatch(spark: SparkSession, sfDir: String,
+      terms: Seq[String]): DataFrame =
+    reader(spark, sfDir).matchSpanOrDf(terms)
+      .join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("doc_id"), col("n_spans"))
+      .orderBy("doc_id")
+
+  /** ES `_mtermvectors`: [[termVectors]] for an id LIST in one request —
+    * ONE pushdown fetch (the IN predicate reaches the parquet scan), the
+    * same per-(doc, term) fold and broadcast dictionary df join, doc_id
+    * carried through the output. Missing ids simply emit no rows (ES marks
+    * them found=false; the row shape here is the vectors themselves).
+    */
+  def termVectorsMulti(spark: SparkSession, sfDir: String,
+      docIds: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    require(docIds.nonEmpty, "_mtermvectors needs at least one id")
+    require(docIds.distinct.size == docIds.size, "_mtermvectors ids must be distinct")
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("doc_id").isin(docIds: _*))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        graft.tokenize.CodeTokenizer.tokenize(t).iterator.zipWithIndex
+          .map { case (term, pos) => (id, term, pos) }
+      }.toDF("doc_id", "term", "pos")
+    toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"),
+        expr("array_join(transform(sort_array(collect_list(pos)), x -> cast(x AS string)), ',')")
+          .as("positions"))
+      .join(broadcast(dictionaryDf(spark, sfDir).select(col("term"), col("df"))),
+        Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("positions"))
+      .orderBy("doc_id", "term")
+  }
+
   /** ES `diversified_sampler` aggregation: the top `shardSize` hits under
     * the protocol order, de-duplicated to at most `maxPerLang` per lang
     * (ES `max_docs_per_value` on the diversity field) — the "don't let one
@@ -1044,10 +1092,43 @@ object DocumentsIndex {
     * keyed by doc_id under the shared output protocol.
     */
   def fuzzyMatch(spark: SparkSession, sfDir: String, term: String,
-      maxEdits: Int, prefixLength: Int = 0): DataFrame =
+      maxEdits: Int, prefixLength: Int = 0,
+      transpositions: Boolean = false): DataFrame =
     rankedByDocId(spark,
-      reader(spark, sfDir).matchFuzzyDf(term, maxEdits, prefixLength = prefixLength),
+      reader(spark, sfDir).matchFuzzyDf(term, maxEdits, prefixLength = prefixLength,
+        transpositions = transpositions),
       indexDir(spark, sfDir))
+
+  /** `combined_fields` (BM25F) over this driver table's two analyzed
+    * fields — see MultiFieldIndex.combinedFieldsScoreAll for the pinned
+    * term-centric semantics. Accepts the same `fields` boost specs as
+    * [[multiMatch]] (`Seq("text^2", "tags")`); BM25F field weights ARE the
+    * boosts, so they must be ≥ 1 (the ES validation rule, enforced below).
+    * Output keyed by doc_id under the shared 6-dp protocol.
+    */
+  def combinedFields(spark: SparkSession, sfDir: String, query: String,
+      fields: Seq[String]): DataFrame = {
+    val parsed = fields.map(graft.index.MultiFieldIndex.parseFieldBoost)
+    require(parsed.map(_._1).sorted == Seq("tags", "text"),
+      s"driver combined_fields serves fields text+tags, got ${fields.mkString(",")}")
+    val boostOf = parsed.toMap
+    // field order (text, tags) mirrors multiMatch's group order
+    val rs = Seq(reader(spark, sfDir), tagsReader(spark, sfDir))
+    val ws = Seq(boostOf("text"), boostOf("tags"))
+    rankedByDocId(spark,
+      graft.index.MultiFieldIndex.combinedFieldsScoreAll(spark, rs, ws, query),
+      indexDir(spark, sfDir))
+  }
+
+  /** Per-document unigram LM log-probability quality signal — see
+    * IndexReader.unigramLogProbDf for the pinned corpus-as-LM semantics.
+    * Keyed by doc_id, ordered by doc_id (a per-doc signal, not a ranking).
+    */
+  def unigramLogProb(spark: SparkSession, sfDir: String): DataFrame =
+    reader(spark, sfDir).unigramLogProbDf()
+      .join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("doc_id"), col("logprob"))
+      .orderBy("doc_id")
 
   /** ES point-in-time (`_pit`): the PIT id IS the index's segment manifest
     * captured at open — searches through [[pitSearch]] see EXACTLY that

@@ -358,4 +358,82 @@ object MultiFieldIndex {
       .orderBy(desc("score"), asc("docId")).limit(k)
       .as[graft.query.SearchHit]
   }
+
+  /** ES `combined_fields` (Lucene CombinedFieldQuery — BM25F): TERM-centric
+    * multi-field scoring, the third `multi_match` family member next to
+    * most/best_fields ([[multiMatchScoreAll]]) and cross_fields
+    * ([[crossFieldsScoreAllReaders]]). Where cross_fields blends STATISTICS
+    * and still scores per field, combined_fields merges the FIELDS
+    * themselves into one synthetic field before BM25 sees anything:
+    *
+    *   tf_c(t, d)  = Σ_f w_f · tf_f(t, d)        (weighted term freq)
+    *   dl_c(d)     = Σ_f w_f · dl_f(d)           (weighted doc length)
+    *   avgdl_c     = Σ_f w_f · avgdl_f           (linearity of the mean
+    *                                              over the aligned doc set)
+    *   df_c(t)     = |{d : t in ANY field of d}| (union df)
+    *   score(d)    = Σ_t idf(N, df_c) · tfNorm(tf_c, dl_c, avgdl_c)
+    *
+    * (the BM25F form; Lucene evaluates the same model through float norms —
+    * the exact-double arithmetic here is the pinned semantics, and the
+    * DuckDB twin spells it term for term). Weights must be ≥ 1 — the ES
+    * validation rule, because w < 1 can make tf_c non-monotone vs a
+    * single-field match.
+    *
+    * Plan: one term+tbucket-pruned postings scan per field decoding
+    * (docId, term, w·tf), one groupBy(docId, term) building tf_c, the union
+    * df as a term-grain aggregate of that frame BROADCAST back (query-sized
+    * — the scan subtree evaluates once per branch, both term-pruned), dl_c
+    * from the fields' registries docId-equi-joined (ids+dl only; at 100 TB
+    * this is the doc-values read every scorer already pays), and one final
+    * map-side-combined groupBy(docId). No driver materialization anywhere.
+    */
+  def combinedFieldsScoreAll(spark: SparkSession, readers: Seq[IndexReader],
+      weights: Seq[Double], query: String): DataFrame = {
+    import spark.implicits._
+    require(readers.nonEmpty && readers.size == weights.size,
+      s"combined_fields needs one weight per field: ${readers.size} vs ${weights.size}")
+    require(weights.forall(_ >= 1.0),
+      s"combined_fields weights must be >= 1 (the ES rule), got $weights")
+    val perDocCounts = readers.map(_.stats.numDocs)
+    require(perDocCounts.distinct.size == 1,
+      s"fields must index the same aligned doc set, got counts $perDocCounts")
+    val n = perDocCounts.head
+    val qterms = readers.head.analyze(query).distinct.sorted
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("docId", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType))))
+    if (qterms.isEmpty) return empty
+    val tfFrames = readers.zip(weights).map { case (r, w) =>
+      r.postingsFor(qterms.toSeq).flatMap { b =>
+        val ids = graft.codec.PostingsCodec.decodeDocIds(b.firstDocId, b.count, b.docDeltas)
+        val tfs = graft.codec.PostingsCodec.decodeTfs(b.count, b.tfs)
+        Iterator.tabulate(b.count)(i => (ids(i), b.term, w * tfs(i)))
+      }.toDF("docId", "term", "wtf")
+    }
+    // a term absent from a field contributes no rows; absent from EVERY
+    // field it never reaches scoring at all (the frame is simply empty)
+    val ctf = tfFrames.reduce(_ unionByName _)
+      .groupBy("docId", "term").agg(sum("wtf").as("ctf"))
+    // union df per term == the ctf frame's per-term row count (one row per
+    // (doc, term) by the postings distinct-doc invariant in every field)
+    val dfu = ctf.groupBy("term").agg(count(lit(1)).as("dfu"))
+    val pp = graft.query.Bm25.Default
+    val cdl = readers.zip(weights).map { case (r, w) =>
+      r.segments.map(seg => graft.io.Tables.read(spark, seg, InvertedIndex.DocsTable)
+        .select(col("docId"), col("dl"))).reduce(_ unionByName _)
+        .select(col("docId"), (lit(w) * col("dl")).as("wdl"))
+    }.reduce(_ unionByName _).groupBy("docId").agg(sum("wdl").as("cdl"))
+    val cavg = readers.zip(weights).map { case (r, w) => w * r.stats.avgDl }.sum
+    val idfC = log(lit(1.0) +
+      (lit(n.toDouble) - col("dfu") + lit(0.5)) / (col("dfu") + lit(0.5)))
+    ctf.join(broadcast(dfu), Seq("term"))
+      .join(cdl, Seq("docId"))
+      .select(col("docId"),
+        (idfC * (col("ctf") / (col("ctf") +
+          lit(pp.k1) * (lit(1.0 - pp.b) + lit(pp.b) * col("cdl") / lit(cavg)))))
+          .as("part"))
+      .groupBy("docId").agg(sum("part").as("score"))
+  }
 }

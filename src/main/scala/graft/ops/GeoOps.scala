@@ -211,4 +211,52 @@ object GeoOps {
       .orderBy(desc("doc_count"), asc("tile"))
       .limit(size)
   }
+
+  /** The geohash base32 alphabet (no a/i/l/o) — Niemeyer's encoding, the
+    * one ES/Lucene GeoHashUtils pin.
+    */
+  val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** ES `geohash_grid` aggregation: per-cell doc counts under the standard
+    * geohash encoding — precision `p` cells are 5p bits, lon takes
+    * ceil(5p/2) (geohash interleaves LON-first), lat the rest. Cross-engine
+    * exactness: each axis does ONE identically-spelled IEEE divide+multiply
+    * — floor((lon + 180) / 360 · 2^lonBits) — then everything downstream is
+    * integer shifts and masks (no libm anywhere, unlike geotile's mercator,
+    * so no rounding protocol is needed); the +180 / +90 edges clamp into
+    * the last cell (ES's behavior), the interleave walks MSB-first and each
+    * 5-bit group maps through [[GeohashAlphabet]]. Unlike geotile there is
+    * NO latitude exclusion band — geohash covers the poles. Output: top
+    * `size` cells as a PLAN (TakeOrderedAndProject) by (count desc, key
+    * asc); the groupBy is map-side combined, cells ≤ 32^p.
+    */
+  def geohashGrid(df: DataFrame, latCol: String, lonCol: String,
+      precision: Int, size: Int): DataFrame = {
+    require(precision >= 1 && precision <= 6,
+      s"precision must be in [1, 6], got $precision") // 6 = 30 bits, cm-scale cells
+    require(size > 0, "size must be positive")
+    val bits = 5 * precision
+    val lonBits = (bits + 1) / 2
+    val latBits = bits / 2
+    def axis(c: Column, shift: Double, span: Double, nBits: Int): Column =
+      greatest(least(floor((c + shift) / span * (1L << nBits).toDouble),
+        lit((1L << nBits) - 1)), lit(0L))
+    val withXY = df.select(
+      axis(col(lonCol), 180.0, 360.0, lonBits).as("gx"),
+      axis(col(latCol), 90.0, 180.0, latBits).as("gy"))
+    val chars = (0 until precision).map { c =>
+      val v = (0 until 5).map { m =>
+        val j = 5 * c + m
+        val bit =
+          if (j % 2 == 0) shiftright(col("gx"), lonBits - 1 - j / 2).bitwiseAND(lit(1L))
+          else shiftright(col("gy"), latBits - 1 - (j - 1) / 2).bitwiseAND(lit(1L))
+        bit * lit(1L << (4 - m))
+      }.reduce(_ + _)
+      substr(lit(GeohashAlphabet), (v + 1).cast("int"), lit(1))
+    }
+    withXY.select(concat(chars: _*).as("geohash"))
+      .groupBy("geohash").agg(count(lit(1)).as("doc_count"))
+      .orderBy(desc("doc_count"), asc("geohash"))
+      .limit(size)
+  }
 }

@@ -679,7 +679,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * cross-engine parity is unaffected.
     */
   def expandFuzzy(term: String, maxEdits: Int = 2, maxExpansions: Int = 50,
-      prefixLength: Int = 0): Array[String] = {
+      prefixLength: Int = 0, transpositions: Boolean = false): Array[String] = {
     val q = singleTerm(term, "fuzzy term")
     require(maxEdits >= 0 && maxExpansions > 0, "maxEdits >= 0 and maxExpansions > 0")
     require(prefixLength >= 0, s"prefix_length must be >= 0, got $prefixLength")
@@ -695,9 +695,18 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       val pruned =
         if (pfx.isEmpty) dict
         else dict.where(col("term") >= pfx && col("term") < (pfx.init + (pfx.last + 1).toChar))
+      // Both distances bound |len(a) - len(b)| below, so the length band
+      // is a correct prefilter for either; the verify stays executor-side
+      // and codegen'd in both branches (transpositions routes through the
+      // native graft.functions.DamerauLevenshtein expression — the
+      // UNRESTRICTED variant the oracle engine computes; divergence from
+      // Lucene's OSA documented there).
+      val dist =
+        if (transpositions) graft.functions.DamerauLevenshtein(col("term"), lit(q))
+        else levenshtein(col("term"), lit(q))
       pruned
         .where(length(col("term")).between(q.length - maxEdits, q.length + maxEdits) &&
-          levenshtein(col("term"), lit(q)) <= maxEdits)
+          dist <= maxEdits)
         .select(col("term"), col("df"))
     }
     cappedByDf(scans, maxExpansions)
@@ -922,6 +931,51 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       if (segments.size == 1) scans.head
       else scans.reduce(_ unionByName _).groupBy("term").agg(sum("df").as("df"))
     merged.where(col("df") <= maxDocCount).orderBy(asc("df"), asc("term"))
+  }
+
+  /** Per-document unigram language-model log-probability — the classic
+    * training-data quality signal (a KenLM-style perplexity proxy without
+    * the external model: docs of common-vocabulary prose score high, rare-
+    * token noise scores low): mean over the doc's tokens of
+    * ln(cf_t / C) where cf_t is the term's COLLECTION frequency and C the
+    * corpus token count — i.e. Σ_t tf·ln(cf_t/C) / dl. The corpus itself is
+    * the LM; no smoothing is needed because every indexed term has cf ≥ 1.
+    *
+    * Plan: ONE full postings scan decoding (docId, term, tf, dl) — the
+    * termsStatsDf economics — joined to the dictionary's (term, cf) frame
+    * BROADCAST (the dictionary is vocabulary-sized; at a 100 TB vocabulary
+    * past the broadcast threshold this becomes an ordinary shuffle join
+    * keyed on term and nothing else changes), then one map-side-combined
+    * groupBy(docId, dl). C is an exact integer (Σ cf ≡ Σ dl — one
+    * dictionary-sized agg, k-row driver result), so cf/C and the final
+    * divide-after-sum are spelled identically in the DuckDB twin; the 6-dp
+    * output rounding absorbs ln fold-order drift as everywhere else.
+    */
+  def unigramLogProbDf(): DataFrame = {
+    import spark.implicits._
+    val dictScans = segments.map(seg =>
+      Tables.read(spark, seg, InvertedIndex.DictTable).select(col("term"), col("cf")))
+    val cfByTerm =
+      if (segments.size == 1) dictScans.head
+      else dictScans.reduce(_ unionByName _).groupBy("term").agg(sum("cf").as("cf"))
+    val total = cfByTerm.agg(sum("cf")).head.getLong(0)
+    val rows = segments.map { seg =>
+      Tables.read(spark, seg, InvertedIndex.PostingsTable)
+        .select(col("term"), col("firstDocId"), col("count"), col("docDeltas"),
+          col("tfs"), col("dls"))
+    }.reduce(_ unionByName _)
+      .as[(String, Long, Int, Array[Byte], Array[Byte], Array[Byte])]
+      .flatMap { case (t, f, c, d, tfb, dlb) =>
+        val ids = PostingsCodec.decodeDocIds(f, c, d)
+        val tfs = PostingsCodec.decodeTfs(c, tfb)
+        val dls = PostingsCodec.decodeDls(c, dlb)
+        Iterator.tabulate(c)(i => (ids(i), t, tfs(i).toLong, dls(i).toLong))
+      }.toDF("docId", "term", "tf", "dl")
+    rows.join(broadcast(cfByTerm), Seq("term"))
+      .select(col("docId"), col("dl"),
+        (col("tf") * log(col("cf").cast("double") / lit(total.toDouble))).as("part"))
+      .groupBy("docId", "dl").agg(sum("part").as("s"))
+      .select(col("docId"), round(col("s") / col("dl"), 6).as("logprob"))
   }
 
   /** ES `composite` aggregation over a terms source — the PAGINATED facet:
@@ -1978,6 +2032,63 @@ final class IndexReader(spark: SparkSession, indexDir: String,
         (acc, x) => acc + x.getField("contrib")).as("score"))
   }
 
+  /** ES 8 `sparse_vector` query (the ELSER / `text_expansion` serving
+    * shape): the query is a sparse term→weight vector and the score is the
+    * sparse DOT PRODUCT with the document's term vector — Σ over present
+    * terms of w_t · tf(t, doc). ES multiplies learned per-token weights
+    * stored at index time; this schema stores no learned doc-side weights,
+    * so tf IS the doc-side weight (the unweighted-index analog — documented
+    * divergence; a weighted payload would change only the decode below).
+    *
+    * Plan: ONE payload scan of the query's terms (term-pruned like every
+    * term scan), the weight map rides the closure (query-sized), one
+    * map-side-combined per-doc sum — the economics of a scored OR without
+    * the BM25 meta. Weights must be > 0 (ES rejects non-positive). Exact
+    * cross-engine: the driver row pins binary-fraction weights, so every
+    * w·tf product and their sum are exact doubles in any fold order.
+    */
+  def sparseVectorDf(weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "sparse_vector needs at least one (term, weight)")
+    val norm = weights.map { case (t, w) =>
+      require(w > 0.0, s"sparse_vector weight for '$t' must be > 0, got $w")
+      singleTerm(t, "sparse_vector term") -> w
+    }
+    require(norm.size == weights.size,
+      "sparse_vector terms must be distinct after analysis")
+    val wB = spark.sparkContext.broadcast(norm)
+    postingsFor(norm.keys.toSeq.sorted).flatMap { b =>
+      val w = wB.value(b.term)
+      val ids = PostingsCodec.decodeDocIds(b.firstDocId, b.count, b.docDeltas)
+      val tfs = PostingsCodec.decodeTfs(b.count, b.tfs)
+      Iterator.tabulate(b.count)(i => (ids(i), w * tfs(i)))
+    }.toDF("docId", "part")
+      .groupBy("docId").agg(sum("part").as("score"))
+  }
+
+  /** Lucene `span_or` (ES `span_or` over term clauses): the UNION of the
+    * clause span sets — every occurrence of any clause term is one span;
+    * term spans are width-1 and two distinct terms can never occupy the
+    * same position, so the union's size is exactly Σ tf. Output:
+    * (docId, n_spans) for docs with ≥ 1 span. Plan: ONE payload scan of
+    * the clause terms with NO position decode — the union SIZE needs only
+    * tfs (a consumer nesting span_or under span_near is the case that
+    * would decode positions) — then one map-side-combined per-doc sum.
+    * Duplicate clauses are rejected: they would double-count one span set
+    * (Lucene dedups identical clauses in rewrite).
+    */
+  def matchSpanOrDf(terms: Seq[String]): DataFrame = {
+    val norm = terms.map(t => singleTerm(t, "span_or term"))
+    require(norm.size >= 2, s"span_or needs >= 2 clause terms, got ${norm.size}")
+    require(norm.distinct.size == norm.size,
+      s"span_or clauses must be distinct, got ${terms.mkString(", ")}")
+    postingsFor(norm.sorted).flatMap { b =>
+      val ids = PostingsCodec.decodeDocIds(b.firstDocId, b.count, b.docDeltas)
+      val tfs = PostingsCodec.decodeTfs(b.count, b.tfs)
+      Iterator.tabulate(b.count)(i => (ids(i), tfs(i).toLong))
+    }.toDF("docId", "tf")
+      .groupBy("docId").agg(sum("tf").as("n_spans"))
+  }
+
   /** ES query-time synonyms (`synonym_graph` search filter → Lucene
     * SynonymQuery; `upstream:` a LOD search API expands preferred/alternate
     * labels at query time): each GROUP of terms scores as ONE pseudo-term —
@@ -2043,8 +2154,9 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * twin expresses exactly).
     */
   def matchFuzzyDf(term: String, maxEdits: Int = 2, maxExpansions: Int = 50,
-      prefixLength: Int = 0): DataFrame =
-    scoreAllTerms(expandFuzzy(term, maxEdits, maxExpansions, prefixLength))
+      prefixLength: Int = 0, transpositions: Boolean = false): DataFrame =
+    scoreAllTerms(expandFuzzy(term, maxEdits, maxExpansions, prefixLength,
+      transpositions))
 
   /** DataFrame form for the driver contract (SparkEntry.queries). */
   def searchDf(query: String, k: Int, useBmw: Boolean = true): DataFrame = {
