@@ -680,8 +680,19 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     */
   def expandFuzzy(term: String, maxEdits: Int = 2, maxExpansions: Int = 50,
       prefixLength: Int = 0, transpositions: Boolean = false): Array[String] = {
+    require(maxExpansions > 0, s"maxExpansions must be > 0, got $maxExpansions")
+    cappedByDf(fuzzyExpansionScans(term, maxEdits, prefixLength, transpositions),
+      maxExpansions)
+  }
+
+  /** The per-segment UNCAPPED expansion frames expandFuzzy caps — public so
+    * plan evidence (EXPLAINS.md) can show the dictionary scan with the
+    * distance verify in place, exactly as it executes.
+    */
+  def fuzzyExpansionScans(term: String, maxEdits: Int, prefixLength: Int = 0,
+      transpositions: Boolean = false): Seq[DataFrame] = {
     val q = singleTerm(term, "fuzzy term")
-    require(maxEdits >= 0 && maxExpansions > 0, "maxEdits >= 0 and maxExpansions > 0")
+    require(maxEdits >= 0, s"maxEdits must be >= 0, got $maxEdits")
     require(prefixLength >= 0, s"prefix_length must be >= 0, got $prefixLength")
     // ES `prefix_length`: the first P characters are EXACT — no edits spent
     // there (Lucene anchors the automaton walk after the common prefix).
@@ -690,7 +701,7 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     // so a prefix_length>0 fuzzy query scans a dictionary SLICE instead of
     // every term: the parameter IS the scale lever ES documents it as.
     val pfx = q.take(prefixLength)
-    val scans = segments.map { seg =>
+    segments.map { seg =>
       val dict = Tables.read(spark, seg, InvertedIndex.DictTable)
       val pruned =
         if (pfx.isEmpty) dict
@@ -709,7 +720,6 @@ final class IndexReader(spark: SparkSession, indexDir: String,
           dist <= maxEdits)
         .select(col("term"), col("df"))
     }
-    cappedByDf(scans, maxExpansions)
   }
 
   /** df-ranked expansion cap as a PLAN, not a driver sort: merge per-segment
