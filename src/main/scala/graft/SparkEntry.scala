@@ -823,6 +823,20 @@ object SparkEntry {
     // (the corpus IS the model — Σ tf·ln(cf/C) / dl). Common-vocabulary
     // docs score high; rare-token noise scores low.
     "td_unigram_lm" -> ((s, d) => DocumentsIndex.unigramLogProb(s, d)),
+    // B16 terms_set: per-doc dynamic minimum_should_match — the pinned
+    // script form 1 + doc_id % 3 (no count column in this schema).
+    "b103_terms_set" -> ((s, d) => DocumentsIndex.termsSetMatch(s, d,
+      Seq("hash", "join", "vector", "stream"))),
+    // B15 span_multi in span_near: occurrences of ANY 's'-prefixed term
+    // within slop 2 (unordered) of 'join' — the expansion composed INTO
+    // span position arithmetic.
+    "b104_span_multi" -> ((s, d) =>
+      DocumentsIndex.spanMultiNear(s, d, "s", "join", slop = 2)),
+    // A15 percentile_ranks: the inverse percentiles lookup — exact
+    // (100·|{v ≤ x}|/n, the a24 exact/approx split; t-digest = 100 TB path).
+    "a70_percentile_ranks" -> ((s, d) =>
+      graft.ops.MetricAggs.percentileRanks(tbl(s, d, "lineitem"),
+        "l_quantity", Seq(10.0, 25.0, 49.0))),
     // B15 span_containing: unordered (hash, join) windows at gap <= 4 that
     // hold a 'table' occurrence — distinct containing windows per doc.
     "b92_span_containing" -> ((s, d) =>
@@ -3232,6 +3246,39 @@ object SparkEntry {
          |FROM tf JOIN cf USING (term) JOIN dl USING (doc_id) CROSS JOIN tot t
          |GROUP BY tf.doc_id, dl.dl
          |ORDER BY tf.doc_id""".stripMargin,
+    // terms_set twin: distinct-match count vs the same per-doc script floor
+    "b103_terms_set" ->
+      s"""WITH $TokCte,
+         |m AS (
+         |  SELECT doc_id, count(DISTINCT term) AS n_matched FROM tok
+         |  WHERE term IN ('hash', 'join', 'vector', 'stream')
+         |  GROUP BY 1)
+         |SELECT doc_id, n_matched, 1 + doc_id % 3 AS required
+         |FROM m WHERE n_matched >= 1 + doc_id % 3
+         |ORDER BY doc_id""".stripMargin,
+    // span_multi twin: the multi side is every 's%'-prefixed occurrence;
+    // two-clause unordered cover = min |delta pos| - 1 (the b27 shape)
+    "b104_span_multi" ->
+      """WITH arr AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '') AS a
+        |  FROM documents),
+        |t0 AS (SELECT doc_id, unnest(a) AS term0, unnest(range(1, len(a)+1)) AS pos FROM arr),
+        |toks AS (SELECT doc_id, substr(term0, 1, 64) AS term, pos FROM t0),
+        |g AS (
+        |  SELECT p0.doc_id, min(abs(p1.pos - p0.pos)) - 1 AS min_gap
+        |  FROM toks p0 JOIN toks p1 ON p1.doc_id = p0.doc_id
+        |  WHERE p0.term LIKE 's%' AND p1.term = 'join'
+        |  GROUP BY 1)
+        |SELECT doc_id, min_gap FROM g WHERE min_gap <= 2 ORDER BY doc_id""".stripMargin,
+    // percentile_ranks twin: the same exact <= fraction per requested value
+    "a70_percentile_ranks" ->
+      """WITH n AS (SELECT count(l_quantity) AS n FROM lineitem)
+        |SELECT v.value,
+        |       round(cast(100.0 AS double) *
+        |             (SELECT count(*) FROM lineitem WHERE l_quantity <= v.value) / n.n, 4) AS pct
+        |FROM (VALUES (10.0), (25.0), (49.0)) v(value) CROSS JOIN n
+        |ORDER BY v.value""".stripMargin,
     "td_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

@@ -833,6 +833,36 @@ object DocumentsIndex {
       .select(col("doc_id"), col("min_gap").cast("long").as("min_gap"))
       .orderBy("doc_id")
 
+  /** `span_near(span_multi(prefix), term)` — see
+    * IndexReader.matchSpanMultiNearDf for the pinned two-clause semantics.
+    * Same output protocol as [[spanNearMatch]].
+    */
+  def spanMultiNear(spark: SparkSession, sfDir: String, prefix: String,
+      other: String, slop: Int): DataFrame =
+    reader(spark, sfDir).matchSpanMultiNearDf(prefix, other, slop)
+      .join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("doc_id"), col("min_gap").cast("long").as("min_gap"))
+      .orderBy("doc_id")
+
+  /** ES `terms_set` query (the dynamic-minimum_should_match terms query):
+    * docs matching at least `required` of the given terms where `required`
+    * is PER-DOC. This schema has no natural required-count column, so the
+    * driver row pins the `minimum_should_match_script` form with the
+    * deterministic script `1 + doc_id % 3` (documented; the
+    * `minimum_should_match_field` form would swap the expression for a
+    * doc-value column — nothing else changes). Plan: the ids-only
+    * membership-count frame (`IndexReader.termsSetDf` — the B17/B20 tail)
+    * joined to the docId map, the per-doc floor ONE codegen'd comparison.
+    */
+  def termsSetMatch(spark: SparkSession, sfDir: String,
+      terms: Seq[String]): DataFrame =
+    reader(spark, sfDir).termsSetDf(terms)
+      .join(docIdMap(spark, sfDir), Seq("docId"))
+      .select(col("doc_id"), col("n_matched"),
+        (lit(1L) + pmod(col("doc_id"), lit(3L))).as("required"))
+      .where(col("n_matched") >= col("required"))
+      .orderBy("doc_id")
+
   /** ES `_msearch` (the multi-search API): N queries answered by ONE
     * distributed job — `IndexReader.searchBmwBatch` shares a single
     * postings scan of the union of all queries' terms, runs every query's

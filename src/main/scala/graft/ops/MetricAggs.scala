@@ -159,6 +159,33 @@ object MetricAggs {
       max(col(valCol)).cast("double").as("max"))
       .orderBy(groupCol)
 
+  /** ES `percentile_ranks`: for each requested value, the percentage of
+    * observed values ≤ it — the inverse lookup of `percentiles`. ES runs
+    * t-digest; pinned EXACT here (the a24 exact/approx split): rank(x) =
+    * 100 · |{v : v ≤ x}| / n, 4-dp protocol rounding. ONE combinable
+    * aggregate computes every requested rank (one conditional sum per x —
+    * the values list is query-sized), then the 1-row result unpivots to
+    * (value, pct) rows through a literal-array explode — no second pass,
+    * no window, nothing driver-side.
+    */
+  def percentileRanks(df: DataFrame, valCol: String,
+      values: Seq[Double]): DataFrame = {
+    require(values.nonEmpty, "percentile_ranks needs at least one value")
+    require(values.distinct.size == values.size,
+      s"percentile_ranks values must be distinct, got $values")
+    val aggs = count(col(valCol)).as("n") +: values.zipWithIndex.map {
+      case (x, i) => sum(when(col(valCol) <= x, 1L).otherwise(0L)).as(s"c$i")
+    }
+    val rows = values.zipWithIndex.map { case (x, i) =>
+      struct(lit(x).as("value"),
+        round(lit(100.0) * col(s"c$i") / col("n"), 4).as("pct"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.value").as("value"), col("r.pct").as("pct"))
+      .orderBy("value")
+  }
+
   /** ES `matrix_stats` over two numeric fields — pinned v1 surface: count,
     * per-field mean and population variance, covariance, Pearson
     * correlation (ES additionally reports skewness/kurtosis from the same

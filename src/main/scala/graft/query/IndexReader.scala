@@ -1680,6 +1680,41 @@ final class IndexReader(spark: SparkSession, indexDir: String,
       .toDF("docId", "min_gap")
   }
 
+  /** Lucene `SpanMultiTermQueryWrapper` inside `SpanNearQuery` (ES
+    * `span_near` over a `span_multi` prefix clause + a term clause,
+    * unordered, pinned v1 = this two-clause shape — the wrapper's whole
+    * point is composing an expansion INTO span position arithmetic; alone
+    * it degrades to the B17 membership count). The multi clause expands the
+    * prefix through the SAME df-capped dictionary scan as every expansion
+    * (`expandPrefixCapped`), its span set is the union of the expansion
+    * terms' occurrences, and the pair cover reuses the span_near sweep.
+    * Output (docId, min_gap), gap ≤ slop, integer-exact. `other` ∈
+    * expansion is rejected: the shared occurrence would cover itself at
+    * gap −1 (Lucene's overlapping-spans ambiguity — pinned away loudly).
+    *
+    * Plan: ONE positional scan of expansion ∪ {other} blocks (tbucket +
+    * term pruned), the other term anchoring the bucket walk so expansion
+    * positions decode at candidate docs only — a broad prefix costs its
+    * postings scan, never a position decode of the whole expansion.
+    */
+  def matchSpanMultiNearDf(prefix: String, other: String, slop: Int,
+      maxExpansions: Int = 128): DataFrame = {
+    import spark.implicits._
+    requirePositions("span_multi")
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val oth = singleTerm(other, "span_multi other clause")
+    val exp = expandPrefixCapped(prefix, maxExpansions)
+    require(!exp.contains(oth),
+      s"span_multi expansion of '$prefix' contains the other clause '$oth' — " +
+        "overlapping spans would cover themselves (shape pinned away)")
+    if (exp.isEmpty) return emptyPositional("min_gap")
+    val (expB, othB, sl) = (exp, oth, slop)
+    bucketedBlocks[(Long, Int)]((exp :+ oth).toSeq, withPositions = true) { (lo, hi, byTerm) =>
+      PhraseMatcher.spanMultiNearBucket(byTerm, expB, othB, lo, hi, sl)
+    }
+      .toDF("docId", "min_gap")
+  }
+
   /** Lucene `SpanNotQuery` (ES `span_not`, pinned v1 = term spans): include
     * occurrences with NO exclude occurrence inside [p − pre, p + post]
     * (inclusive — ES's pre/post token slack). Output (docId, n_spans) =

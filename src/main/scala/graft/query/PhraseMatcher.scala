@@ -220,6 +220,50 @@ object PhraseMatcher {
     out.toArray
   }
 
+  /** `span_near(span_multi(<expansion>), <other>)` over one bucket — the
+    * multi clause's span set is the UNION of the expansion terms' width-1
+    * occurrences (distinct terms never share a position, so the union is a
+    * plain sorted merge), and the pair cover is the same k-pointer sweep as
+    * [[matchNearBucket]] over (union, other). The OTHER term anchors the
+    * walk — expansion views probe per CANDIDATE doc only, so a broad
+    * expansion never decodes positions list-wide.
+    */
+  def spanMultiNearBucket(termBlocks: Map[String, Array[PostingBlock]],
+      expansion: Array[String], other: String, lo: Long, hi: Long,
+      slop: Int): Iterator[(Long, Int)] = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    if (!termBlocks.contains(other)) return Iterator.empty
+    val expViews = expansion.flatMap(t => termBlocks.get(t).map(new PostingsView(_)))
+    if (expViews.isEmpty) return Iterator.empty
+    val anchor = new PostingsView(termBlocks(other))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    var bi = 0
+    while (bi < anchor.ids.length) {
+      val idArr = anchor.ids(bi)
+      var i = 0
+      while (i < idArr.length) {
+        val d = idArr(i)
+        if (d >= lo && d < hi) {
+          var union: Array[Int] = Array.emptyIntArray
+          var vi = 0
+          while (vi < expViews.length) {
+            val h = expViews(vi).find(d)
+            if (h != null) union = union ++ expViews(vi).positionsOf(h._1, h._2)
+            vi += 1
+          }
+          if (union.nonEmpty) {
+            java.util.Arrays.sort(union)
+            val gap = minCoverGap(Array(union, anchor.positionsOf(bi, i)))
+            if (gap <= slop) out += ((d, gap))
+          }
+        }
+        i += 1
+      }
+      bi += 1
+    }
+    out.iterator
+  }
+
   /** Match the analyzed phrase `tokens` (order and duplicates preserved)
     * against this bucket's blocks; returns (docId, phraseTf) for every doc
     * in [lo, hi) with at least one matching start under `slop`. `termBlocks`

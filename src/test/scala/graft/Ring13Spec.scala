@@ -1,0 +1,90 @@
+package graft
+
+import graft.driver.DocumentsIndex
+import graft.ops.MetricAggs
+import graft.tokenize.CodeTokenizer
+import org.apache.spark.sql.functions._
+
+/** Gates for the ring-13 additions: terms_set (per-doc dynamic
+  * minimum_should_match — brute recount, floor really discriminates),
+  * span_multi-in-span_near (brute union-cover recount at slop ∈ {0, 2, 5},
+  * overlap/bad-shape rejection), and percentile_ranks (brute exact
+  * fractions, monotonicity, duplicate rejection).
+  */
+class Ring13Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def haveData = new java.io.File(s"$sfDir/documents.parquet").exists()
+
+  private lazy val toksById: Map[Long, Array[String]] =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().map { case (id, t) => id -> CodeTokenizer.tokenize(t) }.toMap
+
+  test("terms_set: brute recount against the per-doc floor; the floor discriminates") {
+    assume(haveData, s"$sfDir not mounted")
+    val terms = Set("hash", "join", "vector", "stream")
+    val got = DocumentsIndex.termsSetMatch(spark, sfDir, terms.toSeq).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = toksById.toSeq.flatMap { case (id, ts) =>
+      val n = terms.count(ts.contains).toLong
+      val req = 1L + id % 3
+      if (n >= req) Some((id, n, req)) else None
+    }.sortBy(_._1)
+    assert(got.toSeq == brute)
+    // discrimination: some doc passes at floor 1 that a doc with the SAME
+    // match count fails at floor 3 — the dynamic floor actually bites
+    val byCount = toksById.map { case (id, ts) => id -> terms.count(ts.contains).toLong }
+    val kept = got.map(_._1).toSet
+    assert(byCount.exists { case (id, n) => n >= 1 && n < 1 + id % 3 && !kept.contains(id) },
+      "no doc was cut by its per-doc floor — fixture lost discrimination")
+    intercept[IllegalArgumentException] { DocumentsIndex.termsSetMatch(spark, sfDir, Nil) }
+  }
+
+  test("span_multi near: brute union-cover recount at slop 0/2/5; shapes rejected") {
+    assume(haveData, s"$sfDir not mounted")
+    for (slop <- Seq(0, 2, 5)) {
+      val got = DocumentsIndex.spanMultiNear(spark, sfDir, "s", "join", slop)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val brute = toksById.flatMap { case (id, ts) =>
+        val exp = ts.zipWithIndex.collect { case (t, p) if t.startsWith("s") => p }
+        val oth = ts.zipWithIndex.collect { case (t, p) if t == "join" => p }
+        if (exp.isEmpty || oth.isEmpty) None
+        else {
+          val gap = (for (a <- exp; b <- oth) yield math.abs(a - b) - 1).min.toLong
+          if (gap <= slop) Some(id -> gap) else None
+        }
+      }
+      assert(got == brute, s"slop=$slop: ${got.size} vs ${brute.size}")
+    }
+    // other ∈ expansion → overlapping spans, rejected loudly
+    intercept[IllegalArgumentException] {
+      DocumentsIndex.spanMultiNear(spark, sfDir, "jo", "join", 2)
+    }
+    intercept[IllegalArgumentException] {
+      DocumentsIndex.spanMultiNear(spark, sfDir, "s", "join", -1)
+    }
+    // an expansion with no dictionary hits matches nothing
+    assert(DocumentsIndex.spanMultiNear(spark, sfDir, "zzz", "join", 2).count() == 0L)
+  }
+
+  test("percentile_ranks: brute exact fractions, monotone in value, bad args loud") {
+    assume(haveData, s"$sfDir not mounted")
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val vals = df.select(col("l_quantity").cast("double")).as[Double].collect()
+    val ask = Seq(1.0, 10.0, 25.0, 49.0, 100.0)
+    val got = MetricAggs.percentileRanks(df, "l_quantity", ask).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1))
+    assert(got.map(_._1).toSeq == ask, "output ordered by value")
+    got.foreach { case (x, pct) =>
+      val want = math.rint(100.0 * vals.count(_ <= x) / vals.length * 1e4) / 1e4
+      assert(math.abs(pct - want) <= 1e-9, s"rank($x)")
+    }
+    assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq, "monotone")
+    assert(got.last._2 == 100.0, "a value above max ranks at 100")
+    intercept[IllegalArgumentException] { MetricAggs.percentileRanks(df, "l_quantity", Nil) }
+    intercept[IllegalArgumentException] {
+      MetricAggs.percentileRanks(df, "l_quantity", Seq(1.0, 1.0)) }
+  }
+}
