@@ -619,14 +619,11 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
     // B19 percentile_ranks (inverse percentiles — EXACT; ES's TDigest is
     // approximate, divergence in the exact direction): % of event values
-    // at or below each probe.
-    "a57_percentile_ranks" -> ((s, d) => tbl(s, d, "events").agg(
-      round(sum(when(col("value") <= 25.0, 1).otherwise(0)) * 100.0 / count(lit(1)), 4)
-        .as("pct_25"),
-      round(sum(when(col("value") <= 50.0, 1).otherwise(0)) * 100.0 / count(lit(1)), 4)
-        .as("pct_50"),
-      round(sum(when(col("value") <= 75.0, 1).otherwise(0)) * 100.0 / count(lit(1)), 4)
-        .as("pct_75"))),
+    // at or below each probe, in ES's (value, pct) response shape. Shares
+    // MetricAggs.percentileRanks with a70 (lineitem probes).
+    "a57_percentile_ranks" -> ((s, d) =>
+      graft.ops.MetricAggs.percentileRanks(tbl(s, d, "events"),
+        "value", Seq(25.0, 50.0, 75.0))),
     // B19 global aggregation: corpus-wide stats NEXT TO a filtered bucket
     // (ES `global` escapes the enclosing filter scope).
     "a58_global_agg" -> ((s, d) => {
@@ -2600,10 +2597,12 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 4 = 1 ORDER BY doc_id""".stripMargin,
     "a57_percentile_ranks" ->
-      """SELECT round(sum(CASE WHEN value <= 25.0 THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS pct_25,
-        |       round(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS pct_50,
-        |       round(sum(CASE WHEN value <= 75.0 THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS pct_75
-        |FROM events""".stripMargin,
+      """WITH n AS (SELECT count(value) AS n FROM events)
+        |SELECT v.value,
+        |       round(cast(100.0 AS double) *
+        |             (SELECT count(*) FROM events WHERE value <= v.value) / n.n, 4) AS pct
+        |FROM (VALUES (25.0), (50.0), (75.0)) v(value) CROSS JOIN n
+        |ORDER BY v.value""".stripMargin,
     "a58_global_agg" ->
       """SELECT 'global' AS bucket, count(*) AS n, round(avg(n_chars), 4) AS avg_chars
         |FROM documents
