@@ -3072,9 +3072,12 @@ object SparkEntry {
          |WHERE d.doc_id % 50 <> 0
          |GROUP BY 1
          |ORDER BY doc_id""".stripMargin,
+    // NULL lang must SURVIVE a delete_by_query(lang = 'de') — the engine
+    // keeps rows whose predicate is not TRUE (Ring9Spec pins it); a bare
+    // `lang <> 'de'` would drop NULLs, diverging the twin
     "a65_delete_by_query" ->
       """SELECT doc_id, lang, source FROM documents
-        |WHERE lang <> 'de'
+        |WHERE lang IS DISTINCT FROM 'de'
         |ORDER BY doc_id""".stripMargin,
     "a66_reindex" ->
       """SELECT doc_id, md5(text) AS fp,
@@ -3278,12 +3281,15 @@ object SparkEntry {
         |             (SELECT count(*) FROM lineitem WHERE l_quantity <= v.value) / n.n, 4) AS pct
         |FROM (VALUES (10.0), (25.0), (49.0)) v(value) CROSS JOIN n
         |ORDER BY v.value""".stripMargin,
+    // CASE (not an OR of conjunctions): a NULL lang routes to the ELSE
+    // branch exactly like the engine's when/otherwise — the disjunction
+    // form would drop NULL-lang rows the engine keeps
     "td_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
         |         ((doc_id * 1103515245 + 12345) % 100 + 100) % 100 AS h
         |  FROM documents) t
-        |WHERE (lang = 'en' AND h < 50) OR (lang <> 'en' AND h < 20)
+        |WHERE CASE WHEN lang = 'en' THEN h < 50 ELSE h < 20 END
         |ORDER BY doc_id""".stripMargin,
     "b94_profile" ->
       s"""WITH $TokCte,

@@ -1145,6 +1145,18 @@ object DocumentsIndex {
     // field order (text, tags) mirrors multiMatch's group order
     val rs = Seq(reader(spark, sfDir), tagsReader(spark, sfDir))
     val ws = Seq(boostOf("text"), boostOf("tags"))
+    // BM25F merges tf/dl PER DOCUMENT across the fields' frames by raw
+    // docId, so — exactly like cross_fields — the sub-indexes must prove
+    // docId alignment (equal numDocs alone would pass two indexes built
+    // under different partition counts, silently summing across UNRELATED
+    // documents). Geometry mismatch fails loudly; rebuild both in one
+    // build to realign.
+    val geoms = Seq(indexDir(spark, sfDir), tagsIndexDir(spark, sfDir))
+      .map(InvertedIndex.readPlanGeometry(spark, _))
+    require(rs.forall(_.segments.size == 1) &&
+      geoms.forall(_.isDefined) && geoms.distinct.size == 1,
+      "combined_fields merges fields by docId — sub-indexes must share " +
+        "PLAN_GEOMETRY (rebuild both fields in one build)")
     rankedByDocId(spark,
       graft.index.MultiFieldIndex.combinedFieldsScoreAll(spark, rs, ws, query),
       indexDir(spark, sfDir))
@@ -1494,8 +1506,20 @@ object DocumentsIndex {
       should: Seq[String], mustNot: Seq[String]): DataFrame = {
     import spark.implicits._
     val r = reader(spark, sfDir)
-    val clauses = must.map(("must", _)) ++ should.map(("should", _)) ++
-      mustNot.map(("must_not", _))
+    // Leaf terms normalize through the SAME analysis the bool executor
+    // applies ("HASH" / " hash " → hash) — a raw dictionary lookup would
+    // report df 0 next to a positive total for inputs searchBoolDf accepts.
+    // Labels carry the ANALYZED term, like ES's profile of the rewritten
+    // query.
+    def norm(t: String): String = {
+      val toks = r.analyze(t)
+      require(toks.length == 1,
+        s"profile clause '$t' must analyze to exactly one term, got ${toks.length}")
+      toks.head
+    }
+    val clauses = must.map(t => ("must", norm(t))) ++
+      should.map(t => ("should", norm(t))) ++
+      mustNot.map(t => ("must_not", norm(t)))
     require(clauses.nonEmpty, "profile needs at least one clause")
     val terms = clauses.map(_._2).distinct
     val dict = r.segments.map(seg =>

@@ -102,6 +102,18 @@ object GeoOps {
     }
     require(turns.forall(_ >= 0.0) && turns.exists(_ > 0.0),
       "ring must be counter-clockwise and convex (left turns only)")
+    // all-left-turns alone accepts MULTI-WINDING rings (a pentagram
+    // traversal turns left at every vertex, total winding 720°) whose
+    // half-plane conjunction silently shrinks to the central core — so
+    // additionally every vertex must lie inside every edge's half-plane
+    // (true iff the ring is simple convex; pentagram vertices fail it).
+    // O(n²) driver-side over a query-sized vertex list.
+    require((0 until n).forall { i =>
+      val (ay, ax) = ring(i); val (by, bx) = ring((i + 1) % n)
+      ring.forall { case (py, px) =>
+        (bx - ax) * (py - ay) - (by - ay) * (px - ax) >= 0.0
+      }
+    }, "ring must be simple (non-self-intersecting) convex")
     val inside = (0 until n).map { i =>
       val (ay, ax) = ring(i); val (by, bx) = ring((i + 1) % n)
       (lit(bx - ax) * (col(latCol) - lit(ay)) -
@@ -241,9 +253,13 @@ object GeoOps {
     def axis(c: Column, shift: Double, span: Double, nBits: Int): Column =
       greatest(least(floor((c + shift) / span * (1L << nBits).toDouble),
         lit((1L << nBits) - 1)), lit(0L))
-    val withXY = df.select(
-      axis(col(lonCol), 180.0, 360.0, lonBits).as("gx"),
-      axis(col(latCol), 90.0, 180.0, latBits).as("gy"))
+    // rows missing the geo field are SKIPPED like ES (a NULL coordinate
+    // would otherwise propagate into a NULL-keyed bucket competing in the
+    // top-size cut)
+    val withXY = df.where(col(latCol).isNotNull && col(lonCol).isNotNull)
+      .select(
+        axis(col(lonCol), 180.0, 360.0, lonBits).as("gx"),
+        axis(col(latCol), 90.0, 180.0, latBits).as("gy"))
     val chars = (0 until precision).map { c =>
       val v = (0 until 5).map { m =>
         val j = 5 * c + m

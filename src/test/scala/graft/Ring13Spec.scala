@@ -87,4 +87,34 @@ class Ring13Spec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MetricAggs.percentileRanks(df, "l_quantity", Seq(1.0, 1.0)) }
   }
+
+  test("review pins: pentagram ring rejected; geohash skips NULL coords; profile normalizes") {
+    // a star-ordered pentagon turns left at EVERY vertex (winding 720°) —
+    // the all-left-turns check alone would accept it
+    val penta = (0 until 5).map { i =>
+      val a = math.Pi / 2 + 2 * math.Pi * i / 5
+      (math.sin(a) * 10, math.cos(a) * 10)
+    }
+    val star = Seq(0, 2, 4, 1, 3).map(penta)
+    intercept[IllegalArgumentException] {
+      graft.ops.GeoOps.withinConvexPolygon(
+        Seq((0.0, 0.0)).toDF("lat", "lon"), "lat", "lon", star)
+    }
+    // the simple convex ring still passes
+    assert(graft.ops.GeoOps.withinConvexPolygon(
+      Seq((0.0, 0.0), (89.0, 0.0)).toDF("lat", "lon"), "lat", "lon", penta)
+      .count() == 1L)
+    // NULL coordinates are skipped, never a NULL-keyed bucket
+    val g = graft.ops.GeoOps.geohashGrid(
+      Seq((Some(0.0), Some(0.0)), (None, Some(1.0)), (Some(1.0), None))
+        .toDF("lat", "lon").select(col("lat").cast("double"), col("lon").cast("double")),
+      "lat", "lon", 2, 10).collect()
+    assert(g.map(r => r.getString(0) -> r.getLong(1)).toSeq == Seq("s0" -> 1L))
+    // profile leaf lookup analyzes its input like the bool executor
+    assume(haveData, s"$sfDir not mounted")
+    val a = DocumentsIndex.profileBool(spark, sfDir, Seq("HASH"), Seq(" join "), Nil).collect()
+    val b = DocumentsIndex.profileBool(spark, sfDir, Seq("hash"), Seq("join"), Nil).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.exists(r => r.getString(0) == "must:hash" && r.getLong(1) > 0L))
+  }
 }
