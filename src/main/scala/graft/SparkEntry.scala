@@ -1599,7 +1599,7 @@ object SparkEntry {
       s"""WITH $TokCte,
          |m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'vector')
          |SELECT doc_id,
-         |       round(cast(((doc_id + 7) * 48271 % 2147483647) * 48271 % 2147483647 AS double) / 2147483647.0, 6) AS score
+         |       round(cast((((doc_id + 7) % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647 AS double) / 2147483647.0, 6) AS score
          |FROM m ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     // span_not twin: include positions clear of any exclude position in
     // the inclusive [p-1, p+1] window, 0-based positional tokenization
@@ -2563,7 +2563,7 @@ object SparkEntry {
          |         GROUP BY 1 HAVING count(DISTINCT term) = 3),
          |m1 AS (
          |  SELECT 'merge sort' AS query,
-         |         round(count(rel.doc_id) / 10.0, 6) AS precision_k,
+         |         round(count(rel.doc_id) / cast(count(*) AS double), 6) AS precision_k,
          |         round(coalesce(max(CASE WHEN rel.doc_id IS NOT NULL THEN 1.0 / r.rank END), 0), 6) AS mrr,
          |         round(coalesce(sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1.0 / log2(r.rank + 1) END), 0), 6) AS dcg
          |  FROM r1 r LEFT JOIN rel1 rel USING (doc_id)),
@@ -2574,7 +2574,7 @@ object SparkEntry {
          |         GROUP BY 1 HAVING count(DISTINCT term) = 3),
          |m2 AS (
          |  SELECT 'query window' AS query,
-         |         round(count(rel.doc_id) / 10.0, 6) AS precision_k,
+         |         round(count(rel.doc_id) / cast(count(*) AS double), 6) AS precision_k,
          |         round(coalesce(max(CASE WHEN rel.doc_id IS NOT NULL THEN 1.0 / r.rank END), 0), 6) AS mrr,
          |         round(coalesce(sum(CASE WHEN rel.doc_id IS NOT NULL THEN 1.0 / log2(r.rank + 1) END), 0), 6) AS dcg
          |  FROM r2 r LEFT JOIN rel2 rel USING (doc_id))

@@ -591,9 +591,19 @@ object DocumentsIndex {
   def sortByFieldPage2(spark: SparkSession, sfDir: String, query: String,
       k: Int): DataFrame = {
     val p1 = sortByField(spark, sfDir, query, k).collect()
-    if (p1.length < k) return sortByField(spark, sfDir, query, k).limit(0)
+    if (p1.length < k) // page 1 IS the whole match set — page 2 is empty;
+      // an empty LocalRelation beats re-planning the full query for limit(0)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        sortByFieldSchema)
     sortByField(spark, sfDir, query, p1.last.getLong(1), p1.last.getLong(0), k)
   }
+
+  private val sortByFieldSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.LongType)))
 
   private def sortPage(spark: SparkSession, sfDir: String, query: String,
       after: Option[(Long, Long)], k: Int): DataFrame = {
@@ -777,15 +787,11 @@ object DocumentsIndex {
       k: Int): DataFrame = {
     val idx = indexDir(spark, sfDir)
     val raw = reader(spark, sfDir).scoreAllDf(query)
-    // dl from EVERY committed segment: delta docs register in their own
-    // docs table (same base-only-read trap docIdMapOf documents) — a base
-    // -only read here would silently drop every delta doc from the inner
-    // join on a delta-served index
-    val dl = DeltaIndex.segmentDirs(spark, idx)
-      .map(seg => Tables.read(spark, seg, InvertedIndex.DocsTable)
-        .select(col("docId"), col("dl")))
-      .reduce(_ unionByName _)
-    val modified = raw.join(dl, Seq("docId"))
+    // dl from EVERY committed segment (dlByInternalId): delta docs register
+    // in their own docs table (same base-only-read trap docIdMapOf
+    // documents) — a base-only read here would silently drop every delta
+    // doc from the inner join on a delta-served index
+    val modified = raw.join(dlByInternalId(spark, sfDir), Seq("docId"))
       .select(col("docId"),
         (col("score") * log(lit(1.0) + col("dl") / 64.0)).as("score"))
     val out = rankedByDocId(spark, modified, idx)
@@ -811,10 +817,7 @@ object DocumentsIndex {
     require(offset >= 0.0, "gauss offset must be non-negative")
     val idx = indexDir(spark, sfDir)
     val raw = reader(spark, sfDir).scoreAllDf(query)
-    val dl = DeltaIndex.segmentDirs(spark, idx)
-      .map(seg => Tables.read(spark, seg, InvertedIndex.DocsTable)
-        .select(col("docId"), col("dl")))
-      .reduce(_ unionByName _)
+    val dl = dlByInternalId(spark, sfDir)
     val d = greatest(lit(0.0), abs(col("dl") - lit(origin)) - lit(offset))
     val mult = exp(lit(math.log(decay)) * (d / lit(scale)) * (d / lit(scale)))
     val modified = raw.join(dl, Seq("docId"))
@@ -905,11 +908,7 @@ object DocumentsIndex {
       k: Int): DataFrame = {
     require(pivot > 0.0, s"rank_feature pivot must be positive, got $pivot")
     val idx = indexDir(spark, sfDir)
-    val dl = DeltaIndex.segmentDirs(spark, idx)
-      .map(seg => Tables.read(spark, seg, InvertedIndex.DocsTable)
-        .select(col("docId"), col("dl")))
-      .reduce(_ unionByName _)
-    val out = dl.join(docIdMapOf(spark, idx), Seq("docId"))
+    val out = dlByInternalId(spark, sfDir).join(docIdMapOf(spark, idx), Seq("docId"))
       .select(col("doc_id"),
         round(col("dl") / (col("dl") + lit(pivot)), 6).as("score"))
       .orderBy(desc("score"), asc("doc_id"))
@@ -1015,7 +1014,12 @@ object DocumentsIndex {
     require(seed >= 0L, s"seed must be non-negative, got $seed")
     val ids = reader(spark, sfDir).constantScoreDf(filter).select("docId")
     val m = lit(2147483647L)
-    val r = ((((col("doc_id") + lit(seed)) * lit(48271L)) % m) * lit(48271L) % m)
+    // reduce the input mod m BEFORE the first multiply: every intermediate
+    // then stays < 2^47 — without it a large seed (or doc_id + seed ≥
+    // ~1.9e14) overflows Long, % keeps the dividend's sign, and the
+    // "uniform in [0,1)" contract breaks with negative scores (the twin's
+    // BIGINT would error instead of wrapping — a hidden divergence)
+    val r = (((((col("doc_id") + lit(seed)) % m) * lit(48271L)) % m) * lit(48271L) % m)
       .cast("double") / lit(2147483647.0)
     val out = ids.join(docIdMap(spark, sfDir), Seq("docId"))
       .select(col("doc_id"), round(r, 6).as("score"))
@@ -1789,7 +1793,10 @@ object DocumentsIndex {
       val rel = matchingDocIds(spark, sfDir, terms.toIndexedSeq).withColumn("rel", lit(1))
       ranked.join(broadcast(rel), Seq("doc_id"), "left")
         .agg(
-          round(sum(coalesce(col("rel"), lit(0))) / lit(k.toDouble), 6).as("precision_k"),
+          // ES precision = relevant_retrieved / RETRIEVED (not / k): a
+          // match set shorter than k must not dilute the metric
+          round(sum(coalesce(col("rel"), lit(0))) / count(lit(1)).cast("double"), 6)
+            .as("precision_k"),
           round(coalesce(max(when(col("rel") === 1, lit(1.0) / col("rank"))), lit(0.0)), 6)
             .as("mrr"),
           round(coalesce(sum(when(col("rel") === 1,
@@ -1810,15 +1817,33 @@ object DocumentsIndex {
     val top = bm25(spark, sfDir, query, k)
     val chars = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("n_chars"))
-    val dl = DeltaIndex.segmentDirs(spark, indexDir(spark, sfDir))
-      .map(seg => Tables.read(spark, seg, InvertedIndex.DocsTable)
-        .select(col("path").cast("long").as("doc_id"), col("dl")))
-      .reduce(_ unionByName _)
-    broadcast(top).join(chars, Seq("doc_id")).join(broadcast(dl), Seq("doc_id"))
+    // the k-row TOP side broadcasts into both joins; the registry dl frame
+    // is corpus-sized (one row per indexed doc) and must NEVER carry a
+    // broadcast hint — at serving scale that side is the big one
+    broadcast(top).join(chars, Seq("doc_id")).join(dlByDocId(spark, sfDir), Seq("doc_id"))
       .select(col("doc_id"), col("score"),
         round(col("n_chars") / col("dl"), 4).as("chars_per_token"))
       .orderBy(desc("score"), asc("doc_id"))
   }
+
+  /** The delta-aware registry (doc_id, dl) frame — the doc-values read
+    * every dl-consuming scorer pays, spelled ONCE (the base-only-read trap
+    * the delta scaladocs warn about lives here and only here).
+    */
+  private def dlByDocId(spark: SparkSession, sfDir: String): DataFrame =
+    DeltaIndex.segmentDirs(spark, indexDir(spark, sfDir))
+      .map(seg => Tables.read(spark, seg, InvertedIndex.DocsTable)
+        .select(col("path").cast("long").as("doc_id"), col("dl")))
+      .reduce(_ unionByName _)
+
+  /** Same frame at the internal docId grain (for joins against rank-all
+    * score frames that have not mapped to doc_id yet).
+    */
+  private def dlByInternalId(spark: SparkSession, sfDir: String): DataFrame =
+    DeltaIndex.segmentDirs(spark, indexDir(spark, sfDir))
+      .map(seg => Tables.read(spark, seg, InvertedIndex.DocsTable)
+        .select(col("docId"), col("dl")))
+      .reduce(_ unionByName _)
 
   /** ES `min_score`: drop hits scoring below the floor. Applied to the
     * PROTOCOL (rounded) score on both engines so the boundary can't flip

@@ -233,6 +233,9 @@ object MultiFieldIndex {
   def blendedMetas(readers: Seq[IndexReader], qterms: Array[String],
       boosts: Seq[Double]): Seq[Map[String, graft.query.BlockMaxWand.TermMeta]] = {
     require(readers.nonEmpty, "cross_fields needs at least one field")
+    require(boosts.size == readers.size,
+      // zip would silently TRUNCATE — dropping trailing fields from scoring
+      s"cross_fields needs one boost per field: ${readers.size} vs ${boosts.size}")
     val perDocCounts = readers.map(_.stats.numDocs)
     require(perDocCounts.distinct.size == 1,
       s"fields must index the same aligned doc set, got counts $perDocCounts")

@@ -123,7 +123,12 @@ object MetricAggs {
     val ent = perChar.groupBy(groupCol).agg(
       round(log2(sum(col("__n"))) -
         sum(col("__n") * log2(col("__n"))) / sum(col("__n")), 4).as("entropy"))
-    lens.join(ent, Seq(groupCol)).orderBy(groupCol)
+    // LEFT join: a group whose every value is empty/NULL has length stats
+    // but no characters — ES still returns the bucket (entropy 0); an inner
+    // join would drop it entirely
+    lens.join(ent, Seq(groupCol), "left")
+      .withColumn("entropy", coalesce(col("entropy"), lit(0.0)))
+      .orderBy(groupCol)
   }
 
   /** ES `median_absolute_deviation`: median(|x − median(x)|) per group —
@@ -271,7 +276,10 @@ object MetricAggs {
       case (acc, (lo, hi)) =>
         acc.when(col(tsCol) < lit(hi).cast("timestamp"), s"$lo-$hi")
     }
-    val counts = df.groupBy(key.as("range"))
+    // a NULL timestamp makes every `< hi` predicate NULL and would fall
+    // through to the unbounded-top otherwise — ES drops docs missing the
+    // field from EVERY range bucket (histogramBounds applies the same cut)
+    val counts = df.where(col(tsCol).isNotNull).groupBy(key.as("range"))
       .agg(count(lit(1)).as("n"), round(sum(col(valueCol)), 2).as("sum_value"))
     keys.map { case (lo, hi) => s"$lo-$hi" }.toDF("range")
       .join(counts, Seq("range"), "left")

@@ -136,7 +136,9 @@ class ApiSurfaceSpec extends SparkSpec {
       val gold = toksById.keysIterator
         .filter(id => (qt :+ "dup").forall(toksById(id).contains)).toSet
       val ranks = top.zipWithIndex.collect { case ((id, _), i) if gold(id) => i + 1 }
-      (q, round6(ranks.size / 10.0),
+      // ES precision divides by RETRIEVED, not k (here both queries fill
+      // their page, so retrieved == top.size)
+      (q, round6(ranks.size.toDouble / top.size),
         round6(ranks.headOption.map(1.0 / _).getOrElse(0.0)),
         round6(ranks.map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0))).sum))
     }

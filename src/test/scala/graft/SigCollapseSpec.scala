@@ -415,9 +415,15 @@ class SigCollapseSpec extends SparkSpec with BeforeAndAfterAll {
     // random_score: seeded MINSTD over the 'vector' membership set
     val members = docTok.filter(_._3.contains("vector")).map(_._1)
     def minstd2(id: Long, seed: Long): Double =
-      ((((id + seed) * 48271L) % 2147483647L) * 48271L % 2147483647L).toDouble / 2147483647.0
+      (((((id + seed) % 2147483647L) * 48271L) % 2147483647L) * 48271L % 2147483647L)
+        .toDouble / 2147483647.0
     val wantR = members.map(id => (id, round6(minstd2(id, 7L))))
       .sortBy { case (id, r) => (-r, id) }.take(20)
+    // the pre-multiply reduction keeps a huge seed inside Long: still in
+    // [0,1) where the unreduced form would wrap negative
+    val huge = DocumentsIndex.randomScore(spark, sfDir, Seq("vector"), 3e14.toLong, 20)
+      .as[(Long, Double)].collect()
+    assert(huge.forall(r => r._2 >= 0.0 && r._2 < 1.0), "huge seed must stay in [0,1)")
     val gotR = DocumentsIndex.randomScore(spark, sfDir, Seq("vector"), 7L, 20)
       .as[(Long, Double)].collect().toSeq
     assert(gotR == wantR, s"random_score:\n  got  $gotR\n  want $wantR")
