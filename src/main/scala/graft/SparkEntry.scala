@@ -834,6 +834,12 @@ object SparkEntry {
     "a70_percentile_ranks" -> ((s, d) =>
       graft.ops.MetricAggs.percentileRanks(tbl(s, d, "lineitem"),
         "l_quantity", Seq(10.0, 25.0, 49.0))),
+    // B24 significant_text: sig terms RE-ANALYZED from the sample's SOURCE
+    // text with filter_duplicate_text (exact-dup texts count once; this
+    // corpus has none, so the knob is a documented no-op here — the row's
+    // structure is the source-scan + re-analysis plan, vs b61's postings).
+    "b105_significant_text" -> ((s, d) =>
+      DocumentsIndex.significantText(s, d, "vector stream", 30, 8)),
     // B15 span_containing: unordered (hash, join) windows at gap <= 4 that
     // hold a 'table' occurrence — distinct containing windows per doc.
     "b92_span_containing" -> ((s, d) =>
@@ -3273,6 +3279,24 @@ object SparkEntry {
         |  WHERE p0.term LIKE 's%' AND p1.term = 'join'
         |  GROUP BY 1)
         |SELECT doc_id, min_gap FROM g WHERE min_gap <= 2 ORDER BY doc_id""".stripMargin,
+    // significant_text twin: the same protocol top-30, DISTINCT text dedup,
+    // re-tokenized per-text distinct terms, JLH over corpus df
+    "b105_significant_text" ->
+      s"""WITH ${bm25Ctes(Seq("stream", "vector"))},
+         |smp AS (SELECT doc_id FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 30),
+         |fgtext AS (SELECT DISTINCT d.text FROM smp JOIN documents d USING (doc_id)),
+         |ft AS (SELECT cast(count(*) AS double) AS n FROM fgtext),
+         |fgtok AS (
+         |  SELECT DISTINCT text, substr(t.term, 1, 64) AS term
+         |  FROM fgtext, unnest(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) AS t(term)
+         |  WHERE t.term <> ''),
+         |fgc AS (SELECT term, count(*) AS fg FROM fgtok GROUP BY 1),
+         |tot AS (SELECT cast(count(*) AS double) AS n FROM documents)
+         |SELECT f.term, f.fg, d.df AS bg,
+         |       round((f.fg/ft.n - d.df/t.n) * ((f.fg/ft.n) / (d.df/t.n)), 6) AS score
+         |FROM fgc f JOIN dfx d USING (term) CROSS JOIN ft CROSS JOIN tot t
+         |WHERE f.term NOT IN ('vector', 'stream')
+         |ORDER BY score DESC, f.term LIMIT 8""".stripMargin,
     // percentile_ranks twin: the same exact <= fraction per requested value
     "a70_percentile_ranks" ->
       """WITH n AS (SELECT count(l_quantity) AS n FROM lineitem)

@@ -1036,6 +1036,53 @@ object DocumentsIndex {
       sampleSize: Int, size: Int): DataFrame =
     reader(spark, sfDir).samplerSignificantTermsDf(query, sampleSize, size)
 
+  /** ES `significant_text` aggregation: significant terms RE-ANALYZED from
+    * the SOURCE TEXT of the top-`sampleSize` hits — the free-text sibling
+    * of significant_terms, whose defining extra is `filter_duplicate_text`:
+    * duplicate texts in the sample count ONCE (ES's spam/boilerplate
+    * resistance — near-dup pages otherwise vote their shared vocabulary to
+    * the top). Pinned v1 dedup = EXACT text equality (ES dedups duplicate
+    * token sequences via hashing; the exact form is its core — documented);
+    * fg = per-distinct-text doc frequency within the sample, bg = corpus
+    * df off the dictionary, JLH score (the sampler's pinned measure), the
+    * query's own terms excluded.
+    *
+    * Plan: the bounded protocol top-k (ONE WAND job) joins the source
+    * table for text (sample-sized), dedup + re-tokenize are sample-sized
+    * narrow ops, fg counts one map-side-combined groupBy, bg a BROADCAST
+    * dictionary join — the corpus is touched only by the search itself and
+    * the dictionary scan, exactly ES's sampler-wrapped cost model.
+    */
+  def significantText(spark: SparkSession, sfDir: String, query: String,
+      sampleSize: Int, size: Int,
+      filterDuplicateText: Boolean = true): DataFrame = {
+    import spark.implicits._
+    require(sampleSize > 0, "sample size must be positive")
+    require(size > 0, "size must be positive")
+    val r = reader(spark, sfDir)
+    val qTerms = r.analyze(query).toSeq
+    val fg0 = bm25(spark, sfDir, query, sampleSize).select("doc_id")
+      .join(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select("text")
+    val fg = if (filterDuplicateText) fg0.distinct() else fg0
+    val fgN = fg.count() // one bounded job — the sample is query-sized
+    if (fgN == 0L)
+      return spark.emptyDataset[(String, Long, Long, Double)]
+        .toDF("term", "fg", "bg", "score")
+    val fgCounts = fg.as[String]
+      .flatMap(t => graft.tokenize.CodeTokenizer.tokenize(t).distinct.iterator)
+      .toDF("term").groupBy("term").agg(count(lit(1)).as("fg"))
+    val bg = dictionaryDf(spark, sfDir).select(col("term"), col("df").as("bg"))
+    val fgPct = col("fg") / lit(fgN.toDouble)
+    val bgPct = col("bg") / lit(r.stats.numDocs.toDouble)
+    fgCounts.join(broadcast(bg), Seq("term"))
+      .where(!col("term").isin(qTerms: _*))
+      .select(col("term"), col("fg"), col("bg"),
+        round((fgPct - bgPct) * (fgPct / bgPct), 6).as("score"))
+      .orderBy(desc("score"), asc("term")).limit(size)
+  }
+
   /** ES `percolate` over the text index ("percolate existing documents",
     * pinned v1 = stored term-conjunction queries — see
     * IndexReader.percolateDf), keyed by doc_id. Integer-exact membership

@@ -88,6 +88,40 @@ class Ring13Spec extends SparkSpec {
       MetricAggs.percentileRanks(df, "l_quantity", Seq(1.0, 1.0)) }
   }
 
+  test("significant_text: brute re-analysis JLH recount; dedup knob is a no-op here") {
+    assume(haveData, s"$sfDir not mounted")
+    val (q, sample, size) = ("vector stream", 30, 8)
+    val got = DocumentsIndex.significantText(spark, sfDir, q, sample, size)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // brute: protocol top-sample via the engine search, texts from source,
+    // exact-dup dedup (vacuous here — asserted), re-tokenize, JLH
+    val top = DocumentsIndex.bm25(spark, sfDir, q, sample).collect().map(_.getLong(0))
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val fgTexts = top.map(texts)
+    assert(fgTexts.distinct.length == fgTexts.length,
+      "corpus grew duplicate texts — the no-op assertion below no longer holds")
+    val n = fgTexts.length.toDouble
+    val nd = texts.size.toDouble
+    val df = toksById.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size.toLong)
+    val want = fgTexts.flatMap(t => CodeTokenizer.tokenize(t).distinct)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .removedAll(Seq("vector", "stream"))
+      .map { case (t, fg) =>
+        val (fp, bp) = (fg / n, df(t) / nd)
+        val s = math.BigDecimal((fp - bp) * (fp / bp))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (t, fg, df(t), s)
+      }.toSeq.sortBy { case (t, _, _, s) => (-s, t) }.take(size)
+    assert(got.toSeq == want, s"sig_text:\n got $got\n want $want")
+    // no duplicate texts in this corpus => the knob cannot change anything
+    val raw = DocumentsIndex.significantText(spark, sfDir, q, sample, size,
+      filterDuplicateText = false).collect().map(_.toSeq)
+    assert(raw.toSeq == got.map(r => Seq(r._1, r._2, r._3, r._4)).toSeq)
+    intercept[IllegalArgumentException] {
+      DocumentsIndex.significantText(spark, sfDir, q, 0, size) }
+  }
+
   test("review pins: pentagram ring rejected; geohash skips NULL coords; profile normalizes") {
     // a star-ordered pentagon turns left at EVERY vertex (winding 720°) —
     // the all-left-turns check alone would accept it
