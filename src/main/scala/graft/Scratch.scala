@@ -1,6 +1,5 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
 /** Dev utility: run a SUBSET of contract rows (graft.Verify runs all of
   * them) — `runMain graft.Scratch <sfDir> <outDir> <name>...` writes each
   * row's parquet plus the matching oracle_sql.json slice, ready for
@@ -22,16 +21,8 @@ object Scratch {
         .write.mode("overwrite").parquet(s"$outDir/$name")
       println(f"[scratch] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Verify.writeOracleJson(outDir,
+      SparkEntry.oracleSql.filter(kv => names.contains(kv._1)))
     spark.stop()
   }
 }

@@ -22,9 +22,17 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    writeOracleJson(outDir, SparkEntry.oracleSql)
+    spark.stop()
+  }
+
+  /** Writes (a slice of) SparkEntry.oracleSql as oracle_sql.json — shared
+    * with the Scratch subset runner so there is ONE escaper. JSON string
+    * escape covers backslash, quote, and ALL control chars (<0x20) — a tab
+    * or CR in builder-authored SQL would otherwise make the driver's
+    * json.load fail and silently zero the round's correctness.
+    */
+  def writeOracleJson(outDir: String, sqls: Map[String, String]): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -34,9 +42,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    val json = sqls.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -831,10 +831,7 @@ object DocumentsIndex {
     */
   def spanNearMatch(spark: SparkSession, sfDir: String, query: String,
       slop: Int): DataFrame =
-    reader(spark, sfDir).matchSpanNearDf(query, slop)
-      .join(docIdMap(spark, sfDir), Seq("docId"))
-      .select(col("doc_id"), col("min_gap").cast("long").as("min_gap"))
-      .orderBy("doc_id")
+    minGapByDocId(spark, sfDir, reader(spark, sfDir).matchSpanNearDf(query, slop))
 
   /** `span_near(span_multi(prefix), term)` — see
     * IndexReader.matchSpanMultiNearDf for the pinned two-clause semantics.
@@ -842,8 +839,15 @@ object DocumentsIndex {
     */
   def spanMultiNear(spark: SparkSession, sfDir: String, prefix: String,
       other: String, slop: Int): DataFrame =
-    reader(spark, sfDir).matchSpanMultiNearDf(prefix, other, slop)
-      .join(docIdMap(spark, sfDir), Seq("docId"))
+    minGapByDocId(spark, sfDir,
+      reader(spark, sfDir).matchSpanMultiNearDf(prefix, other, slop))
+
+  /** Shared (docId, min_gap) → (doc_id, min_gap) output protocol of the
+    * span-near family — integer-exact, ordered by doc_id.
+    */
+  private def minGapByDocId(spark: SparkSession, sfDir: String,
+      gaps: DataFrame): DataFrame =
+    gaps.join(docIdMap(spark, sfDir), Seq("docId"))
       .select(col("doc_id"), col("min_gap").cast("long").as("min_gap"))
       .orderBy("doc_id")
 
