@@ -30,7 +30,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default heap raised 8g -> 16g for the optimization rounds: the r06
+  // bench window showed 4-6x spikes on individual queries (e.g. b94_profile
+  // 0.84s min vs 13.6s worst sample) consistent with ParallelGC full
+  // collections under 32 allocation-heavy task threads; the box has 128 GiB
+  // and the off-heap execution region (1 GiB/core) is separate. Still
+  // parameterised via SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // throughput collector: G1 falls behind the allocation rate of 32
   // concurrent tokenize/score tasks in local mode (measured: query phase 3x
   // slower at local[32] than local[8] with <1% host steal)

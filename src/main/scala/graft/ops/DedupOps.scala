@@ -24,12 +24,36 @@ object DedupOps {
     df.select(col(id), md5(col(text)).as("fp"))
       .groupBy("fp").agg(min(col(id)).as("keeper"), count(lit(1)).as("group_size"))
 
-  /** (id, shingle) pairs: word 5-gram shingles, duplicates preserved. */
+  /** (id, shingle) pairs: word 5-gram shingles, duplicates preserved.
+    * The source is fanned out first (Par.fanOut): the shingle consumers all
+    * do per-row CPU work (md5 per shingle per hash slot) that a byte-sized
+    * scan split would serialize on one core at small physical input sizes.
+    */
   def shingles(df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
-    df.select(col(id), split(trim(lower(col(text))), "\\s+").as("arr"))
+    Par.fanOut(df.select(col(id), col(text)))
+      .select(col(id), split(trim(lower(col(text))), "\\s+").as("arr"))
       .select(col(id), explode(expr(
         "transform(sequence(1, greatest(size(arr) - 4, 1)), i -> array_join(slice(arr, i, 5), ' '))"))
         .as("shingle"))
+
+  /** Per-doc DISTINCT shingle set, aggregated ONCE (collect_set dedups in
+    * the map-side partial aggregate): the shared source the near-dup
+    * kernels' minhash bands, rare-shingle blocking AND Jaccard verify
+    * arrays all hang off — one tokenize pass and ONE exchange feed the
+    * whole pair pipeline, and the identical exchange subtree is computed
+    * once and reused across consumers (ReuseExchange). Equivalence to the
+    * per-row stream: min/sort/count over a distinct set equal min/sort/
+    * count over the duplicate-preserving stream after `.distinct()`, so
+    * every derived result is bit-identical to the previous formulation.
+    */
+  private def docShingleSets(df: DataFrame, id: String, text: String): DataFrame =
+    shingles(df, id, text).groupBy(col(id)).agg(collect_set(col("shingle")).as("shset"))
+
+  /** (id, sorted md5-fingerprint array) verify material from the shared
+    * shingle sets — same arrays the old collect_list(md5) aggregation built.
+    */
+  private def setFps(docSets: DataFrame, id: String): DataFrame =
+    docSets.select(col(id), sort_array(transform(col("shset"), s => md5(s))).as("set"))
 
   /** MinHash signatures banded for LSH: (id, band, bucket). The j-th hash
     * function is min(md5(shingle || '#' || j)); a band bucket is the md5 of
@@ -53,6 +77,14 @@ object DedupOps {
 
   /** LSH candidate pairs (a < b sharing any band bucket) verified with EXACT
     * shingle-set Jaccard >= minJaccard.
+    *
+    * Shape note (r07): the band side deliberately stays on [[minhashBands]]'
+    * 16-min-aggregate form — the 16 md5 evaluations per shingle run in the
+    * MAP-SIDE partial aggregate (parallel over scan/fan-out partitions) and
+    * the exchange carries 16 fixed-width partials per doc. A shared
+    * set-aggregate formulation was tried and measured SLOWER: the post-
+    * shuffle final aggregate is AQE-coalesced to one task at small shuffle
+    * sizes, serializing the hash work.
     */
   def nearDupPairs(df: DataFrame, minJaccard: Double,
       id: String = "doc_id", text: String = "text"): DataFrame = {
@@ -61,23 +93,34 @@ object DedupOps {
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("a"), col(s"y.$id").as("b")).distinct()
-    verifyJaccard(df, cand, minJaccard, id, text)
+    val sets = shingles(df, id, text).distinct()
+      .groupBy(col(id)).agg(sort_array(collect_list(md5(col("shingle")))).as("set"))
+    verifyJaccardSets(sets, cand, minJaccard, id)
   }
 
   /** n-gram Jaccard near-dup: candidates share a RARE shingle (df <= maxShingleDf —
     * the standard cap that keeps the self-join off stopword-scale shingles),
     * then exact Jaccard. No minhash approximation anywhere.
+    *
+    * Shape (r07): blocking runs over md5 FINGERPRINTS exploded from the
+    * shared [[docShingleSets]] aggregate (md5 is injective over shingles for
+    * all practical purposes — the same assumption the verify arrays already
+    * rest on), so the corpus is tokenized/exchanged once instead of three
+    * times (distinct pass + rare-count pass + verify pass). Per-fp doc
+    * counts equal per-shingle doc counts, so candidates and output rows are
+    * identical.
     */
   def ngramJaccardPairs(df: DataFrame, minJaccard: Double, maxShingleDf: Long = 20,
       id: String = "doc_id", text: String = "text"): DataFrame = {
-    val sh = shingles(df, id, text).distinct()
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("sdf"))
+    val docSets = docShingleSets(df, id, text)
+    val fps = docSets.select(col(id), explode(transform(col("shset"), s => md5(s))).as("fp"))
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("sdf"))
       .where(col("sdf") > 1 && col("sdf") <= maxShingleDf)
-    val shRare = sh.join(rare.select("shingle"), Seq("shingle"))
+    val shRare = fps.join(rare.select("fp"), Seq("fp"))
     val cand = shRare.as("x").join(shRare.as("y"),
-        col("x.shingle") === col("y.shingle") && col(s"x.$id") < col(s"y.$id"))
+        col("x.fp") === col("y.fp") && col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("a"), col(s"y.$id").as("b")).distinct()
-    verifyJaccard(df, cand, minJaccard, id, text)
+    verifyJaccardSets(setFps(docSets, id), cand, minJaccard, id)
   }
 
   /** Exact |A ∩ B| / |A ∪ B| over distinct shingle sets for candidate pairs.
@@ -91,10 +134,8 @@ object DedupOps {
     * corpus (which re-scanned + re-shuffled the whole shingle stream twice
     * and was the round-1 bench hot spot at 46% of total wall).
     */
-  private def verifyJaccard(df: DataFrame, cand: DataFrame, minJaccard: Double,
-      id: String, text: String): DataFrame = {
-    val sets = shingles(df, id, text).distinct()
-      .groupBy(col(id)).agg(sort_array(collect_list(md5(col("shingle")))).as("set"))
+  private def verifyJaccardSets(sets: DataFrame, cand: DataFrame, minJaccard: Double,
+      id: String): DataFrame = {
     cand
       .join(sets.select(col(id).as("a"), col("set").as("sa")), Seq("a"))
       .join(sets.select(col(id).as("b"), col("set").as("sb")), Seq("b"))
@@ -112,7 +153,7 @@ object DedupOps {
     */
   def simhash(spark: SparkSession, df: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
     import spark.implicits._
-    df.select(col(id).cast("long"), col(text)).as[(Long, String)].map { case (docId, t) =>
+    Par.fanOut(df.select(col(id).cast("long"), col(text))).as[(Long, String)].map { case (docId, t) =>
       val (m, _) = graft.tokenize.CodeTokenizer.tfMap(t)
       val acc = new Array[Long](64)
       m.foreach { case (term, tf) =>
@@ -200,37 +241,85 @@ object DedupOps {
       .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Edge-endpoint rows per CC partition: ~16-48 B/row keeps partitions in
+    * the guide's 100 MB-1 GB band; the partitioner is sized from the edge
+    * COUNT, never from the local core count, so the same rule yields
+    * thousands of partitions at 100 TB and one partition on a test graph.
+    */
+  private val CcRowsPerPartition = 4000000L
+
   def nearDupClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
-    // eager localCheckpoint TRUNCATES LINEAGE each round — without it the
-    // iterative self-join's plan tree doubles per round (the classic
-    // iterative-algorithm analyzer blowup: the pair-generation chain gets
-    // re-embedded at every step and planning alone exhausts the heap). At
-    // cluster scale swap for a reliable checkpoint dir; the algorithm is
-    // unchanged.
-    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
-      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("x").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).localCheckpoint(true)
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // Undirected edge list, deduped, materialized ONCE — the (possibly
+    // expensive) pair kernel upstream never re-runs during the iteration.
+    //
+    // r07 shape: the iteration runs over CO-PARTITIONED RDDs instead of
+    // per-round DataFrame joins. The DataFrame form re-planned every round
+    // and AQE materialized ~10 query-stage jobs of fixed overhead per round
+    // (measured 118 jobs / 12 rounds at sf0.1 — ~85% of the entry's wall
+    // clock was job scheduling over k-row frames). With one HashPartitioner
+    // shared by edges and labels, the edge⋈label and jump⋈label joins are
+    // NARROW and a full round is ONE job of three small shuffle stages.
+    // Results are identical: same min-label fixpoint, same convergence rule
+    // (a round with zero label changes), same loud non-convergence.
+    val edgeRaw = pairs.select(col("a").cast("long").as("x"), col("b").cast("long").as("y"))
+      .unionByName(pairs.select(col("b").cast("long").as("x"), col("a").cast("long").as("y")))
+      .distinct().as[(Long, Long)]
+      .rdd.map { case (x, y) => (y, x) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEndpoints = edgeRaw.count()
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(1L, math.min(sc.defaultParallelism.toLong,
+        nEndpoints / CcRowsPerPartition + 1L)).toInt)
+    val edges = edgeRaw.partitionBy(p)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every node appears as a key (both edge directions are present), so the
+    // label seed is a NARROW per-key reduce over the partitioned edges
+    var labels = edges.mapValues(_ => 0L).reduceByKey(p, (a, _) => a)
+      .mapPartitions(_.map { case (k, _) => (k, k) }, preservesPartitioning = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val nbr = edges.join(labels.withColumnRenamed("id", "y"), Seq("y"))
-        .groupBy(col("x").as("id")).agg(min("label").as("nbr_min"))
-      val next = labels.join(nbr, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .where(col("label") < col("old")).limit(1).count()
+      val acc = sc.longAccumulator("graft.cc.changed")
+      // 1-hop neighbor min — the propagation step (unchanged semantics).
+      val nbrMin = edges.join(labels) // narrow: both sides carry p
+        .map { case (_, (x, lab)) => (x, lab) }
+        .reduceByKey(p, math.min(_: Long, _: Long)) // shuffle 1
+      val hop = labels.leftOuterJoin(nbrMin) // narrow
+        .mapValues { case (old, o) => (old, math.min(old, o.getOrElse(old))) }
+      // POINTER JUMP (path halving): label <- label(label). Every label
+      // value is itself a node id of the component (labels start as ids and
+      // only ever take min() of other labels), so one indirection resolves
+      // per round and the round count drops from O(component diameter) to
+      // O(log diameter) — measured: the sf0.1 simhash pair graph needs 12
+      // plain rounds (chains of near-dups are real, not pathological), 6
+      // with the jump. The fixpoint is unchanged: both steps only replace a
+      // label with a smaller label of the same component.
+      val jmap = hop.mapValues(_._2) // id -> lab1, partitioned by p
+      val next = hop.map { case (id, (old, lab1)) => (lab1, (id, old)) } // shuffle 2
+        .leftOuterJoin(jmap) // jmap already carries p -> narrow on its side
+        .map { case (lab1, ((id, old), o)) =>
+          (id, (old, math.min(lab1, o.getOrElse(lab1))))
+        }
+        .partitionBy(p) // shuffle 3 — back to label grain for the next round
+        .mapValues { case (old, lab) => { if (lab < old) acc.add(1L); lab } }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.foreachPartition(_ => ()) // the round's ONE action
+      labels.unpersist(false)
       labels = next
-      converged = changed == 0L
+      converged = acc.value == 0L
       round += 1
     }
+    if (sys.env.contains("GRAFT_DEBUG_CC"))
+      System.err.println(s"[graft] nearDupClusters converged in $round rounds")
     require(converged, s"label propagation did not converge in $maxRounds rounds")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster"),
-        (col("id") === col("label")).as("canonical"))
+    spark.createDataset(labels).toDF("doc_id", "cluster")
+      .select(col("doc_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("canonical"))
       .orderBy("cluster", "doc_id")
   }
 }

@@ -10,14 +10,20 @@ import org.apache.spark.sql.functions._
   * fixed deterministic "hyperplanes" so the SQL oracle can reproduce it) is
   * the scale path: candidates come only from the probe's bucket, so the
   * pairwise work is |bucket|, not |corpus|. All math in double, summed in
-  * element order (aggregate/zip_with are sequential left folds — codegen'd,
-  * deterministic).
+  * element order (graft.functions.ArrayDot — a native codegen'd sequential
+  * left fold, deterministic).
   */
 object VectorOps {
-  private val cosExpr =
-    """aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
-      | / (sqrt(aggregate(transform(ea, x -> x * x), 0D, (acc, v) -> acc + v))
-      |    * sqrt(aggregate(transform(eb, x -> x * x), 0D, (acc, v) -> acc + v)))""".stripMargin
+  // r07: the cosine kernel moved from interpreted higher-order folds
+  // (aggregate/zip_with/transform are CodegenFallback — every element paid
+  // an interpreted lambda call) to the native codegen'd ArrayDot expression.
+  // Same left-fold element order, bit-identical doubles (OpsSpec gate); the
+  // previous spelling is kept in the ArrayDot scaladoc as the semantics pin.
+  private def cosineCol: org.apache.spark.sql.Column = {
+    val (ea, eb) = (col("ea"), col("eb"))
+    graft.functions.ArrayDot(ea, eb) /
+      (sqrt(graft.functions.ArrayDot(ea, ea)) * sqrt(graft.functions.ArrayDot(eb, eb)))
+  }
 
   private def withDouble(df: DataFrame, out: String, emb: String): DataFrame =
     df.withColumn(out, expr(s"transform($emb, x -> cast(x as double))"))
@@ -40,7 +46,7 @@ object VectorOps {
     val probe = withDouble(probeSrc.where(col(id) === probeId), "eb", vec).select(col("eb"))
     val all = withDouble(cand.where(col(id) =!= probeId), "ea", vec)
     all.crossJoin(broadcast(probe))
-      .withColumn("cosine", round(expr(cosExpr), 4))
+      .withColumn("cosine", round(cosineCol, 4))
       .select(col(id), col("cosine"))
       .orderBy(desc("cosine"), col(id).asc)
       .limit(k)
@@ -60,7 +66,7 @@ object VectorOps {
       .select(col("eb"), col("bucket"))
     withDouble(bucketed.where(col(id) =!= probeId), "ea", vec)
       .join(broadcast(probe), Seq("bucket"))
-      .withColumn("cosine", round(expr(cosExpr), 4))
+      .withColumn("cosine", round(cosineCol, 4))
       .select(col(id), col("cosine"))
       .orderBy(desc("cosine"), col(id).asc)
       .limit(k)
@@ -149,7 +155,7 @@ object VectorOps {
     cand
       .join(ev.select(col(id).as("a"), col("ev").as("ea")), Seq("a"))
       .join(ev.select(col(id).as("b"), col("ev").as("eb")), Seq("b"))
-      .withColumn("cosine", round(expr(cosExpr), 4))
+      .withColumn("cosine", round(cosineCol, 4))
       .where(col("cosine") >= minCos)
       .select("a", "b", "cosine")
   }

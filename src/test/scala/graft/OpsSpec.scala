@@ -264,4 +264,41 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       GeoOps.withinBox(pts, "lat", "lon", -20.0, 0.0, 40.0, 10.0))
   }
+
+  test("ArrayDot == higher-order fold spelling bit-exactly; codegen == interpreted; loud on length mismatch") {
+    // adversarial doubles: mixed magnitudes so summation ORDER matters —
+    // a re-associated fold would diverge in the low bits and fail the ==
+    val vecs = Seq(
+      (0L, Array(1e16, 1.0, -1e16, 3.5, 0.1, -2.25, 1e-7, 42.0)),
+      (1L, Array(-0.5, 1e10, 2.0, -1e10, 7.75, 0.003, -9.0, 1e3)),
+      (2L, Array(3.0, -4.0, 5e5, 6e-5, -7e7, 8.0, 9.5, -10.25))
+    ).toDF("id", "v")
+    val pairs = vecs.as("x").crossJoin(vecs.as("y"))
+      .select(col("x.v").as("ea"), col("y.v").as("eb"))
+    val legacy =
+      """aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
+        | / (sqrt(aggregate(transform(ea, x -> x * x), 0D, (acc, v) -> acc + v))
+        |    * sqrt(aggregate(transform(eb, x -> x * x), 0D, (acc, v) -> acc + v)))""".stripMargin
+    val native = graft.functions.ArrayDot(col("ea"), col("eb")) /
+      (sqrt(graft.functions.ArrayDot(col("ea"), col("ea"))) *
+        sqrt(graft.functions.ArrayDot(col("eb"), col("eb"))))
+    // column form runs through doGenCode (whole-stage codegen on by default)
+    val rows = pairs.select(col("ea"), col("eb"), expr(legacy).as("l"), native.as("n")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(3), "ArrayDot diverges from the fold spelling")
+      // interpreted path (nullSafeEval via the static loop) agrees too
+      val ea = r.getSeq[Double](0).toArray
+      val eb = r.getSeq[Double](1).toArray
+      def dot(x: Array[Double], y: Array[Double]) = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i) * y(i); i += 1 }
+        acc
+      }
+      assert(r.getDouble(3) == dot(ea, eb) / (math.sqrt(dot(ea, ea)) * math.sqrt(dot(eb, eb))))
+    }
+    val bad = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("ea", "eb")
+    val e = intercept[Exception](bad.select(native).collect())
+    assert(e.getMessage != null)
+  }
 }
