@@ -49,9 +49,14 @@ object BenchExtra {
     spark.sparkContext.addSparkListener(counts)
 
     val tBuild0 = System.nanoTime()
+    counts.reset()
     val buildSec = DocumentsIndex.rebuild(spark, sfDir)
+    val bJobs = (counts.jobs, counts.stages, counts.tasks)
+    counts.reset()
     val buildDeltaSec = DocumentsIndex.rebuildDelta(spark, sfDir)
-    println(f"[extra] build=$buildSec%.2f delta=$buildDeltaSec%.2f wall=${(System.nanoTime() - tBuild0) / 1e9}%.2f")
+    println(f"[extra] build=$buildSec%.2f (j=${bJobs._1} st=${bJobs._2} tk=${bJobs._3}) " +
+      f"delta=$buildDeltaSec%.2f (j=${counts.jobs} st=${counts.stages} tk=${counts.tasks}) " +
+      f"wall=${(System.nanoTime() - tBuild0) / 1e9}%.2f")
 
     val selected = SparkEntry.queries.filter { case (n, _) => names.isEmpty || names(n) }
     selected.foreach { case (name, fn) =>

@@ -42,9 +42,28 @@ object DocumentsIndex {
     cache.remove(s"$sfDir#tags")
     cache.remove(s"$sfDir#stop")
     val t0 = System.nanoTime()
-    indexDir(spark, sfDir)
-    tagsIndexDir(spark, sfDir)
-    stopIndexDir(spark, sfDir)
+    // The three sub-index builds are INDEPENDENT (distinct dirs; the docId
+    // assignment is a pure function of (key set, partitions, idBase), so
+    // build order cannot change any output). Submit them from a small
+    // thread pool (optimization guide §2.6): each build alternates serial
+    // driver phases (docId-plan collect, heavy-term collect, manifest
+    // commits) with short parallel jobs, and overlapping the three fills
+    // those gaps with another build's tasks — measured ~2x on build_sec.
+    // Spark's scheduler handles concurrent job submission; FIFO scheduling
+    // gives exactly the back-fill behaviour wanted.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val futs = Seq[(String, () => String)](
+        sfDir -> (() => buildTextIdx(spark, sfDir)),
+        s"$sfDir#tags" -> (() => buildTagsIdx(spark, sfDir)),
+        s"$sfDir#stop" -> (() => buildStopIdx(spark, sfDir))
+      ).map { case (key, body) =>
+        key -> pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = body()
+        })
+      }
+      futs.foreach { case (key, f) => cache.update(key, f.get()) }
+    } finally { pool.shutdown(); () }
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -80,18 +99,25 @@ object DocumentsIndex {
       heavyDfThreshold = 1000L, saltRunDocs = 1000L, storePositions = storePositions)
 
   def indexDir(spark: SparkSession, sfDir: String): String = synchronized {
-    cache.getOrElseUpdate(sfDir, {
-      val idx = dirFor(sfDir)
-      if (!Manifests.isComplete(spark, idx, "dictionary") ||
-          !InvertedIndex.formatVersionOk(spark, idx)) {
-        val p = new org.apache.hadoop.fs.Path(idx)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-        InvertedIndex.build(spark, docsSource(spark, sfDir), idx, driverCfg(spark),
-          runId = "driver")
-      }
-      idx
-    })
+    cache.getOrElseUpdate(sfDir, buildTextIdx(spark, sfDir))
+  }
+
+  /** Unsynchronized build body (idempotent: skips when already committed) —
+    * [[rebuild]] runs the three sub-index bodies concurrently, so they must
+    * not re-enter this object's monitor.
+    */
+  private def buildTextIdx(spark: SparkSession, sfDir: String): String = {
+    val idx = dirFor(sfDir)
+    if (!Manifests.isComplete(spark, idx, "dictionary") ||
+        !InvertedIndex.formatVersionOk(spark, idx)) {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      InvertedIndex.build(spark, docsSource(spark, sfDir), idx, driverCfg(spark),
+        runId = "driver")
+      ()
+    }
+    idx
   }
 
   /** The same corpus served THROUGH the segment model (SURVEY.md §2.3 B14):
@@ -1065,22 +1091,31 @@ object DocumentsIndex {
     require(size > 0, "size must be positive")
     val r = reader(spark, sfDir)
     val qTerms = r.analyze(query).toSeq
-    val fg0 = bm25(spark, sfDir, query, sampleSize).select("doc_id")
+    // r07: the sample texts COLLECT once (sample-sized by construction —
+    // the same coordinator-side bound every stableTopK page already rides)
+    // and dedup + re-tokenize + fg counting run driver-local. The previous
+    // frame-shaped sample executed the search+join subtree three times
+    // (fg.count, then twice under the final plan) and shipped the corpus
+    // dictionary as the BROADCAST side; now the sample-vocabulary counts
+    // are the broadcast side and the dictionary streams — the orientation
+    // that survives a corpus-scale dictionary.
+    val texts0 = bm25(spark, sfDir, query, sampleSize).select("doc_id")
       .join(spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text")), Seq("doc_id"))
-      .select("text")
-    val fg = if (filterDuplicateText) fg0.distinct() else fg0
-    val fgN = fg.count() // one bounded job — the sample is query-sized
+      .select("text").as[String].collect()
+    val texts = if (filterDuplicateText) texts0.distinct else texts0
+    val fgN = texts.length.toLong
     if (fgN == 0L)
       return spark.emptyDataset[(String, Long, Long, Double)]
         .toDF("term", "fg", "bg", "score")
-    val fgCounts = fg.as[String]
+    val fgCounts = texts.iterator
       .flatMap(t => graft.tokenize.CodeTokenizer.tokenize(t).distinct.iterator)
-      .toDF("term").groupBy("term").agg(count(lit(1)).as("fg"))
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .toDF("term", "fg")
     val bg = dictionaryDf(spark, sfDir).select(col("term"), col("df").as("bg"))
     val fgPct = col("fg") / lit(fgN.toDouble)
     val bgPct = col("bg") / lit(r.stats.numDocs.toDouble)
-    fgCounts.join(broadcast(bg), Seq("term"))
+    bg.join(broadcast(fgCounts), Seq("term"))
       .where(!col("term").isin(qTerms: _*))
       .select(col("term"), col("fg"), col("bg"),
         round((fgPct - bgPct) * (fgPct / bgPct), 6).as("score"))
@@ -1311,26 +1346,29 @@ object DocumentsIndex {
     * text index. Tiny: ~2 tokens/doc.
     */
   def tagsIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
-    cache.getOrElseUpdate(s"$sfDir#tags", {
-      val idx = dirFor(sfDir) + "_tags"
-      if (!Manifests.isComplete(spark, idx, "dictionary") ||
-          !InvertedIndex.formatVersionOk(spark, idx)) {
-        val p = new org.apache.hadoop.fs.Path(idx)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-        import spark.implicits._
-        val src = spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(lit("corpus").as("repo"), col("doc_id").cast("string").as("path"),
-            col("doc_id").cast("string").as("commit"), col("lang"),
-            concat_ws(" ", col("lang"), col("source")).as("content"))
-          .as[graft.fixtures.CodeFile]
-        // categorical field: frequency queries only — skip positions (the
-        // IndexConfig scaladoc's canonical storePositions = false case)
-        InvertedIndex.build(spark, src, idx, driverCfg(spark, storePositions = false),
-          runId = "driver-tags")
-      }
-      idx
-    })
+    cache.getOrElseUpdate(s"$sfDir#tags", buildTagsIdx(spark, sfDir))
+  }
+
+  private def buildTagsIdx(spark: SparkSession, sfDir: String): String = {
+    val idx = dirFor(sfDir) + "_tags"
+    if (!Manifests.isComplete(spark, idx, "dictionary") ||
+        !InvertedIndex.formatVersionOk(spark, idx)) {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      import spark.implicits._
+      val src = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(lit("corpus").as("repo"), col("doc_id").cast("string").as("path"),
+          col("doc_id").cast("string").as("commit"), col("lang"),
+          concat_ws(" ", col("lang"), col("source")).as("content"))
+        .as[graft.fixtures.CodeFile]
+      // categorical field: frequency queries only — skip positions (the
+      // IndexConfig scaladoc's canonical storePositions = false case)
+      InvertedIndex.build(spark, src, idx, driverCfg(spark, storePositions = false),
+        runId = "driver-tags")
+      ()
+    }
+    idx
   }
 
   def tagsReader(spark: SparkSession, sfDir: String): IndexReader = synchronized {
@@ -1352,20 +1390,23 @@ object DocumentsIndex {
     * silently served.
     */
   def stopIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
-    cache.getOrElseUpdate(s"$sfDir#stop", {
-      val idx = dirFor(sfDir) + "_stop"
-      val want = graft.tokenize.Analyzer(StopwordSet)
-      if (!Manifests.isComplete(spark, idx, "dictionary") ||
-          !InvertedIndex.formatVersionOk(spark, idx) ||
-          InvertedIndex.readAnalyzer(spark, idx) != want) {
-        val p = new org.apache.hadoop.fs.Path(idx)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-        InvertedIndex.build(spark, docsSource(spark, sfDir), idx,
-          driverCfg(spark).copy(analyzer = want), runId = "driver-stop")
-      }
-      idx
-    })
+    cache.getOrElseUpdate(s"$sfDir#stop", buildStopIdx(spark, sfDir))
+  }
+
+  private def buildStopIdx(spark: SparkSession, sfDir: String): String = {
+    val idx = dirFor(sfDir) + "_stop"
+    val want = graft.tokenize.Analyzer(StopwordSet)
+    if (!Manifests.isComplete(spark, idx, "dictionary") ||
+        !InvertedIndex.formatVersionOk(spark, idx) ||
+        InvertedIndex.readAnalyzer(spark, idx) != want) {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      InvertedIndex.build(spark, docsSource(spark, sfDir), idx,
+        driverCfg(spark).copy(analyzer = want), runId = "driver-stop")
+      ()
+    }
+    idx
   }
 
   def stopReader(spark: SparkSession, sfDir: String): IndexReader = synchronized {

@@ -240,8 +240,10 @@ object MultiFieldIndex {
     require(perDocCounts.distinct.size == 1,
       s"fields must index the same aligned doc set, got counts $perDocCounts")
     val n = perDocCounts.head
-    val metas = readers.map(_.termMeta(qterms))
-    val dfs = readers.map(_.termDfs(qterms))
+    // one dictionary job per field for metas AND dfs (r07 — was two)
+    val metaDfs = readers.map(_.termMetaWithDfs(qterms))
+    val metas = metaDfs.map(_._1)
+    val dfs = metaDfs.map(_._2)
     val blendIdf: Map[String, Double] = qterms.iterator.flatMap { t =>
       val mx = dfs.iterator.map(_.getOrElse(t, 0L)).max
       if (mx == 0L) None else Some(t -> graft.query.Bm25.idf(n, mx))

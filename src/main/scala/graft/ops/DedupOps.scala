@@ -235,10 +235,14 @@ object DedupOps {
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val isBench = coalesce(benchPred, lit(false)) // NULL pred = not benchmark
     val benchSh = shingles(df.where(isBench), id, text).select("shingle").distinct()
+    // dedup AFTER the selective benchmark join (count_distinct's partial
+    // aggregate dedups map-side): the old dropDuplicates-then-join shape
+    // exchanged the FULL corpus shingle stream once just to dedup it, then
+    // threw almost all of it away at the join (r07, guide §2.3 — shuffle
+    // fewer bytes). n_shared = distinct shared shingles, identical.
     shingles(df.where(!isBench), id, text)
-      .dropDuplicates(id, "shingle")
       .join(broadcast(benchSh), Seq("shingle"))
-      .groupBy(col(id)).agg(count(lit(1)).as("n_shared"))
+      .groupBy(col(id)).agg(count_distinct(col("shingle")).as("n_shared"))
   }
 
   /** Edge-endpoint rows per CC partition: ~16-48 B/row keeps partitions in

@@ -111,14 +111,47 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * caller. Terms absent from every segment drop out here (df = 0
     * contributes nothing — Lucene BooleanQuery SHOULD semantics).
     */
-  def termMeta(qterms: Array[String]): Map[String, BlockMaxWand.TermMeta] = {
+  def termMeta(qterms: Array[String]): Map[String, BlockMaxWand.TermMeta] =
+    cookMeta(mergedDictRows(qterms))
+
+  // Per-term merged dictionary rows, memoized for the reader's lifetime —
+  // the FST-residency model: ES/Lucene hold the term dictionary's lookup
+  // structure in memory per segment, while the previous shape here ran one
+  // Spark job per query (per segment, even) for what is a point lookup of
+  // query-sized term lists. Sound because a reader's `segments` list is
+  // FIXED at construction and committed segments are immutable (the same
+  // argument PIT serving rests on). None records a term PROVEN absent, so
+  // absent terms don't re-probe. BOUNDED like prefixProbeCache: wholesale
+  // reset at the cap. @transient: driver-side cache, never shipped.
+  private val DictMemoMax = 65536
+  @transient private lazy val dictMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[(Long, Double, Int, Int)]]()
+
+  /** The merged per-term dictionary material — at most ONE Spark job per
+    * call regardless of segment count (r07; previously one job per segment
+    * per query), and zero jobs when every term is memoized: the per-segment
+    * term-pruned dictionary scans UNION and collect together, and the
+    * driver-side fold is order-independent (sum/max/min), so results are
+    * identical to the per-segment loop.
+    */
+  private def mergedDictRows(qterms: Array[String]): Map[String, (Long, Double, Int, Int)] = {
     if (qterms.isEmpty) return Map.empty
-    // (df, maxTfn, maxTf, minDl) per term, merged across segments
-    val acc = scala.collection.mutable.Map.empty[String, (Long, Double, Int, Int)]
-    for (seg <- segments) {
-      Tables.read(spark, seg, InvertedIndex.DictTable)
-        .where(col("term").isin(qterms.toSeq: _*))
-        .select("term", "df", "maxTfn", "maxTf", "minDl")
+    val known = scala.collection.mutable.Map.empty[String, (Long, Double, Int, Int)]
+    val missing = scala.collection.mutable.ArrayBuffer.empty[String]
+    qterms.foreach { t =>
+      dictMemo.get(t) match {
+        case null => missing += t
+        case cached => cached.foreach(v => known.update(t, v))
+      }
+    }
+    if (missing.nonEmpty) {
+      // (df, maxTfn, maxTf, minDl) per term, merged across segments
+      val acc = scala.collection.mutable.Map.empty[String, (Long, Double, Int, Int)]
+      segments.map { seg =>
+        Tables.read(spark, seg, InvertedIndex.DictTable)
+          .where(col("term").isin(missing.toSeq: _*))
+          .select("term", "df", "maxTfn", "maxTf", "minDl")
+      }.reduce(_ unionByName _)
         .collect()
         .foreach { r =>
           val t = r.getString(0)
@@ -126,12 +159,29 @@ final class IndexReader(spark: SparkSession, indexDir: String,
           acc.update(t, (df0 + r.getLong(1), math.max(mtfn0, r.getDouble(2)),
             math.max(mtf0, r.getInt(3)), math.min(mdl0, r.getInt(4))))
         }
+      if (dictMemo.size() + missing.length > DictMemoMax) dictMemo.clear()
+      missing.foreach(t => dictMemo.put(t, acc.get(t)))
+      known ++= acc
     }
-    acc.iterator.map { case (t, (df, maxTfn, maxTf, minDl)) =>
+    known.toMap
+  }
+
+  private def cookMeta(merged: Map[String, (Long, Double, Int, Int)])
+      : Map[String, BlockMaxWand.TermMeta] =
+    merged.iterator.map { case (t, (df, maxTfn, maxTf, minDl)) =>
       val idf = Bm25.idf(stats.numDocs, df)
       val ub = if (exactStats) maxTfn else Bm25.tfNorm(maxTf.toLong, minDl.toLong, stats.avgDl, p)
       t -> BlockMaxWand.TermMeta(t, idf, idf * ub)
     }.toMap
+
+  /** Cooked metas AND raw dfs from ONE dictionary job — the cross-field
+    * blending path needs both, and calling [[termMeta]] + [[termDfs]]
+    * separately paid two identical dictionary scans per field (r07).
+    */
+  def termMetaWithDfs(qterms: Array[String])
+      : (Map[String, BlockMaxWand.TermMeta], Map[String, Long]) = {
+    val merged = mergedDictRows(qterms)
+    (cookMeta(merged), merged.map { case (t, (df, _, _, _)) => t -> df })
   }
 
   /** Raw per-term document frequency, summed across this index's segments —
@@ -140,18 +190,8 @@ final class IndexReader(spark: SparkSession, indexDir: String,
     * re-idf'd against the shared N. Same tiny dictionary collect shape as
     * [[termMeta]]; absent terms simply have no entry (df 0).
     */
-  def termDfs(qterms: Array[String]): Map[String, Long] = {
-    if (qterms.isEmpty) return Map.empty
-    val acc = scala.collection.mutable.Map.empty[String, Long]
-    for (seg <- segments) {
-      Tables.read(spark, seg, InvertedIndex.DictTable)
-        .where(col("term").isin(qterms.toSeq: _*))
-        .select("term", "df")
-        .collect()
-        .foreach(r => acc.update(r.getString(0), acc.getOrElse(r.getString(0), 0L) + r.getLong(1)))
-    }
-    acc.toMap
-  }
+  def termDfs(qterms: Array[String]): Map[String, Long] =
+    mergedDictRows(qterms).map { case (t, (df, _, _, _)) => t -> df }
 
   /** Query-term block scan (catalog-level tbucket pruning + term row-group
     * pruning). `withPositions = false` substitutes an empty LITERAL for the
