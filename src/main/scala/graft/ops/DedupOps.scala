@@ -252,7 +252,18 @@ object DedupOps {
     */
   private val CcRowsPerPartition = 4000000L
 
-  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  /** Driver-CC gate: an edge set at or below this many directed endpoints
+    * (~32 MB of longs at the cap) is collected and solved with union-find in
+    * one pass — when the whole graph fits one partition, iterating
+    * distributed rounds over it is pure scheduling overhead. Same gated
+    * collect-with-distributed-fallback idiom as IndexReader's
+    * driverMergeMaxRows; above the gate the co-partitioned RDD iteration
+    * runs unchanged (the 100 TB path).
+    */
+  private val CcDriverMaxEndpoints = 2000000L
+
+  def nearDupClusters(pairs: DataFrame, maxRounds: Int = 20,
+      driverMaxEndpoints: Long = CcDriverMaxEndpoints): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val spark = pairs.sparkSession
     import spark.implicits._
@@ -275,6 +286,43 @@ object DedupOps {
       .rdd.map { case (x, y) => (y, x) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEndpoints = edgeRaw.count()
+    if (nEndpoints <= driverMaxEndpoints) {
+      // Small graph: one bounded collect + union-find (path halving), then
+      // min-label per component — the same fixpoint the iterative form
+      // reaches, computed without per-round jobs.
+      val edgeArr = edgeRaw.collect()
+      edgeRaw.unpersist(false)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var px = parent.get(x)
+        while (px != x) {
+          val gx = parent.get(px)
+          parent.put(x, gx) // path halving
+          x = gx
+          px = parent.get(x)
+        }
+        x
+      }
+      edgeArr.foreach { case (y, x) =>
+        if (!parent.containsKey(x)) parent.put(x, x)
+        if (!parent.containsKey(y)) parent.put(y, y)
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) { if (rx < ry) parent.put(ry, rx) else parent.put(rx, ry) }
+      }
+      val nodes = parent.keySet().toArray(Array.empty[java.lang.Long]).map(_.longValue())
+      val minOfRoot = new java.util.HashMap[Long, Long]()
+      nodes.foreach { n =>
+        val r = find(n)
+        val cur = minOfRoot.getOrDefault(r, Long.MaxValue)
+        if (n < cur) minOfRoot.put(r, n)
+      }
+      val labelRows = nodes.map(n => (n, minOfRoot.get(find(n))))
+      return spark.createDataset(labelRows.toSeq).toDF("doc_id", "cluster")
+        .select(col("doc_id"), col("cluster"),
+          (col("doc_id") === col("cluster")).as("canonical"))
+        .orderBy("cluster", "doc_id")
+    }
     val p = new org.apache.spark.HashPartitioner(
       math.max(1L, math.min(sc.defaultParallelism.toLong,
         nEndpoints / CcRowsPerPartition + 1L)).toInt)

@@ -37,9 +37,26 @@ class Ring8Spec extends SparkSpec {
     assert(got.length == 8)
   }
 
-  test("nearDupClusters: loud non-convergence when maxRounds too small") {
+  test("nearDupClusters: distributed path == driver union-find path on every fixture") {
+    // chain (multi-round propagation), two components, and a triangle+tail
+    val fixtures = Seq(
+      (10L until 17L).map(i => (i, i + 1, 1)),
+      Seq((0L, 1L, 0), (1L, 2L, 1), (5L, 6L, 2)),
+      Seq((30L, 31L, 0), (31L, 32L, 0), (30L, 32L, 0), (32L, 33L, 0), (40L, 41L, 0)))
+    for (fx <- fixtures) {
+      val pairs = fx.toDF("a", "b", "dist")
+      val viaDriver = DedupOps.nearDupClusters(pairs).collect().map(_.toSeq).toSeq
+      val viaDist = DedupOps.nearDupClusters(pairs, driverMaxEndpoints = 0)
+        .collect().map(_.toSeq).toSeq
+      assert(viaDriver == viaDist, s"paths disagree on $fx")
+    }
+  }
+
+  test("nearDupClusters: loud non-convergence when maxRounds too small (distributed path)") {
     val pairs = (20L until 26L).map(i => (i, i + 1, 1)).toDF("a", "b", "dist")
-    intercept[IllegalArgumentException] { DedupOps.nearDupClusters(pairs, maxRounds = 1) }
+    intercept[IllegalArgumentException] {
+      DedupOps.nearDupClusters(pairs, maxRounds = 1, driverMaxEndpoints = 0)
+    }
   }
 
   test("geo_polygon: inside/boundary/outside on a CCW triangle; CW and concave rejected") {
