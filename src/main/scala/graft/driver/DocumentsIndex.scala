@@ -421,7 +421,7 @@ object DocumentsIndex {
         // compare value-typed (the a11 array_to_string protocol)
         expr("array_join(transform(sort_array(collect_list(pos)), x -> cast(x AS string)), ',')")
           .as("positions"))
-      .join(broadcast(dictionaryDf(spark, sfDir).select(col("term"), col("df"))),
+      .join(broadcast(termDfFrame(spark, sfDir)),
         Seq("term"))
       .select(col("term"), col("tf"), col("df"), col("positions"))
       .orderBy("term")
@@ -469,7 +469,7 @@ object DocumentsIndex {
       .agg(count(lit(1)).as("tf"),
         expr("array_join(transform(sort_array(collect_list(pos)), x -> cast(x AS string)), ',')")
           .as("positions"))
-      .join(broadcast(dictionaryDf(spark, sfDir).select(col("term"), col("df"))),
+      .join(broadcast(termDfFrame(spark, sfDir)),
         Seq("term"))
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("positions"))
       .orderBy("doc_id", "term")
@@ -1112,7 +1112,7 @@ object DocumentsIndex {
       .flatMap(t => graft.tokenize.CodeTokenizer.tokenize(t).distinct.iterator)
       .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
       .toDF("term", "fg")
-    val bg = dictionaryDf(spark, sfDir).select(col("term"), col("df").as("bg"))
+    val bg = termDfFrame(spark, sfDir).select(col("term"), col("df").as("bg"))
     val fgPct = col("fg") / lit(fgN.toDouble)
     val bgPct = col("bg") / lit(r.stats.numDocs.toDouble)
     bg.join(broadcast(fgCounts), Seq("term"))
@@ -1975,6 +1975,21 @@ object DocumentsIndex {
     Tables.read(spark, indexDir(spark, sfDir), InvertedIndex.DictTable)
       .select(col("term"), col("df"), col("cf"))
       .orderBy("term")
+
+  /** Delta-aware (term, df) frame: per-segment DictTable scans merged with
+    * sum(df); a single-segment index skips the merge aggregate (the same
+    * special case cappedByDf takes). ADVICE r06 fix: significantText /
+    * termVectors attached df from the BASE segment's dictionary only, which
+    * silently undercounts on a delta-served index — latent on the
+    * single-segment contract index, where this frame is value-identical.
+    */
+  private def termDfFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = reader(spark, sfDir)
+    val u = r.segments.map(seg =>
+        Tables.read(spark, seg, InvertedIndex.DictTable).select(col("term"), col("df")))
+      .reduce(_ unionByName _)
+    if (r.segments.size == 1) u else u.groupBy("term").agg(sum("df").as("df"))
+  }
 
   def registryDf(spark: SparkSession, sfDir: String): DataFrame =
     Tables.read(spark, indexDir(spark, sfDir), InvertedIndex.DocsTable)

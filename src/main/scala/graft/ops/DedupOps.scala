@@ -37,14 +37,15 @@ object DedupOps {
         .as("shingle"))
 
   /** Per-doc DISTINCT shingle set, aggregated ONCE (collect_set dedups in
-    * the map-side partial aggregate): the shared source the near-dup
-    * kernels' minhash bands, rare-shingle blocking AND Jaccard verify
-    * arrays all hang off — one tokenize pass and ONE exchange feed the
-    * whole pair pipeline, and the identical exchange subtree is computed
-    * once and reused across consumers (ReuseExchange). Equivalence to the
-    * per-row stream: min/sort/count over a distinct set equal min/sort/
-    * count over the duplicate-preserving stream after `.distinct()`, so
-    * every derived result is bit-identical to the previous formulation.
+    * the map-side partial aggregate): the shared source the n-gram Jaccard
+    * kernel's rare-shingle blocking AND verify arrays both hang off — one
+    * tokenize pass and ONE exchange feed that pair pipeline, and the
+    * identical exchange subtree is computed once and reused across
+    * consumers (ReuseExchange). Equivalence to the per-row stream:
+    * sort/count over a distinct set equal sort/count over the duplicate-
+    * preserving stream after `.distinct()`, so every derived result is
+    * bit-identical to the previous formulation. (The minhash BAND side
+    * deliberately does NOT use this — see nearDupPairs.)
     */
   private def docShingleSets(df: DataFrame, id: String, text: String): DataFrame =
     shingles(df, id, text).groupBy(col(id)).agg(collect_set(col("shingle")).as("shset"))
@@ -93,8 +94,12 @@ object DedupOps {
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col(s"x.$id") < col(s"y.$id"))
       .select(col(s"x.$id").as("a"), col(s"y.$id").as("b")).distinct()
-    val sets = shingles(df, id, text).distinct()
-      .groupBy(col(id)).agg(sort_array(collect_list(md5(col("shingle")))).as("set"))
+    // collect_set dedups inside the (map-side partial) aggregate, so the
+    // verify arrays build in ONE exchange — the old distinct()-then-
+    // collect_list shape exchanged the full shingle stream twice. Dedup on
+    // md5 == dedup on shingle; sorted arrays identical.
+    val sets = shingles(df, id, text)
+      .groupBy(col(id)).agg(sort_array(collect_set(md5(col("shingle")))).as("set"))
     verifyJaccardSets(sets, cand, minJaccard, id)
   }
 

@@ -2000,6 +2000,18 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   }
 
   private def composeClauses(clauses: Seq[QueryString.Clause]): DataFrame = {
+    // prefetch every term/phrase clause's dictionary rows in ONE job — the
+    // per-clause frames below then hit the reader's dictionary memo instead
+    // of each paying its own lookup job (r07; a 4-clause query_string ran
+    // 4 dictionary jobs of pure fixed latency)
+    locally {
+      val toks = clauses.iterator.map(_.body).flatMap {
+        case QueryString.Term(t) => CodeTokenizer.tokenize(t, analyzer)
+        case QueryString.Phrase(t) => CodeTokenizer.tokenize(t, analyzer)
+        case _ => Array.empty[String]
+      }.toArray.distinct
+      if (toks.nonEmpty) { termMeta(toks); () }
+    }
     def frame(b: QueryString.Body): DataFrame = b match {
       case QueryString.Term(t) =>
         val toks = CodeTokenizer.tokenize(t, analyzer)
