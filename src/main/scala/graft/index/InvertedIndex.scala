@@ -687,6 +687,22 @@ object InvertedIndex {
     // pays for it.
     lazy val plan = docIdPlan(spark, src.toDF(), cfg.partitions, cfg.docIdBase)
 
+    // The heavy-term sampling pass is independent of the registry/stats
+    // stages (it scans the SOURCE, no docIds involved) — start it on a
+    // side thread so its full-corpus tokenize overlaps their serial driver
+    // phases (optimization guide §2.6), and await it where the postings
+    // stage needs it. Only armed when the single-shot postings stage will
+    // actually run: the sliced-resume path has its own committed heavy-term
+    // table with partition-layout-pinning semantics (below) and is left
+    // untouched.
+    val heavyF: Option[java.util.concurrent.Future[Map[String, Int]]] =
+      if (cfg.resumeSlices <= 1 && !Manifests.isComplete(spark, indexDir, "postings")) {
+        val ex = java.util.concurrent.Executors.newSingleThreadExecutor()
+        try Some(ex.submit(new java.util.concurrent.Callable[Map[String, Int]] {
+          def call(): Map[String, Int] = heavyTerms(spark, src, cfg)
+        })) finally { ex.shutdown(); () }
+      } else None
+
     results += Manifests.runStage(spark, indexDir, "registry", runId, Seq(DocsTable)) {
       val docs = buildRegistry(spark, src, cfg, plan)
       Tables.write(docs.toDF(), indexDir, DocsTable)
@@ -755,7 +771,7 @@ object InvertedIndex {
       }
       if (cfg.resumeSlices <= 1) {
         val blocks = buildPostingsSlice(spark, src, stats, cfg,
-          heavyTerms(spark, src, cfg), 0, 1, plan)
+          heavyF.map(_.get()).getOrElse(heavyTerms(spark, src, cfg)), 0, 1, plan)
         // Persist so the range partitioner's sampling pass reads encoded
         // blocks, not a recompute of the whole tokenize+shuffle pipeline.
         blocks.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)

@@ -61,9 +61,13 @@ final class IndexReader(spark: SparkSession, indexDir: String,
   private val exactStats: Boolean = segments.size == 1
 
   lazy val stats: CorpusStats = {
-    val per = segments.map(InvertedIndex.readStats(spark, _))
-    val n = per.map(_.numDocs).sum
-    val sumDl = per.map(_.sumDl).sum
+    // one job for all segments' stats rows (r07; was one per segment) —
+    // the sums are order-independent, so the merge is unchanged
+    val rows = segments.map(seg =>
+        Tables.read(spark, seg, InvertedIndex.StatsTable).select("numDocs", "sumDl"))
+      .reduce(_ unionByName _).collect()
+    val n = rows.iterator.map(_.getLong(0)).sum
+    val sumDl = rows.iterator.map(_.getLong(1)).sum
     CorpusStats(n, sumDl, if (n == 0) 0.0 else sumDl.toDouble / n)
   }
 
