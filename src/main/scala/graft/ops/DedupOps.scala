@@ -54,7 +54,7 @@ object DedupOps {
     * shingle sets — same arrays the old collect_list(md5) aggregation built.
     */
   private def setFps(docSets: DataFrame, id: String): DataFrame =
-    docSets.select(col(id), sort_array(transform(col("shset"), s => md5(s))).as("set"))
+    docSets.select(col(id), sort_array(transform(col("shset"), s => unhex(md5(s)))).as("set"))
 
   /** MinHash signatures banded for LSH: (id, band, bucket). The j-th hash
     * function is min(md5(shingle || '#' || j)); a band bucket is the md5 of
@@ -99,7 +99,7 @@ object DedupOps {
     // collect_list shape exchanged the full shingle stream twice. Dedup on
     // md5 == dedup on shingle; sorted arrays identical.
     val sets = shingles(df, id, text)
-      .groupBy(col(id)).agg(sort_array(collect_set(md5(col("shingle")))).as("set"))
+      .groupBy(col(id)).agg(sort_array(collect_set(unhex(md5(col("shingle"))))).as("set"))
     verifyJaccardSets(sets, cand, minJaccard, id)
   }
 
@@ -118,7 +118,7 @@ object DedupOps {
   def ngramJaccardPairs(df: DataFrame, minJaccard: Double, maxShingleDf: Long = 20,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val docSets = docShingleSets(df, id, text)
-    val fps = docSets.select(col(id), explode(transform(col("shset"), s => md5(s))).as("fp"))
+    val fps = docSets.select(col(id), explode(transform(col("shset"), s => unhex(md5(s)))).as("fp"))
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("sdf"))
       .where(col("sdf") > 1 && col("sdf") <= maxShingleDf)
     val shRare = fps.join(rare.select("fp"), Seq("fp"))
@@ -130,8 +130,14 @@ object DedupOps {
 
   /** Exact |A ∩ B| / |A ∪ B| over distinct shingle sets for candidate pairs.
     *
+    * Fingerprints travel as 16-BYTE binaries (`unhex(md5)`) rather than
+    * 32-char hex strings (r07, guide §2.3 — narrower types through the
+    * exchange): half the verify-array bytes shuffled and compared; the
+    * Jaccard only ever uses set SIZES, so the hex→binary bijection cannot
+    * change any result (oracle rows re-checked at all three SFs).
+    *
     * Shape: each doc's distinct shingle set is aggregated ONCE into a sorted
-    * array of md5 fingerprints (fixed 32 chars — bounds the row width; 128-bit
+    * array of md5 fingerprints (fixed 16 bytes — bounds the row width; 128-bit
     * fingerprints make collisions impossible in practice, so set Jaccard over
     * fingerprints equals set Jaccard over shingles). Each candidate pair then
     * intersects two arrays in ONE narrow pass — the verify cost is linear in
