@@ -33,7 +33,10 @@ object BenchExtra {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = args.headOption.map(_.toInt).getOrElse(2)
+    // strip characters that are not filesystem-tag-safe — sbt passes a
+    // quoted '' through literally, which once created a plans/''/ directory
     val explainTag = args.drop(1).headOption.getOrElse("")
+      .filter(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.')
     val names = args.drop(2).toSet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

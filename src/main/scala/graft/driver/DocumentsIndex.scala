@@ -62,8 +62,23 @@ object DocumentsIndex {
           def call(): String = body()
         })
       }
-      futs.foreach { case (key, f) => cache.update(key, f.get()) }
-    } finally { pool.shutdown(); () }
+      futs.foreach { case (key, f) =>
+        // unwrap so the caller sees the build's own exception type, not
+        // ExecutionException
+        val idx =
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        cache.update(key, idx)
+      }
+    } finally {
+      // On a failed sibling build, do NOT leave the other builds running
+      // detached — a retrying caller would delete directories under live
+      // writers. shutdownNow interrupts; the bounded await keeps the
+      // failure path from returning while writers are still in flight.
+      pool.shutdownNow()
+      pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    }
     (System.nanoTime() - t0) / 1e9
   }
 

@@ -59,7 +59,14 @@ object ArrayDot {
         s"array_dot needs equal-length arrays, got $n vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      // loud on null elements: ArrayData.getDouble on a null slot would
+      // silently read 0.0 where the zip_with spelling propagated NULL
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"array_dot input has a null element at index $i")
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     acc
   }
 }

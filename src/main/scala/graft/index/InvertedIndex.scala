@@ -695,13 +695,21 @@ object InvertedIndex {
     // actually run: the sliced-resume path has its own committed heavy-term
     // table with partition-layout-pinning semantics (below) and is left
     // untouched.
+    val heavyGroup = s"graft-heavy-$runId-${indexDir.hashCode}"
     val heavyF: Option[java.util.concurrent.Future[Map[String, Int]]] =
       if (cfg.resumeSlices <= 1 && !Manifests.isComplete(spark, indexDir, "postings")) {
         val ex = java.util.concurrent.Executors.newSingleThreadExecutor()
         try Some(ex.submit(new java.util.concurrent.Callable[Map[String, Int]] {
-          def call(): Map[String, Int] = heavyTerms(spark, src, cfg)
+          def call(): Map[String, Int] = {
+            // job group (thread-local) so a failed build can cancel the
+            // in-flight sampling jobs, not just interrupt the thread
+            spark.sparkContext.setJobGroup(heavyGroup, "heavy-term sampling")
+            try heavyTerms(spark, src, cfg)
+            finally spark.sparkContext.clearJobGroup()
+          }
         })) finally { ex.shutdown(); () }
       } else None
+    try {
 
     results += Manifests.runStage(spark, indexDir, "registry", runId, Seq(DocsTable)) {
       val docs = buildRegistry(spark, src, cfg, plan)
@@ -866,6 +874,14 @@ object InvertedIndex {
     }
 
     BuildReport(results.result(), stats.numDocs)
+    } finally {
+      // a stage failure must not orphan the heavy-term sampling work: cancel
+      // the future AND its Spark jobs (no-ops after a successful get())
+      heavyF.foreach { f =>
+        if (!f.isDone) { f.cancel(true); spark.sparkContext.cancelJobGroup(heavyGroup) }
+        ()
+      }
+    }
   }
 
   def readStats(spark: SparkSession, indexDir: String): CorpusStats = {

@@ -54,7 +54,7 @@ object DedupOps {
     * shingle sets — same arrays the old collect_list(md5) aggregation built.
     */
   private def setFps(docSets: DataFrame, id: String): DataFrame =
-    docSets.select(col(id), sort_array(transform(col("shset"), s => unhex(md5(s)))).as("set"))
+    docSets.select(col(id), sort_array(transform(col("shset"), s => md5(s))).as("set"))
 
   /** MinHash signatures banded for LSH: (id, band, bucket). The j-th hash
     * function is min(md5(shingle || '#' || j)); a band bucket is the md5 of
@@ -99,7 +99,7 @@ object DedupOps {
     // collect_list shape exchanged the full shingle stream twice. Dedup on
     // md5 == dedup on shingle; sorted arrays identical.
     val sets = shingles(df, id, text)
-      .groupBy(col(id)).agg(sort_array(collect_set(unhex(md5(col("shingle"))))).as("set"))
+      .groupBy(col(id)).agg(sort_array(collect_set(md5(col("shingle")))).as("set"))
     verifyJaccardSets(sets, cand, minJaccard, id)
   }
 
@@ -118,7 +118,7 @@ object DedupOps {
   def ngramJaccardPairs(df: DataFrame, minJaccard: Double, maxShingleDf: Long = 20,
       id: String = "doc_id", text: String = "text"): DataFrame = {
     val docSets = docShingleSets(df, id, text)
-    val fps = docSets.select(col(id), explode(transform(col("shset"), s => unhex(md5(s)))).as("fp"))
+    val fps = docSets.select(col(id), explode(transform(col("shset"), s => md5(s))).as("fp"))
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("sdf"))
       .where(col("sdf") > 1 && col("sdf") <= maxShingleDf)
     val shRare = fps.join(rare.select("fp"), Seq("fp"))
@@ -130,14 +130,15 @@ object DedupOps {
 
   /** Exact |A ∩ B| / |A ∪ B| over distinct shingle sets for candidate pairs.
     *
-    * Fingerprints travel as 16-BYTE binaries (`unhex(md5)`) rather than
-    * 32-char hex strings (r07, guide §2.3 — narrower types through the
-    * exchange): half the verify-array bytes shuffled and compared; the
-    * Jaccard only ever uses set SIZES, so the hex→binary bijection cannot
-    * change any result (oracle rows re-checked at all three SFs).
+    * Fingerprints stay 32-char HEX strings deliberately (r07): a 16-byte
+    * `unhex(md5)` halves the shuffled bytes and was tried, but Spark's
+    * array_intersect only uses its hash-set fast path for element types
+    * with proper equals — FALSE for BinaryType — so binary arrays fall into
+    * the O(|sa|·|sb|) nested-scan fallback: quadratic per candidate pair on
+    * long documents, a scale regression dressed as a byte saving. Reverted.
     *
     * Shape: each doc's distinct shingle set is aggregated ONCE into a sorted
-    * array of md5 fingerprints (fixed 16 bytes — bounds the row width; 128-bit
+    * array of md5 fingerprints (fixed 32 chars — bounds the row width; 128-bit
     * fingerprints make collisions impossible in practice, so set Jaccard over
     * fingerprints equals set Jaccard over shingles). Each candidate pair then
     * intersects two arrays in ONE narrow pass — the verify cost is linear in
@@ -273,6 +274,10 @@ object DedupOps {
     */
   private val CcDriverMaxEndpoints = 2000000L
 
+  /** Ids must be INTEGRAL (they are cast to long — the engine's doc_id
+    * grain); a string-keyed caller must map ids first. maxRounds bounds the
+    * distributed iteration only (the gated driver path always converges).
+    */
   def nearDupClusters(pairs: DataFrame, maxRounds: Int = 20,
       driverMaxEndpoints: Long = CcDriverMaxEndpoints): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
@@ -334,9 +339,11 @@ object DedupOps {
           (col("doc_id") === col("cluster")).as("canonical"))
         .orderBy("cluster", "doc_id")
     }
+    // size-derived ONLY — capping at defaultParallelism would let
+    // rows-per-partition grow without bound at corpus scale (the scaladoc's
+    // 100 MB-1 GB band is the invariant, not the local core count)
     val p = new org.apache.spark.HashPartitioner(
-      math.max(1L, math.min(sc.defaultParallelism.toLong,
-        nEndpoints / CcRowsPerPartition + 1L)).toInt)
+      math.min(Int.MaxValue.toLong, nEndpoints / CcRowsPerPartition + 1L).toInt)
     val edges = edgeRaw.partitionBy(p)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every node appears as a key (both edge directions are present), so the
@@ -379,6 +386,11 @@ object DedupOps {
     }
     if (sys.env.contains("GRAFT_DEBUG_CC"))
       System.err.println(s"[graft] nearDupClusters converged in $round rounds")
+    // cache hygiene: the raw and partitioned edge RDDs are dead once the
+    // loop ends (only the final labels feed the output); in a long-lived
+    // session leaving them pinned would crowd the storage region
+    edgeRaw.unpersist(false)
+    edges.unpersist(false)
     require(converged, s"label propagation did not converge in $maxRounds rounds")
     spark.createDataset(labels).toDF("doc_id", "cluster")
       .select(col("doc_id"), col("cluster"),

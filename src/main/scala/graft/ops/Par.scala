@@ -15,6 +15,11 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * unchanged.
   */
 object Par {
+  // CALL-SITE CONTRACT: pass scan-level frames only (projections over a
+  // source read, nothing with an exchange upstream). Reading the partition
+  // count goes through df.rdd, which finalizes the adaptive plan — over a
+  // frame with upstream shuffles that would EXECUTE them just to count
+  // partitions and then re-run them in the real query.
   def fanOut(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
